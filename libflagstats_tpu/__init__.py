@@ -1,0 +1,40 @@
+"""libflagstats_tpu — a TPU-native samtools-flagstat engine.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+mklarqvist/libflagstats: positional population counts and the full
+`samtools flagstat` summary over columns of 16-bit SAM FLAG words, at
+memory-bandwidth speed-of-light on TPU, scaling data-parallel over
+device meshes.
+
+Public API:
+  flagstats(values)        pyflagstats-compatible dict (python/libflagstats.pyx:8-37)
+  flagstats_u16(arr, out)  32-counter vector, streaming-accumulative
+                           (libflagstats.h:3025)
+  pospopcnt_u16(arr)       16-bin positional popcount (libalgebra.h:3497)
+  counters_to_report(c)    samtools flagstat report object
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from . import flags
+from .flags import (  # noqa: F401
+    FPAIRED, FPROPER_PAIR, FUNMAP, FMUNMAP, FREVERSE, FMREVERSE,
+    FREAD1, FREAD2, FSECONDARY, FQCFAIL, FDUP, FSUPPLEMENTARY,
+    BIT12, BIT13, BIT14,
+)
+from .ops.dispatch import flagstats_u16, pospopcnt_u16, get_function  # noqa: F401
+from .report import FlagstatReport, counters_to_dict, counters_to_report  # noqa: F401
+
+__version__ = "0.1.0"
+
+
+def flagstats(values, impl: str | None = None) -> dict:
+    """pyflagstats-compatible entry point (reference: python/libflagstats.pyx:8-37)."""
+    if not isinstance(values, np.ndarray):
+        raise ValueError("Values must be an numpy.ndarray")
+    if values.dtype != np.uint16:
+        raise ValueError('Values must have the dtype "uint16"')
+    values = np.ascontiguousarray(values)
+    counters = flagstats_u16(values, impl=impl)
+    return counters_to_dict(counters, len(values))

@@ -1,0 +1,106 @@
+"""Size-tiered dispatch: the one-call entry points.
+
+TPU equivalent of FLAGSTATS_get_function / FLAGSTATS_u16
+(reference: libflagstats.h:2977-3070) and of the size-tiered
+STORM_pospopcnt_u16 (libalgebra.h:3497-3551): the CPUID/XCR0 probe
+becomes a backend capability check, and the ISA tiers become
+
+  n <  XLA_MIN     -> host NumPy oracle (device launch not worth it)
+  n <  PALLAS_MIN  -> plain-XLA fused formulation
+  else             -> bit-sliced Pallas kernel (TPU) / XLA (other backends)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from .. import flags as F
+from ..oracle import flagstat_numpy
+from . import pallas_kernels
+from .xla_ops import flagstat_xla, pospopcnt_u16_xla
+
+# one Pallas grid step is nblk * GROUP_WORDS words; anything below ~2 steps
+# is better served by the fused XLA path.
+PALLAS_MIN = 2 * 8 * pallas_kernels.GROUP_WORDS   # 1,048,576 words
+XLA_MIN = 1 << 14
+
+
+@functools.cache
+def backend() -> str:
+    return jax.default_backend()
+
+
+@functools.cache
+def _jit_flagstat_xla():
+    return jax.jit(flagstat_xla, static_argnames=("n",))
+
+
+def get_function(n_len: int, impl: str | None = None):
+    """Return a callable (np.uint16 array) -> (32,) np.ndarray of counts
+    for streams of length ``n_len`` (reference: FLAGSTATS_get_function,
+    libflagstats.h:2977)."""
+    if impl is None:
+        if n_len < XLA_MIN:
+            impl = "numpy"
+        elif n_len >= PALLAS_MIN and backend() == "tpu":
+            impl = "pallas"
+        else:
+            impl = "xla"
+
+    if impl == "numpy":
+        return lambda arr: flagstat_numpy(arr)
+    if impl == "xla":
+        fn = _jit_flagstat_xla()
+        return lambda arr: np.asarray(fn(jax.numpy.asarray(arr), n=int(arr.size)))
+    if impl == "pallas":
+        interpret = backend() != "tpu"
+        return lambda arr: np.asarray(
+            pallas_kernels.flagstat_pallas(
+                jax.numpy.asarray(arr), n=int(arr.size), interpret=interpret
+            )
+        )
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+def flagstats_u16(array, out=None, impl: str | None = None) -> np.ndarray:
+    """Count flagstat statistics of a uint16 FLAG array.
+
+    Accumulates into ``out`` when given (the reference's streaming
+    contract: one counter vector across many blocks,
+    reference: FLAGSTATS_u16, libflagstats.h:3025 and
+    benchmark/flagstats.cpp:304-329)."""
+    arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
+    counters = get_function(arr.size, impl)(arr)
+    if out is None:
+        return np.asarray(counters, dtype=np.uint64)
+    out += np.asarray(counters, dtype=np.uint64)
+    return out
+
+
+def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
+    """Positional popcount of a uint16 array -> (16,) counts
+    (reference: STORM_pospopcnt_u16, libalgebra.h:3497)."""
+    arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
+    if impl is None:
+        if arr.size >= PALLAS_MIN and backend() == "tpu":
+            impl = "pallas"
+        elif arr.size >= XLA_MIN:
+            impl = "xla"
+        else:
+            impl = "numpy"
+    if impl == "numpy":
+        x = arr.astype(np.uint32)
+        return np.array(
+            [int(np.count_nonzero((x >> k) & 1)) for k in range(F.N_BITS)],
+            dtype=np.uint64,
+        )
+    if impl == "xla":
+        return np.asarray(jax.jit(pospopcnt_u16_xla)(jax.numpy.asarray(arr)))
+    if impl == "pallas":
+        interpret = backend() != "tpu"
+        return np.asarray(
+            pallas_kernels.pospopcnt_u16_pallas(jax.numpy.asarray(arr), interpret=interpret)
+        )
+    raise ValueError(f"unknown impl {impl!r}")

@@ -1,0 +1,101 @@
+"""Plain-XLA (jnp) flagstat and pospopcnt — the small-input tier.
+
+This is the "let XLA fuse it" formulation: the mask-select transform as
+vectorized bitwise ops and the positional popcount as a fused
+broadcast-shift-reduce. It is the dispatch tier for inputs too small to
+amortize the Pallas kernel (mirrors the size-tiered dispatch of
+STORM_pospopcnt_u16, reference: libalgebra.h:3497-3551), and the
+device-side differential baseline for the Pallas kernel.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import flags as F
+
+
+def transform_words_jnp(x: jax.Array) -> jax.Array:
+    """Word-space mask-select transform (uint32 in/out).
+
+    Same semantics as oracle.transform_words (reference: the LOAD macro
+    chain O1/O2/O3 + L1/L2/L3, libflagstats.h:281-290).
+    """
+    x = x.astype(jnp.uint32) & jnp.uint32(F.INPUT_MASK)
+    one = jnp.uint32(1)
+    pair = x & one
+    sec = (x >> 8) & one
+    sup = (x >> 11) & one
+    unmap = (x >> 2) & one
+    munmap = (x >> 3) & one
+    proper = (x >> 1) & one
+
+    inpair = pair & (sec ^ one) & (sup ^ one)
+    supc = sup & (sec ^ one)
+    im = inpair & (unmap ^ one)
+    b12 = im & proper
+    b13 = im & munmap
+    b14 = im ^ b13
+
+    pair_mask = inpair * jnp.uint32(0xFFFF)
+    t = (x & jnp.uint32(F.KEEP_ALWAYS)) | (x & jnp.uint32(F.PAIR_BRANCH_MASK) & pair_mask)
+    t = t | (supc << F.FSUPPLEMENTARY_OFF)
+    t = t | (b12 << F.BIT12_OFF) | (b13 << F.BIT13_OFF) | (b14 << F.BIT14_OFF)
+    return t
+
+
+def pospopcnt_u16_xla(x: jax.Array, n_bits: int = F.N_BITS) -> jax.Array:
+    """Positional popcount of a uint16 stream -> (n_bits,) int32.
+
+    TPU-native analogue of STORM_pospopcnt_u16 (libalgebra.h:3497): the
+    per-bit extraction fuses into a single pass over the data under jit.
+    """
+    x = x.astype(jnp.uint32)
+    ks = jnp.arange(n_bits, dtype=jnp.uint32)
+    bits = (x[:, None] >> ks[None, :]) & jnp.uint32(1)
+    return jnp.sum(bits.astype(jnp.int32), axis=0)
+
+
+def stream_sums_xla(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Raw stratified stream sums: (C[k], F[k]) each (16,) int32.
+
+    C[k] counts transformed bit k over all words, F[k] over QC-fail words.
+    These are plain sums, so they can be psum-merged across shards before
+    the derived-counter assembly (reference invariant: counters are
+    block-accumulative, benchmark/flagstats.cpp:304-329).
+    """
+    t = transform_words_jnp(x)
+    q = ((t >> F.FQCFAIL_OFF) & jnp.uint32(1)).astype(jnp.int32)
+    ks = jnp.arange(F.N_BITS, dtype=jnp.uint32)
+    bits = ((t[:, None] >> ks[None, :]) & jnp.uint32(1)).astype(jnp.int32)
+    total = jnp.sum(bits, axis=0)                     # C[k]
+    fail = jnp.sum(bits * q[:, None], axis=0)         # F[k]
+    return total, fail
+
+
+def flagstat_xla(x: jax.Array, n=None) -> jax.Array:
+    """Flagstat counters for a uint16 FLAG batch -> (32,) int32.
+
+    ``n`` is the true (unpadded) word count used for the derived
+    pass-stratum total (reference: libflagstats.h:429); zero padding is
+    exactly neutral for every other counter.
+    """
+    if n is None:
+        n = x.size
+    total, fail = stream_sums_xla(x)
+    return assemble_counters(total, fail, n)
+
+
+def assemble_counters(total: jax.Array, fail: jax.Array, n) -> jax.Array:
+    """(C[k], F[k]) stream sums -> 32-counter vector (int32).
+
+    pass[k] = C[k] - F[k]; fail[9] = C[9] (= number of QC-fail reads);
+    pass[9] = n - C[9] (derived pass total, reference: libflagstats.h:429).
+    """
+    total = total.astype(jnp.int32)
+    fail = fail.astype(jnp.int32)
+    n_fail = total[F.FQCFAIL_OFF]
+    passed = total - fail
+    passed = passed.at[F.FQCFAIL_OFF].set(jnp.int32(n) - n_fail)
+    failed = fail.at[F.FQCFAIL_OFF].set(n_fail)
+    return jnp.concatenate([passed, failed])

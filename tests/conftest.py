@@ -1,0 +1,52 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices so the multi-chip sharding paths
+(mesh + psum) are exercised without TPU hardware; set RUN_TPU_TESTS=1 to
+run against the real backend instead.
+
+Note: this environment's sitecustomize force-registers the axon TPU
+plugin and overrides jax_platforms, so we override it back *before* any
+backend initializes (jax.config.update works post-registration).
+"""
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
+
+if not os.environ.get("RUN_TPU_TESTS"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from libflagstats_tpu.oracle import generate_flags  # noqa: E402
+
+
+@pytest.fixture(params=[False, True], ids=["flags<4096", "full16bit"])
+def full_range(request):
+    return request.param
+
+
+@pytest.fixture
+def make_flags():
+    def _make(n, seed=0, full_range=False):
+        return generate_flags(n, seed=seed, full_range=full_range)
+
+    return _make
+
+
+def assert_counters_equal(expected, actual, counters=None, msg=""):
+    expected = np.asarray(expected).astype(np.int64)
+    actual = np.asarray(actual).astype(np.int64)
+    if counters is not None:
+        expected = expected[list(counters)]
+        actual = actual[list(counters)]
+    np.testing.assert_array_equal(actual, expected, err_msg=msg)

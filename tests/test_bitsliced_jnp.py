@@ -1,0 +1,50 @@
+"""Differential test of the full bit-sliced device algorithm (the jnp
+twin of the Pallas kernel: identical traced math, no pallas_call)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+from libflagstats_tpu.ops.pallas_kernels import (
+    GROUP_WORDS,
+    flagstat_bitsliced_jnp,
+    pospopcnt_bitsliced_jnp,
+)
+
+from conftest import assert_counters_equal
+
+
+@pytest.fixture(scope="module")
+def jitted():
+    return (
+        jax.jit(flagstat_bitsliced_jnp, static_argnames=("n", "nblk")),
+        jax.jit(pospopcnt_bitsliced_jnp, static_argnames=("nblk",)),
+    )
+
+
+def test_flagstat_bitsliced_one_step(jitted, full_range):
+    fn, _ = jitted
+    n = 8 * GROUP_WORDS  # exactly one Harley-Seal body / grid step
+    x = generate_flags(n, seed=1, full_range=full_range)
+    got = np.asarray(fn(jnp.asarray(x), n=n), dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x).astype(np.int64), got)
+
+
+def test_flagstat_bitsliced_with_tail(jitted):
+    fn, _ = jitted
+    n = 8 * GROUP_WORDS + 12345  # exercises zero padding neutrality
+    x = generate_flags(n, seed=2, full_range=True)
+    got = np.asarray(fn(jnp.asarray(x), n=n), dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x).astype(np.int64), got)
+
+
+def test_pospopcnt_bitsliced(jitted):
+    _, fn = jitted
+    n = 8 * GROUP_WORDS
+    x = generate_flags(n, seed=3, full_range=True)
+    ref = np.array(
+        [np.count_nonzero((x.astype(np.uint32) >> k) & 1) for k in range(16)]
+    )
+    got = np.asarray(fn(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)

@@ -1,0 +1,44 @@
+"""Report/dict mapping tests (reference: benchmark/flagstats.cpp:578-590,
+python/libflagstats.pyx:24-36)."""
+import numpy as np
+
+import libflagstats_tpu as lfs
+from libflagstats_tpu import flags as F
+from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+from libflagstats_tpu.report import counters_to_dict, counters_to_report
+
+
+def test_report_consistency():
+    x = generate_flags(50_000, seed=5)
+    c = flagstat_numpy(x)
+    rep = counters_to_report(c)
+    # total = pass + fail reads
+    assert rep.total[0] + rep.total[1] == len(x)
+    # mapped = total - unmapped per stratum
+    assert rep.mapped[0] == rep.total[0] - int(c[F.FUNMAP_OFF])
+    assert rep.mapped[1] == rep.total[1] - int(c[F.FUNMAP_OFF + 16])
+    # singletons + both-mapped <= paired in sequencing
+    assert rep.singletons[0] + rep.both_mapped[0] <= rep.paired_in_sequencing[0]
+    text = rep.text()
+    assert "in total (QC-passed reads + QC-failed reads)" in text
+    assert "properly paired" in text
+
+
+def test_binding_dict_shape():
+    x = generate_flags(10_000, seed=2)
+    d = lfs.flagstats(x, impl="numpy")
+    assert d["n_values"] == len(x)
+    assert set(d["passed"]) == set(F.SAM_FLAG_NAMES) | {"mapped", "paired_in_seq"}
+    assert set(d["failed"]) == set(F.SAM_FLAG_NAMES)
+    # derived fields per the reference binding
+    assert d["passed"]["mapped"] == len(x) - d["passed"]["FUNMAP"] - d["failed"]["FUNMAP"]
+    assert d["passed"]["paired_in_seq"] == d["passed"]["FREAD1"] + d["passed"]["FREAD2"]
+
+
+def test_binding_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        lfs.flagstats([1, 2, 3])
+    with pytest.raises(ValueError):
+        lfs.flagstats(np.zeros(4, dtype=np.uint32))
