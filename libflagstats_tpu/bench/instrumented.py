@@ -1,0 +1,91 @@
+"""Instrumented per-variant benchmark (reference:
+linux/instrumented_benchmark.cpp).
+
+Methodology ported to TPU:
+* fresh random data per iteration (":174-179"), full 16-bit range;
+* every iteration's output validated against the host oracle (":181-208");
+* min + avg over iterations (":107-142");
+* memory-bandwidth baseline: the measured HBM roofline stands in for the
+  memcpy speed-of-light comparison (":456-544");
+* tabular TSV output (`-t`, ":310-319").
+
+Instead of perf counters (no perf_event on TPU), reports wall time,
+words/s, GB/s, and fraction-of-roofline; `jax.profiler` traces can be
+captured with --trace for Perfetto-level analysis.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import flags as F
+from ..oracle import flagstat_numpy, generate_flags
+from .harness import roofline_bytes_per_s
+
+
+@dataclass
+class VariantResult:
+    name: str
+    n: int
+    iters: int
+    min_s: float
+    avg_s: float
+    correct: bool
+
+    def row(self, roof: float | None) -> str:
+        gbs = 2.0 * self.n / self.min_s / 1e9
+        frac = f"{2.0 * self.n / self.min_s / roof:.3f}" if roof else "n/a"
+        return (
+            f"{self.name}\t{self.n}\t{self.min_s*1e6:.1f}\t{self.avg_s*1e6:.1f}"
+            f"\t{self.n/self.min_s/1e6:.1f}\t{gbs:.2f}\t{frac}\t"
+            f"{'ok' if self.correct else 'FAIL'}"
+        )
+
+
+HEADER = "variant\twords\tmin_us\tavg_us\tMwords/s\tGB/s\tvs_roofline\tcheck"
+
+
+def run_variant(name: str, fn, n: int, iters: int, verbose: bool = False) -> VariantResult:
+    import jax
+
+    times = []
+    correct = True
+    for it in range(iters + 1):  # first iteration is warmup/compile
+        x = generate_flags(n, seed=1000 + it, full_range=True)
+        t0 = time.perf_counter()
+        got = fn(x)
+        jax.block_until_ready(got) if hasattr(got, "block_until_ready") else None
+        dt = time.perf_counter() - t0
+        if it > 0:
+            times.append(dt)
+        ref = flagstat_numpy(x).astype(np.int64)
+        ok = bool((np.asarray(got, dtype=np.int64) == ref).all())
+        if not ok and verbose:
+            print(f"{name}: mismatch at iter {it}:\nexp {ref}\ngot {np.asarray(got)}")
+        correct &= ok
+    return VariantResult(name, n, iters, min(times), sum(times) / len(times), correct)
+
+
+def run_all(n: int = 1 << 20, iters: int = 5, with_roofline: bool = True,
+            verbose: bool = False) -> list[str]:
+    import jax
+
+    from ..ops.dispatch import get_function
+
+    variants = ["numpy", "xla"]
+    if jax.default_backend() == "tpu" and n >= 8 * 65536:
+        variants.append("pallas")
+
+    roof = None
+    if with_roofline and jax.default_backend() != "cpu":
+        roofs = roofline_bytes_per_s(2 * n)
+        roof = max(roofs.values()) if roofs else None
+
+    lines = [HEADER]
+    for name in variants:
+        fn = get_function(n, impl=name)
+        res = run_variant(name, fn, n, iters, verbose=verbose)
+        lines.append(res.row(roof))
+    return lines

@@ -1,0 +1,208 @@
+"""Command-line drivers (reference parity: benchmark/ + linux/ tools).
+
+Subcommands:
+  generate    synthetic FLAG vectors              (benchmark/generate.cpp)
+  utility     text FLAGs -> uint16 binary         (benchmark/utility.cpp)
+  compress    binary -> framed LZ4/Zstd stream    (bench compress, flagstats.cpp:738)
+  decompress  framed/raw stream modes -r/-d/-s,
+              -R/-D/-S                            (bench decompress, flagstats.cpp:841)
+  flagstat    samtools-style report of a column   (flagstats.cpp:578-590)
+  inmemory    correctness+speed harness           (benchmark/inmemory.cpp)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from . import flags as F
+from .io import codec as C
+from .io import samio
+from .oracle import flagstat_loop, flagstat_numpy
+from .ops.dispatch import flagstats_u16, get_function
+from .report import counters_to_report
+
+
+def _cmd_generate(args):
+    if args.binary:
+        samio.generate_binary(args.n, args.binary, seed=args.seed,
+                              full_range=args.full_range)
+    else:
+        samio.generate_text(args.n, sys.stdout, seed=args.seed)
+    return 0
+
+
+def _cmd_utility(args):
+    src = open(args.input, "r") if args.input else sys.stdin
+    dst = open(args.output, "wb") if args.output else sys.stdout.buffer
+    n = samio.text_to_binary(src, dst)
+    print(f"wrote {n} words", file=sys.stderr)
+    return 0
+
+
+def _cmd_compress(args):
+    flags_arr = samio.read_binary(args.input)
+    out = args.output or C.codec_filename(args.input, args.codec, args.level)
+    t0 = time.perf_counter()
+    info = C.write_framed(out, flags_arr, codec=args.codec, level=args.level,
+                          block_bytes=args.block_bytes)
+    dt = time.perf_counter() - t0
+    ratio = info.raw_bytes / max(info.compressed_bytes, 1)
+    print(f"{out}: {info.n_blocks} blocks, {info.raw_bytes} -> "
+          f"{info.compressed_bytes} bytes ({ratio:.2f}x) in {dt*1e3:.1f} ms",
+          file=sys.stderr)
+    return 0
+
+
+def _flagstat_array(arr: np.ndarray, impl: str | None):
+    counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
+    flagstats_u16(arr, out=counters, impl=impl)
+    return counters
+
+
+def _samtools_loop(arr: np.ndarray):
+    """The branchy per-record loop (reference -s/-S modes,
+    flagstats.cpp:51-70) — here the vectorized host oracle; use
+    --loop for the literal per-word Python loop."""
+    return flagstat_numpy(arr)
+
+
+def _cmd_decompress(args):
+    mode = args.mode
+    t0 = time.perf_counter()
+    if mode in ("R", "D", "S"):  # raw binary file modes
+        arr = samio.read_binary(args.input)
+    else:                          # framed compressed stream modes
+        arr = C.read_framed(args.input, args.codec, n_threads=args.threads)
+    t_load = time.perf_counter() - t0
+
+    counters = None
+    if mode in ("d", "D"):
+        counters = _flagstat_array(arr, args.impl)
+    elif mode in ("s", "S"):
+        counters = (flagstat_loop(arr) if args.loop else _samtools_loop(arr))
+    dt = time.perf_counter() - t0
+    print(f"[{mode}] {arr.size} words: load {t_load*1e3:.1f} ms, "
+          f"total {dt*1e3:.1f} ms "
+          f"({arr.size/dt/1e6:.1f} Mwords/s)", file=sys.stderr)
+    if counters is not None:
+        print(counters_to_report(counters).text())
+    return 0
+
+
+def _cmd_flagstat(args):
+    arr = samio.read_binary(args.input)
+    counters = _flagstat_array(arr, args.impl)
+    print(counters_to_report(counters).text())
+    return 0
+
+
+def _cmd_inmemory(args):
+    """Run every implementation, diff against the scalar oracle over the
+    20 defined counters, print timing (reference: benchmark/inmemory.cpp)."""
+    from .oracle import generate_flags
+
+    n = args.n
+    x = generate_flags(n, seed=0)  # seeded, [0,4096) like inmemory.cpp:108-116
+    ref = flagstat_numpy(x)
+    rows = []
+    impls = ["numpy", "xla"]
+    import jax
+
+    if jax.default_backend() == "tpu" and n >= 8 * 65536:
+        impls.append("pallas")
+    ok_all = True
+    for impl in impls:
+        fn = get_function(n, impl=impl)
+        fn(x)  # warmup/compile
+        t0 = time.perf_counter()
+        got = fn(x)
+        dt = time.perf_counter() - t0
+        tested = list(F.TESTED_COUNTERS)
+        ok = bool(
+            (np.asarray(got, dtype=np.int64)[tested]
+             == ref.astype(np.int64)[tested]).all()
+        )
+        ok_all &= ok
+        rows.append((impl, dt, ok))
+    w = max(len(r[0]) for r in rows)
+    for impl, dt, ok in rows:
+        print(f"{impl:<{w}}  {dt*1e6:10.1f} us  {n/dt/1e6:10.1f} Mwords/s  "
+              f"{'OK' if ok else 'MISMATCH'}")
+    return 0 if ok_all else 1
+
+
+def _cmd_instrumented(args):
+    from .bench.instrumented import run_all
+
+    for line in run_all(n=args.n, iters=args.iters,
+                        with_roofline=not args.no_roofline,
+                        verbose=args.verbose):
+        print(line)
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="libflagstats_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="synthetic FLAG vectors")
+    g.add_argument("n", type=int)
+    g.add_argument("--seed", type=int, default=None)
+    g.add_argument("--binary", help="write uint16 binary to this path")
+    g.add_argument("--full-range", action="store_true")
+    g.set_defaults(fn=_cmd_generate)
+
+    u = sub.add_parser("utility", help="text FLAGs -> uint16 binary")
+    u.add_argument("--input")
+    u.add_argument("--output", "-o")
+    u.set_defaults(fn=_cmd_utility)
+
+    c = sub.add_parser("compress", help="binary column -> framed stream")
+    c.add_argument("input")
+    c.add_argument("--codec", choices=["raw", "lz4", "zstd"], default="lz4")
+    c.add_argument("--level", type=int, default=1)
+    c.add_argument("--block-bytes", type=int, default=C.BLOCK_BYTES)
+    c.add_argument("--output", "-o")
+    c.set_defaults(fn=_cmd_compress)
+
+    d = sub.add_parser("decompress", help="stream pipelines (reference bench modes)")
+    d.add_argument("input")
+    d.add_argument("--mode", choices=list("rdsRDS"), default="d",
+                   help="r/d/s: framed decompress [+flagstat|+samtools]; "
+                        "R/D/S: raw binary [+flagstat|+samtools]")
+    d.add_argument("--codec", choices=["raw", "lz4", "zstd"], default="lz4")
+    d.add_argument("--threads", type=int, default=0)
+    d.add_argument("--impl", choices=["numpy", "xla", "pallas"], default=None)
+    d.add_argument("--loop", action="store_true",
+                   help="use the literal per-word loop for -s/-S")
+    d.set_defaults(fn=_cmd_decompress)
+
+    f = sub.add_parser("flagstat", help="samtools-style report of a binary column")
+    f.add_argument("input")
+    f.add_argument("--impl", choices=["numpy", "xla", "pallas"], default=None)
+    f.set_defaults(fn=_cmd_flagstat)
+
+    m = sub.add_parser("inmemory", help="correctness+speed harness")
+    m.add_argument("-n", type=int, default=1024 * 100)
+    m.set_defaults(fn=_cmd_inmemory)
+
+    b = sub.add_parser(
+        "instrumented",
+        help="per-variant benchmark: fresh data + oracle check per iter, "
+             "min/avg, roofline fraction (linux/instrumented_benchmark.cpp)",
+    )
+    b.add_argument("-n", type=int, default=1 << 20)
+    b.add_argument("-i", "--iters", type=int, default=5)
+    b.add_argument("-v", "--verbose", action="store_true")
+    b.add_argument("--no-roofline", action="store_true")
+    b.set_defaults(fn=_cmd_instrumented)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,281 @@
+// Native host-side IO for libflagstats_tpu.
+//
+// Implements the reference's framed block codec (per block:
+//   int32 uncompressed_size, int32 compressed_size, payload
+// reference: benchmark/flagstats.cpp:110-226, block size 1,024,000 bytes)
+// with a clean-room LZ4 block-format codec written from the public LZ4
+// block specification, and Zstd via the system libzstd. A std::thread
+// worker pool decodes blocks in parallel — the reference pipeline is
+// sequential and ~80% ingest-bound (README.md:27-29), so parallel decode
+// is where the TPU pipeline wins back the host side.
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image).
+
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+#include <zstd.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// LZ4 block format (clean-room implementation from the public spec).
+// ---------------------------------------------------------------------------
+
+// Decompress an LZ4 block into dst; returns decompressed size or -1.
+int64_t lfs_lz4_decompress(const uint8_t* src, int64_t src_len,
+                           uint8_t* dst, int64_t dst_cap) {
+    const uint8_t* ip = src;
+    const uint8_t* iend = src + src_len;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + dst_cap;
+
+    while (ip < iend) {
+        const uint8_t token = *ip++;
+        // literal run
+        int64_t lit = token >> 4;
+        if (lit == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                lit += b;
+            } while (b == 255);
+        }
+        if (ip + lit > iend || op + lit > oend) return -1;
+        std::memcpy(op, ip, static_cast<size_t>(lit));
+        ip += lit;
+        op += lit;
+        if (ip >= iend) break;  // last sequence: literals only
+
+        // match
+        if (ip + 2 > iend) return -1;
+        const uint32_t offset = static_cast<uint32_t>(ip[0]) |
+                                (static_cast<uint32_t>(ip[1]) << 8);
+        ip += 2;
+        if (offset == 0 || op - dst < static_cast<int64_t>(offset)) return -1;
+        int64_t mlen = (token & 0x0F) + 4;
+        if ((token & 0x0F) == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        if (op + mlen > oend) return -1;
+        const uint8_t* match = op - offset;
+        // overlapping copy must run forward byte-wise when offset < 8
+        if (offset >= 8) {
+            int64_t n = mlen;
+            while (n >= 8) { std::memcpy(op, match, 8); op += 8; match += 8; n -= 8; }
+            while (n--) *op++ = *match++;
+        } else {
+            for (int64_t i = 0; i < mlen; ++i) *op++ = *match++;
+        }
+    }
+    return op - dst;
+}
+
+static inline uint32_t lfs_read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+static inline uint32_t lfs_hash4(uint32_t v) {
+    return (v * 2654435761u) >> 17;  // 15-bit hash
+}
+
+// Compress src into dst (LZ4 block format). `effort` 0 = greedy single
+// probe (LZ4-fast analogue); >0 = hash-chain search depth (LZ4-HC
+// analogue). Returns compressed size, or -1 if dst_cap too small.
+int64_t lfs_lz4_compress(const uint8_t* src, int64_t src_len,
+                         uint8_t* dst, int64_t dst_cap, int effort) {
+    constexpr int HASH_SIZE = 1 << 15;
+    constexpr int64_t MFLIMIT = 12;   // no matches within last 12 bytes
+    constexpr int64_t LASTLITERALS = 5;
+
+    uint8_t* op = dst;
+    uint8_t* oend = dst + dst_cap;
+    const int64_t mflimit = src_len - MFLIMIT;
+
+    std::vector<int64_t> head(HASH_SIZE, -1);
+    std::vector<int64_t> chain;
+    const bool hc = effort > 0;
+    if (hc) chain.assign(static_cast<size_t>(src_len > 0 ? src_len : 1), -1);
+
+    auto emit = [&](int64_t lit_start, int64_t lit_len, int64_t mlen,
+                    uint32_t offset) -> bool {
+        // token + extended literal length
+        int64_t need = 1 + lit_len / 255 + 1 + lit_len + (mlen ? 2 + mlen / 255 + 1 : 0);
+        if (op + need > oend) return false;
+        uint8_t* token = op++;
+        int64_t l = lit_len;
+        if (l >= 15) {
+            *token = 15 << 4;
+            l -= 15;
+            while (l >= 255) { *op++ = 255; l -= 255; }
+            *op++ = static_cast<uint8_t>(l);
+        } else {
+            *token = static_cast<uint8_t>(l << 4);
+        }
+        std::memcpy(op, src + lit_start, static_cast<size_t>(lit_len));
+        op += lit_len;
+        if (mlen) {
+            *op++ = static_cast<uint8_t>(offset & 0xFF);
+            *op++ = static_cast<uint8_t>(offset >> 8);
+            int64_t m = mlen - 4;
+            if (m >= 15) {
+                *token |= 15;
+                m -= 15;
+                while (m >= 255) { *op++ = 255; m -= 255; }
+                *op++ = static_cast<uint8_t>(m);
+            } else {
+                *token |= static_cast<uint8_t>(m);
+            }
+        }
+        return true;
+    };
+
+    int64_t anchor = 0;
+    int64_t pos = 0;
+    while (pos < mflimit) {
+        const uint32_t h = lfs_hash4(lfs_read32(src + pos));
+        int64_t best_len = 0;
+        int64_t best_ref = -1;
+        int64_t cand = head[h];
+        int probes = hc ? effort : 1;
+        while (cand >= 0 && probes-- > 0 && pos - cand <= 65535) {
+            if (lfs_read32(src + cand) == lfs_read32(src + pos)) {
+                int64_t len = 4;
+                const int64_t maxlen = src_len - LASTLITERALS - pos;
+                while (len < maxlen && src[cand + len] == src[pos + len]) ++len;
+                if (len > best_len) { best_len = len; best_ref = cand; }
+            }
+            cand = hc ? chain[static_cast<size_t>(cand)] : -1;
+        }
+        if (hc) chain[static_cast<size_t>(pos)] = head[h];
+        head[h] = pos;
+        if (best_len >= 4) {
+            if (!emit(anchor, pos - anchor,
+                      best_len, static_cast<uint32_t>(pos - best_ref)))
+                return -1;
+            // index interior positions of the match (cheap stride for speed)
+            const int64_t end = pos + best_len;
+            const int64_t stride = hc ? 1 : 2;
+            for (int64_t q = pos + 1; q + 4 <= end && q < mflimit; q += stride) {
+                const uint32_t hq = lfs_hash4(lfs_read32(src + q));
+                if (hc) chain[static_cast<size_t>(q)] = head[hq];
+                head[hq] = q;
+            }
+            pos = end;
+            anchor = pos;
+        } else {
+            ++pos;
+        }
+    }
+    // final literals
+    if (!emit(anchor, src_len - anchor, 0, 0)) return -1;
+    return op - dst;
+}
+
+// ---------------------------------------------------------------------------
+// Zstd via libzstd
+// ---------------------------------------------------------------------------
+
+int64_t lfs_zstd_compress(const uint8_t* src, int64_t src_len,
+                          uint8_t* dst, int64_t dst_cap, int level) {
+    const size_t r = ZSTD_compress(dst, static_cast<size_t>(dst_cap),
+                                   src, static_cast<size_t>(src_len), level);
+    return ZSTD_isError(r) ? -1 : static_cast<int64_t>(r);
+}
+
+int64_t lfs_zstd_decompress(const uint8_t* src, int64_t src_len,
+                            uint8_t* dst, int64_t dst_cap) {
+    const size_t r = ZSTD_decompress(dst, static_cast<size_t>(dst_cap),
+                                     src, static_cast<size_t>(src_len));
+    return ZSTD_isError(r) ? -1 : static_cast<int64_t>(r);
+}
+
+int64_t lfs_zstd_bound(int64_t src_len) {
+    return static_cast<int64_t>(ZSTD_compressBound(static_cast<size_t>(src_len)));
+}
+
+int64_t lfs_lz4_bound(int64_t src_len) {
+    return src_len + src_len / 255 + 16;
+}
+
+// ---------------------------------------------------------------------------
+// Parallel framed-stream decode: given a concatenated framed stream
+// ([u32 raw_len][u32 comp_len][payload])*, decompress every block into a
+// caller-provided contiguous output buffer using a thread pool.
+// codec: 0 = raw/stored, 1 = lz4, 2 = zstd.
+// Returns total decompressed bytes, or -1 on error.
+// ---------------------------------------------------------------------------
+
+int64_t lfs_decode_stream(const uint8_t* stream, int64_t stream_len,
+                          uint8_t* out, int64_t out_cap,
+                          int codec, int n_threads) {
+    struct Block { int64_t src_off, src_len, dst_off, raw_len; };
+    std::vector<Block> blocks;
+    int64_t off = 0, dst_off = 0;
+    while (off + 8 <= stream_len) {
+        const uint32_t raw_len = lfs_read32(stream + off);
+        const uint32_t comp_len = lfs_read32(stream + off + 4);
+        off += 8;
+        if (off + comp_len > stream_len) return -1;
+        if (dst_off + raw_len > out_cap) return -1;
+        blocks.push_back({off, static_cast<int64_t>(comp_len), dst_off,
+                          static_cast<int64_t>(raw_len)});
+        off += comp_len;
+        dst_off += raw_len;
+    }
+    if (off != stream_len) return -1;
+
+    std::atomic<size_t> next{0};
+    std::atomic<bool> failed{false};
+    auto worker = [&]() {
+        for (;;) {
+            const size_t i = next.fetch_add(1);
+            if (i >= blocks.size() || failed.load(std::memory_order_relaxed))
+                return;
+            const Block& b = blocks[i];
+            int64_t r;
+            if (codec == 0) {
+                if (b.src_len != b.raw_len) { failed = true; return; }
+                std::memcpy(out + b.dst_off, stream + b.src_off,
+                            static_cast<size_t>(b.raw_len));
+                r = b.raw_len;
+            } else if (codec == 1) {
+                r = lfs_lz4_decompress(stream + b.src_off, b.src_len,
+                                       out + b.dst_off, b.raw_len);
+            } else {
+                r = lfs_zstd_decompress(stream + b.src_off, b.src_len,
+                                        out + b.dst_off, b.raw_len);
+            }
+            if (r != b.raw_len) failed = true;
+        }
+    };
+
+    int nt = n_threads > 0 ? n_threads
+                           : static_cast<int>(std::thread::hardware_concurrency());
+    if (nt < 1) nt = 1;
+    if (static_cast<size_t>(nt) > blocks.size()) nt = static_cast<int>(blocks.size());
+    if (nt <= 1) {
+        worker();
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(static_cast<size_t>(nt));
+        for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+    }
+    return failed ? -1 : dst_off;
+}
+
+}  // extern "C"

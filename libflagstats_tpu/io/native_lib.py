@@ -1,0 +1,62 @@
+"""ctypes loader for the native IO library (C++, built on demand).
+
+The image has no pybind11, so the native lib exposes a C ABI and is
+bound with ctypes. Built lazily with g++ into build/ and cached; if the
+toolchain or libzstd is unavailable, callers fall back to the pure-Python
+codec (io/codec.py)."""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+_SRC = Path(__file__).parent / "native" / "flagstats_io.cpp"
+_BUILD_DIR = Path(__file__).resolve().parent.parent.parent / "build"
+_LIB_PATH = _BUILD_DIR / "libflagstats_io.so"
+
+_lib = None
+_load_error: Exception | None = None
+
+
+def _build() -> Path:
+    _BUILD_DIR.mkdir(exist_ok=True)
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+        return _LIB_PATH
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        str(_SRC), "-o", str(_LIB_PATH), "-lzstd", "-pthread",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def load():
+    """Return the ctypes lib or None if unavailable."""
+    global _lib, _load_error
+    if _lib is not None:
+        return _lib
+    if _load_error is not None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(_build()))
+    except Exception as e:  # toolchain/libzstd missing -> pure-Python fallback
+        _load_error = e
+        return None
+
+    i64, u8p, i32 = ctypes.c_int64, ctypes.c_char_p, ctypes.c_int
+    lib.lfs_lz4_compress.restype = i64
+    lib.lfs_lz4_compress.argtypes = [u8p, i64, ctypes.c_void_p, i64, i32]
+    lib.lfs_lz4_decompress.restype = i64
+    lib.lfs_lz4_decompress.argtypes = [u8p, i64, ctypes.c_void_p, i64]
+    lib.lfs_lz4_bound.restype = i64
+    lib.lfs_lz4_bound.argtypes = [i64]
+    lib.lfs_zstd_compress.restype = i64
+    lib.lfs_zstd_compress.argtypes = [u8p, i64, ctypes.c_void_p, i64, i32]
+    lib.lfs_zstd_decompress.restype = i64
+    lib.lfs_zstd_decompress.argtypes = [u8p, i64, ctypes.c_void_p, i64]
+    lib.lfs_zstd_bound.restype = i64
+    lib.lfs_zstd_bound.argtypes = [i64]
+    lib.lfs_decode_stream.restype = i64
+    lib.lfs_decode_stream.argtypes = [u8p, i64, ctypes.c_void_p, i64, i32, i32]
+    _lib = lib
+    return _lib

@@ -37,6 +37,7 @@ from .xla_ops import assemble_counters
 SUB = 8            # sublanes per register tile
 LANE = 128         # lanes per register tile
 REGS = 32          # int32 registers per transpose group
+SUB16 = 2 * SUB    # sublanes of the uint16 input tile backing one register
 GROUP_WORDS = REGS * SUB * LANE * 2   # uint16 words per register-group (65536)
 
 _U32 = jnp.uint32
@@ -130,7 +131,10 @@ def _make_kernel(nblk: int, mode: str):
         foursA = [None] * n_streams
         eightsA = [None] * n_streams
         for g in range(nblk):
-            regs = [x_ref[g, k].astype(_U32) for k in range(REGS)]
+            # free sublane reinterpretation: (16,128) uint16 -> (8,128)
+            # uint32, each word landing intact in one 16-bit field (any
+            # pairing is count-neutral)
+            regs = [pltpu.bitcast(x_ref[g, k], _U32) for k in range(REGS)]
             rows = _transpose32(regs, stages)
             pairs = make_streams(rows)
             for s, (d0, d1) in enumerate(pairs):
@@ -176,7 +180,7 @@ def _make_kernel(nblk: int, mode: str):
 
 @functools.partial(jax.jit, static_argnames=("nblk", "mode", "interpret"))
 def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool) -> jax.Array:
-    """xg: (groups, 32, 8, 128) uint32, groups % nblk == 0."""
+    """xg: (groups, 32, 16, 128) uint16, groups % nblk == 0."""
     kernel, n_streams = _make_kernel(nblk, mode)
     groups = xg.shape[0]
     out_rows = 32 if mode == "flagstat" else 16
@@ -185,7 +189,7 @@ def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool) -> jax.Arr
         grid=(groups // nblk,),
         in_specs=[
             pl.BlockSpec(
-                (nblk, REGS, SUB, LANE),
+                (nblk, REGS, SUB16, LANE),
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -203,7 +207,11 @@ def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool) -> jax.Arr
 
 
 def _pack_stream(x: jax.Array, nblk: int) -> jax.Array:
-    """uint16 stream -> zero-padded (groups, 32, 8, 128) uint32 view."""
+    """uint16 stream -> zero-padded (groups, 32, 16, 128) uint16 view.
+
+    A pure reshape: the uint16->uint32 register pairing happens inside
+    the kernel via a sublane bitcast, so the stream is read from HBM
+    exactly once with no layout-padding blowup."""
     if x.dtype != jnp.uint16:
         raise ValueError(f"expected uint16, got {x.dtype}")
     if nblk % 8 != 0:
@@ -213,8 +221,7 @@ def _pack_stream(x: jax.Array, nblk: int) -> jax.Array:
     padded = ((n + step_words - 1) // step_words) * step_words
     if padded != n:
         x = jnp.pad(x.ravel(), (0, padded - n))
-    x32 = jax.lax.bitcast_convert_type(x.reshape(-1, 2), jnp.uint32)
-    return x32.reshape(-1, REGS, SUB, LANE)
+    return x.reshape(-1, REGS, SUB16, LANE)
 
 
 def stream_sums_pallas(
@@ -278,7 +285,13 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str) -> jax.Array:
     foursA = [None] * n_streams
     eightsA = [None] * n_streams
     for g in range(groups):
-        regs = [xg[g, k] for k in range(REGS)]
+        # jnp-level equivalent of the kernel's sublane bitcast: pair
+        # adjacent uint16 sublanes into uint32 registers (the exact
+        # pairing is count-neutral)
+        regs = [
+            xg[g, k, 0::2, :].astype(_U32) | (xg[g, k, 1::2, :].astype(_U32) << 16)
+            for k in range(REGS)
+        ]
         rows = _transpose32(regs, stages)
         for s, (d0, d1) in enumerate(make_streams(rows)):
             v1[s], twos = _csa(v1[s], d0, d1)

@@ -1,0 +1,127 @@
+"""IO subsystem tests: framed block codec (LZ4 clean-room, Zstd), round
+trips, reference frame layout, CLI drivers."""
+import io
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from libflagstats_tpu.io import codec as C
+from libflagstats_tpu.io import native_lib, samio
+from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
+
+@pytest.fixture(scope="module")
+def native():
+    lib = native_lib.load()
+    if lib is None:
+        pytest.skip("native IO lib unavailable")
+    return lib
+
+
+@pytest.mark.parametrize("codec", ["raw", "lz4", "zstd"])
+@pytest.mark.parametrize("n", [0, 1, 1000, 700_000])
+def test_framed_roundtrip(tmp_path, codec, n):
+    x = generate_flags(n, seed=n)
+    path = tmp_path / f"flags_{codec}_{n}.bin"
+    info = C.write_framed(path, x, codec=codec, level=2)
+    assert info.raw_bytes == 2 * n
+    got = C.read_framed(path, codec)
+    np.testing.assert_array_equal(got, x)
+    # block-streaming decode agrees too
+    parts = list(C.iter_framed_blocks(path, codec))
+    got2 = np.concatenate(parts) if parts else np.zeros(0, np.uint16)
+    np.testing.assert_array_equal(got2, x)
+
+
+def test_frame_layout_matches_reference(tmp_path):
+    """Each block: int32 raw_len, int32 comp_len, payload; 1,024,000-byte
+    blocks (reference: flagstats.cpp:136-138)."""
+    n = 600_000  # 1,200,000 bytes -> 2 blocks
+    x = generate_flags(n, seed=1)
+    path = tmp_path / "flags.raw.framed"
+    C.write_framed(path, x, codec="raw")
+    data = path.read_bytes()
+    raw1, comp1 = struct.unpack_from("<ii", data, 0)
+    assert raw1 == C.BLOCK_BYTES == comp1
+    raw2, comp2 = struct.unpack_from("<ii", data, 8 + comp1)
+    assert raw2 == 2 * n - C.BLOCK_BYTES
+    assert len(data) == 16 + comp1 + comp2
+
+
+def test_lz4_python_fallback_roundtrip():
+    x = generate_flags(10_000, seed=3)
+    raw = x.tobytes()
+    comp = C._lz4_compress_py(raw)
+    out = C._lz4_decompress_py(comp, len(raw))
+    assert out == raw
+
+
+def test_lz4_native_vs_python_decoder(native):
+    """Native LZ4 encoder output must decode identically via the
+    independent pure-Python decoder (cross-validation)."""
+    rng = np.random.default_rng(0)
+    # compressible data: FLAG-like with repeats
+    x = rng.integers(0, 64, size=200_000, dtype=np.uint16)
+    raw = x.tobytes()
+    for effort in (0, 4):
+        comp = C.compress_block(raw, "lz4", level=effort + 1)
+        assert len(comp) < len(raw)  # actually compresses
+        out = C._lz4_decompress_py(comp, len(raw))
+        assert out == raw
+
+
+def test_lz4_incompressible_data(native):
+    rng = np.random.default_rng(1)
+    raw = rng.bytes(100_000)
+    comp = C.compress_block(raw, "lz4", level=1)
+    assert C.decompress_block(comp, len(raw), "lz4") == raw
+
+
+@pytest.mark.parametrize("threads", [1, 4])
+def test_parallel_stream_decode(tmp_path, native, threads):
+    x = generate_flags(2_000_000, seed=9)
+    path = tmp_path / "big.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+    got = C.read_framed(path, "lz4", n_threads=threads)
+    np.testing.assert_array_equal(got, x)
+
+
+def test_utility_and_generate(tmp_path):
+    text = io.StringIO("99 147 1024\n512\n")
+    out = io.BytesIO()
+    n = samio.text_to_binary(text, out)
+    assert n == 4
+    vals = np.frombuffer(out.getvalue(), dtype="<u2")
+    np.testing.assert_array_equal(vals, [99, 147, 1024, 512])
+
+    path = tmp_path / "gen.bin"
+    vals = samio.generate_binary(1000, path, seed=0)
+    got = samio.read_binary(path)
+    np.testing.assert_array_equal(got, vals)
+    assert got.max() < 4096
+
+
+def test_cli_end_to_end(tmp_path):
+    """generate -> compress -> decompress+flagstat through the CLI."""
+    from libflagstats_tpu.cli import main
+
+    bin_path = tmp_path / "flags.bin"
+    samio.generate_binary(50_000, bin_path, seed=5)
+    lz4_path = tmp_path / "flags.lz4"
+    assert main(["compress", str(bin_path), "--codec", "lz4", "--level", "2",
+                 "-o", str(lz4_path)]) == 0
+
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["decompress", str(lz4_path), "--mode", "d",
+                     "--codec", "lz4", "--impl", "numpy"]) == 0
+    report = buf.getvalue()
+    x = samio.read_binary(bin_path)
+    ref = flagstat_numpy(x)
+    expected_total = f"{int(ref[9])} + {int(ref[25])} in total"
+    assert expected_total in report

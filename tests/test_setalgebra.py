@@ -1,0 +1,44 @@
+"""Set-algebra popcount parity tests (reference: libalgebra.h STORM_*_count)."""
+import numpy as np
+import pytest
+
+from libflagstats_tpu.ops.setalgebra import (
+    diff_count,
+    intersect_count,
+    popcnt,
+    union_count,
+)
+
+
+@pytest.mark.parametrize("n", [0, 4, 1000, 65536])
+def test_popcnt(n):
+    rng = np.random.default_rng(n)
+    a = rng.integers(0, 2**64, size=n, dtype=np.uint64)
+    expected = int(np.bitwise_count(a).sum()) if hasattr(np, "bitwise_count") else \
+        sum(bin(int(v)).count("1") for v in a)
+    assert popcnt(a) == expected
+
+
+def test_set_ops():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 2**32, size=4096, dtype=np.uint32)
+    b = rng.integers(0, 2**32, size=4096, dtype=np.uint32)
+
+    def pc(x):
+        return sum(bin(int(v)).count("1") for v in x)
+
+    assert intersect_count(a, b) == pc(a & b)
+    assert union_count(a, b) == pc(a | b)
+    assert diff_count(a, b) == pc(a & ~b)
+
+
+def test_dtype_flexibility():
+    a = np.array([0xFF, 0x0F], dtype=np.uint16).repeat(2)
+    assert popcnt(a) == 2 * (8 + 4)
+
+
+def test_errors():
+    with pytest.raises(ValueError):
+        popcnt(np.zeros(3, dtype=np.uint8))  # not multiple of 4 bytes
+    with pytest.raises(ValueError):
+        intersect_count(np.zeros(4, np.uint32), np.zeros(8, np.uint32))

@@ -1,0 +1,58 @@
+"""Streaming pipeline tests: overlapped decode+count, checkpoint/resume."""
+import numpy as np
+
+from libflagstats_tpu.io import codec as C
+from libflagstats_tpu.io.stream import StreamCheckpoint, flagstat_stream
+from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
+from conftest import assert_counters_equal
+
+
+def test_stream_matches_oracle(tmp_path):
+    x = generate_flags(1_500_000, seed=21, full_range=True)
+    path = tmp_path / "s.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+    got = flagstat_stream(path, codec="lz4", impl="xla", chunk_words=1 << 18)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_stream_zstd_small_chunks(tmp_path):
+    x = generate_flags(123_457, seed=22)
+    path = tmp_path / "s.zst"
+    C.write_framed(path, x, codec="zstd", level=3)
+    got = flagstat_stream(path, codec="zstd", impl="xla", chunk_words=1 << 15)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Genuine mid-stream resume: count a truncated stream with a
+    checkpoint, then resume on the full stream — counters must be
+    bit-exact vs a clean run (SURVEY.md §5 checkpoint/resume)."""
+    # chunk_words == block words so every block boundary is chunk-aligned
+    chunk_words = C.BLOCK_BYTES // 2
+    x = generate_flags(3_000_000, seed=23)
+    path = tmp_path / "s.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+
+    # truncated copy: first 3 framed blocks ("the crash point")
+    frames = list(C.iter_framed(path))
+    import struct
+
+    part = tmp_path / "part.lz4"
+    with open(part, "wb") as f:
+        for raw_len, payload in frames[:3]:
+            f.write(struct.pack("<ii", raw_len, len(payload)))
+            f.write(payload)
+
+    ck_path = tmp_path / "ck.npz"
+    ck = StreamCheckpoint(ck_path, every_blocks=1)
+    flagstat_stream(part, codec="lz4", impl="xla",
+                    chunk_words=chunk_words, checkpoint=ck)
+    assert ck.block_index == 3
+
+    # resume on the full stream from the persisted checkpoint
+    ck2 = StreamCheckpoint(ck_path, every_blocks=1)
+    assert ck2.block_index == 3
+    resumed = flagstat_stream(path, codec="lz4", impl="xla",
+                              chunk_words=chunk_words, checkpoint=ck2)
+    assert_counters_equal(flagstat_numpy(x), resumed)
