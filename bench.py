@@ -26,6 +26,9 @@ N_WORDS = 64 * 1024 * 1024
 
 
 def main() -> int:
+    from libflagstats_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
     backend = jax.default_backend()
     x_host = generate_flags(N_WORDS, seed=0, full_range=True)
 

@@ -29,6 +29,9 @@ XLA_MIN = 1 << 14
 
 @functools.cache
 def backend() -> str:
+    from ..config import enable_compilation_cache
+
+    enable_compilation_cache()
     return jax.default_backend()
 
 

@@ -1,0 +1,124 @@
+"""Multi-host scale-out and scaling sweeps.
+
+BASELINE.json's north star: shard the FLAG stream across a multi-host pod
+slice, each chip accumulating counters, merged via all-reduce at the end;
+measure flags/s scaling at 1 chip / 1 host / N hosts. The communication
+payload is one int32[2,16] pair per merge — DCN only sees 128 bytes.
+
+Multi-host runs initialize JAX's distributed runtime per process and feed
+process-local shards; everything else reuses parallel/sharded.py (the
+global psum is identical on ICI and DCN meshes).
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sharded import (
+    AXIS,
+    data_mesh,
+    make_sharded_counter_fn,
+    pad_for_mesh,
+    shard_granule,
+)
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Initialize the multi-host runtime (no-op in single-process runs).
+
+    On Cloud TPU pods the arguments are auto-detected from the metadata
+    server; elsewhere pass them explicitly."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def flagstat_multihost(local_flags: np.ndarray, total_words: int | None = None,
+                       impl: str | None = None, nblk: int = 8) -> np.ndarray:
+    """Count a globally-sharded FLAG stream; every process passes its own
+    host-local shard (e.g. its file shard) and receives the full global
+    32-counter vector.
+
+    ``total_words`` is the global true word count (defaults to the psum of
+    local sizes)."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    mesh = data_mesh()
+    granule = shard_granule(impl, nblk)
+    local = np.ascontiguousarray(np.asarray(local_flags, dtype=np.uint16)).ravel()
+
+    n_local_dev = jax.local_device_count()
+    padded = pad_for_mesh(local, n_local_dev, granule)
+    if total_words is None:
+        total_words = _global_sum(local.size)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    global_shape = (padded.size * jax.process_count(),)
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P(AXIS)), padded, global_shape
+    )
+    fn = make_sharded_counter_fn(mesh, impl=impl, nblk=nblk)
+    counters = fn(arr, jnp.int32(total_words))
+    return np.asarray(counters, dtype=np.int64).astype(np.uint64)
+
+
+def _global_sum(value: int) -> int:
+    """All-reduce a host scalar across processes (identity single-process)."""
+    if jax.process_count() == 1:
+        return value
+    arr = jnp.array([value], dtype=jnp.int64)
+    out = jax.experimental.multihost_utils.process_allgather(arr)
+    return int(np.sum(out))
+
+
+def scaling_sweep(n_words: int = 1 << 24, impl: str | None = None,
+                  device_counts=None, iters: int = 3) -> list[dict]:
+    """flags/s at increasing device counts (BASELINE.json config #5).
+
+    On a single host this sweeps subsets of local devices; in a multi-host
+    job the mesh covers all processes and the sweep measures the full
+    slice vs one chip."""
+    from ..oracle import generate_flags
+
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [d for d in (1, 2, 4, 8, 16, 32) if d <= len(devices)]
+
+    x = generate_flags(n_words, seed=0, full_range=True)
+    results = []
+    for nd in device_counts:
+        mesh = data_mesh(devices[:nd])
+        fn = make_sharded_counter_fn(mesh, impl=impl)
+        granule = shard_granule(impl)
+        padded = pad_for_mesh(x, mesh.size, granule)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        y = jax.device_put(padded, NamedSharding(mesh, P(AXIS)))
+        n = jnp.int32(x.size)
+        jax.block_until_ready(fn(y, n))  # compile+warmup
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(y, n))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        results.append({
+            "devices": nd,
+            "words_per_s": n_words / best,
+            "min_s": best,
+        })
+    base = results[0]["words_per_s"]
+    for r in results:
+        r["scaling_efficiency"] = r["words_per_s"] / (base * r["devices"])
+    return results
