@@ -1,0 +1,31 @@
+# tpu-flagstats build/test/bench orchestration
+# (reference counterpart: the root Makefile building bench/utility/
+#  generate/inmemory/instrumented_benchmark)
+
+PY ?= python3
+
+.PHONY: all native test test-tpu bench inmemory clean
+
+all: native
+
+native: build/libflagstats_io.so
+
+build/libflagstats_io.so: libflagstats_tpu/io/native/flagstats_io.cpp
+	mkdir -p build
+	g++ -O3 -march=native -std=c++17 -shared -fPIC $< -o $@ -lzstd -pthread
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-tpu:
+	RUN_TPU_TESTS=1 $(PY) -m pytest tests/test_pallas_tpu.py -q
+
+bench:
+	$(PY) bench.py
+
+inmemory:
+	$(PY) -m libflagstats_tpu inmemory -n 1000000
+
+clean:
+	rm -rf build .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -40,6 +40,18 @@ def _jit_flagstat_xla():
     return jax.jit(flagstat_xla, static_argnames=("n",))
 
 
+def _bucket_pad(arr: np.ndarray, minimum: int) -> np.ndarray:
+    """Zero-pad to the next power-of-two length >= minimum.
+
+    Zero words are count-neutral (the true length flows separately into
+    the derived pass-total), and bucketing bounds the set of shapes the
+    backend ever compiles — compiles are minutes on this stack."""
+    target = max(minimum, 1 << (max(arr.size - 1, 0)).bit_length())
+    if target == arr.size:
+        return arr
+    return np.concatenate([arr, np.zeros(target - arr.size, dtype=arr.dtype)])
+
+
 def get_function(n_len: int, impl: str | None = None):
     """Return a callable (np.uint16 array) -> (32,) np.ndarray of counts
     for streams of length ``n_len`` (reference: FLAGSTATS_get_function,
@@ -56,12 +68,15 @@ def get_function(n_len: int, impl: str | None = None):
         return lambda arr: flagstat_numpy(arr)
     if impl == "xla":
         fn = _jit_flagstat_xla()
-        return lambda arr: np.asarray(fn(jax.numpy.asarray(arr), n=int(arr.size)))
+        return lambda arr: np.asarray(
+            fn(jax.numpy.asarray(_bucket_pad(arr, XLA_MIN)), n=int(arr.size))
+        )
     if impl == "pallas":
         interpret = backend() != "tpu"
         return lambda arr: np.asarray(
             pallas_kernels.flagstat_pallas(
-                jax.numpy.asarray(arr), n=int(arr.size), interpret=interpret
+                jax.numpy.asarray(_bucket_pad(arr, PALLAS_MIN)),
+                n=int(arr.size), interpret=interpret,
             )
         )
     raise ValueError(f"unknown impl {impl!r}")
@@ -100,10 +115,19 @@ def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
             dtype=np.uint64,
         )
     if impl == "xla":
-        return np.asarray(jax.jit(pospopcnt_u16_xla)(jax.numpy.asarray(arr)))
+        return np.asarray(
+            _jit_pospopcnt_xla()(jax.numpy.asarray(_bucket_pad(arr, XLA_MIN)))
+        )
     if impl == "pallas":
         interpret = backend() != "tpu"
         return np.asarray(
-            pallas_kernels.pospopcnt_u16_pallas(jax.numpy.asarray(arr), interpret=interpret)
+            pallas_kernels.pospopcnt_u16_pallas(
+                jax.numpy.asarray(_bucket_pad(arr, PALLAS_MIN)), interpret=interpret
+            )
         )
     raise ValueError(f"unknown impl {impl!r}")
+
+
+@functools.cache
+def _jit_pospopcnt_xla():
+    return jax.jit(pospopcnt_u16_xla)

@@ -1,0 +1,46 @@
+"""Real-hardware Pallas kernel tests (skipped unless RUN_TPU_TESTS=1).
+
+The kernel's math is covered on CPU by test_bitsliced_jnp.py (identical
+traced code); these validate the Pallas plumbing itself — grid
+accumulation, VMEM scratch carry, sublane bitcast — on a TPU."""
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+if not os.environ.get("RUN_TPU_TESTS"):
+    pytest.skip("set RUN_TPU_TESTS=1 to run on TPU hardware",
+                allow_module_level=True)
+if jax.default_backend() != "tpu":
+    pytest.skip("no TPU backend", allow_module_level=True)
+
+import jax.numpy as jnp  # noqa: E402
+
+from libflagstats_tpu.oracle import flagstat_numpy, generate_flags  # noqa: E402
+from libflagstats_tpu.ops.pallas_kernels import (  # noqa: E402
+    GROUP_WORDS,
+    flagstat_pallas,
+    pospopcnt_u16_pallas,
+)
+
+from conftest import assert_counters_equal  # noqa: E402
+
+
+@pytest.mark.parametrize("steps,extra", [(1, 0), (2, 12345)])
+def test_flagstat_pallas_tpu(steps, extra):
+    n = steps * 8 * GROUP_WORDS + extra
+    x = generate_flags(n, seed=n, full_range=True)
+    got = np.asarray(flagstat_pallas(jnp.asarray(x), n=n), dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_pospopcnt_pallas_tpu():
+    n = 8 * GROUP_WORDS
+    x = generate_flags(n, seed=3, full_range=True)
+    ref = np.array(
+        [np.count_nonzero((x.astype(np.uint32) >> k) & 1) for k in range(16)]
+    )
+    got = np.asarray(pospopcnt_u16_pallas(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)
