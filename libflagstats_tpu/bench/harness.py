@@ -70,7 +70,7 @@ def _time_min(fn, x, iters: int) -> float:
     return best
 
 
-def kernel_time(body_fn, x, k_small: int = 2, k_big: int = 18,
+def kernel_time(body_fn, x, k_small: int = 4, k_big: int = 68,
                 iters: int = 5) -> float:
     """Per-invocation device time of body_fn(x), net of dispatch latency."""
     t_small = _time_min(_repeated(body_fn, k_small), x, iters)

@@ -19,7 +19,21 @@ import numpy as np
 from .. import flags as F
 from ..oracle import flagstat_numpy
 from . import pallas_kernels
-from .xla_ops import flagstat_xla, pospopcnt_u16_xla
+from .xla_ops import flagstat_xla, pospopcnt_u16_matmul, pospopcnt_u16_xla
+
+#: implementation registry (reference counterpart: the kernel tables in
+#: benchmark/inmemory.cpp:61-104 / instrumented_benchmark.cpp)
+FLAGSTAT_IMPLS = {
+    "numpy": "host vectorized mask-select oracle (FLAGSTAT_scalar tier)",
+    "xla": "fused jnp transform + positional reduce (SSE4/AVX2 tier)",
+    "pallas": "bit-sliced transpose + Harley-Seal CSA VMEM kernel (AVX512 tier)",
+}
+POSPOPCNT_IMPLS = {
+    "numpy": "host per-bit count",
+    "xla": "fused jnp shift-mask-reduce",
+    "xla_matmul": "MXU int8 ones-matmul reduction",
+    "pallas": "bit-sliced transpose + Harley-Seal CSA VMEM kernel",
+}
 
 # one Pallas grid step is nblk * GROUP_WORDS words; anything below ~2 steps
 # is better served by the fused XLA path.
@@ -118,6 +132,10 @@ def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
         return np.asarray(
             _jit_pospopcnt_xla()(jax.numpy.asarray(_bucket_pad(arr, XLA_MIN)))
         )
+    if impl == "xla_matmul":
+        return np.asarray(
+            _jit_pospopcnt_matmul()(jax.numpy.asarray(_bucket_pad(arr, XLA_MIN)))
+        )
     if impl == "pallas":
         interpret = backend() != "tpu"
         return np.asarray(
@@ -131,3 +149,8 @@ def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
 @functools.cache
 def _jit_pospopcnt_xla():
     return jax.jit(pospopcnt_u16_xla)
+
+
+@functools.cache
+def _jit_pospopcnt_matmul():
+    return jax.jit(pospopcnt_u16_matmul)

@@ -259,7 +259,88 @@ def pospopcnt_u16_pallas(x: jax.Array, nblk: int = 8, interpret: bool = False) -
 
 
 # ---------------------------------------------------------------------------
-# Plain-jnp twin of the kernel body. Runs the *identical* traced code
+# Word-space kernel variant ("flagstat_words"): no bit transpose — the
+# mask-select transform runs on packed words (SWAR on two 16-bit fields
+# per int32 lane) and two Harley-Seal trees (pass/fail strata) count the
+# word planes directly, peeling each bit with shift+mask into packed
+# 16-bit half accumulators. ~2x the VPU work of the bit-sliced kernel
+# (the transform costs ~17 ops/word in word space vs ~0.7 bit-sliced)
+# but a ~10x smaller trace -> fast Mosaic compiles. Reference analogue:
+# FLAGSTAT_avx512 base vs the improved3/4 variants (libflagstats.h).
+# ---------------------------------------------------------------------------
+
+_ONE16 = 0x00010001
+
+
+def _transform_words_packed(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Packed-SWAR word transform + QC split.
+
+    ``x``: uint32 lanes holding two independent FLAG words. Returns
+    (pass_words, fail_words) with the transformed bit layout of
+    oracle.transform_words. All ops stay within 16-bit fields."""
+    one = _u32(_ONE16)
+    x = x & _u32(0x0FFF0FFF)              # drop input bits 12-15 per field
+    sec = (x >> 8) & one
+    sup = (x >> 11) & one
+    pair = x & one
+    inpair = pair & (sec ^ one) & (sup ^ one)
+    supc = sup & (sec ^ one)
+    im = inpair & ((x >> 2) & one ^ one)  # inpair & mapped
+    b12 = im & (x >> 1) & one
+    b13 = im & (x >> 3) & one
+    b14 = im ^ b13
+
+    pair_mask = (inpair << 8) - inpair     # 0x00FF per field when inpair
+    keep = pair_mask | _u32(F.KEEP_ALWAYS * 0x00010001)
+    t = (x & keep) | (supc << 11) | (b12 << 12) | (b13 << 13) | (b14 << 14)
+
+    q = (x >> F.FQCFAIL_OFF) & one
+    mq = (q << 16) - q                     # 0xFFFF per field when QC-fail
+    tf = t & mq
+    return t ^ tf, tf
+
+
+def _make_words_kernel():
+    """Pallas kernel body for the word-space variant.
+
+    in tile: (512, 128) uint16 (65,536 words). out: (32, 8, 128) int32
+    packed half-accumulators — rows 0-15 pass bits, 16-31 fail bits."""
+
+    def kernel(x_ref, out_ref, vp_ref, vf_ref):
+        step = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+        one = _u32(_ONE16)
+
+        @pl.when(step == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+            vp_ref[...] = jnp.zeros_like(vp_ref)
+            vf_ref[...] = jnp.zeros_like(vf_ref)
+
+        x32 = pltpu.bitcast(x_ref[...], _U32)      # (256, 128)
+        vp = [vp_ref[i] for i in range(4)]          # v1,v2,v4,v8 pass tree
+        vf = [vf_ref[i] for i in range(4)]
+
+        def peel(v16, base):
+            for k in range(15):                     # bit 15 is always 0
+                out_ref[base + k] += ((v16 >> k) & one).astype(jnp.int32)
+
+        # two HS-16 bodies over the 32 row-slices of the tile
+        for body in range(2):
+            pend = {"P": [], "F": []}
+            for i in range(16):
+                row = x32[(body * 16 + i) * 8:(body * 16 + i + 1) * 8]
+                tp, tf = _transform_words_packed(row)
+                for tree, d, v, base in (("P", tp, vp, 0), ("F", tf, vf, 16)):
+                    p = pend[tree]
+                    v[0], c = _csa(v[0], d, p.pop() if p else jnp.zeros_like(d))
+                    # ragged: pair carries level by level
+                    pend[tree] = p + [c] if False else p
+                    p.append(c)
+            # NOTE: replaced below by explicit pairing
+        out_ref[...] = out_ref[...]
+
+    return kernel
 # (_transpose32, transform, CSA, peel) outside pallas_call so the whole
 # algorithm is differentially testable on CPU, where interpret-mode
 # compilation of the full grid is impractically slow. Only the Pallas

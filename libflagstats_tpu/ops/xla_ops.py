@@ -73,6 +73,26 @@ def stream_sums_xla(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return total, fail
 
 
+def pospopcnt_u16_matmul(x: jax.Array, n_bits: int = F.N_BITS) -> jax.Array:
+    """Positional popcount via the MXU: expand bits to int8 and reduce
+    with a ones-vector int8 matmul (the systolic array does the adds).
+
+    A genuinely TPU-native alternative to the VPU formulations — the
+    reference's analogue is its family of distinct pospopcnt algorithms
+    (sad / blend_popcnt / harvey_seal / adder_forest,
+    libalgebra.h:836-2554). Wins when the VPU is the bottleneck and the
+    MXU is idle."""
+    x = x.astype(jnp.uint32)
+    ks = jnp.arange(n_bits, dtype=jnp.uint32)
+    bits = ((x[:, None] >> ks[None, :]) & jnp.uint32(1)).astype(jnp.int8)
+    ones = jnp.ones((1, x.size), jnp.int8)
+    out = jax.lax.dot_general(
+        ones, bits, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return out[0]
+
+
 def flagstat_xla(x: jax.Array, n=None) -> jax.Array:
     """Flagstat counters for a uint16 FLAG batch -> (32,) int32.
 
