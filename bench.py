@@ -33,21 +33,30 @@ def main() -> int:
     backend = jax.default_backend()
     x_host = generate_flags(N_WORDS, seed=0, full_range=True)
 
+    from libflagstats_tpu import flags as FL
+
     if backend == "tpu":
         from libflagstats_tpu.ops.pallas_kernels import (
             flagstat_pallas,
             stream_sums_pallas,
         )
 
-        full = jax.jit(lambda a: flagstat_pallas(a, n=N_WORDS))
+        # headline: the 21-stream report-mode kernel — the exact
+        # `samtools flagstat` workload (the reference's improved3/4
+        # kernels make the same masked-positional trade)
+        full = jax.jit(lambda a: flagstat_pallas(a, n=N_WORDS, report=True))
+        full_parity = jax.jit(lambda a: flagstat_pallas(a, n=N_WORDS))
+        check_idx = list(FL.REPORT_COUNTERS)
 
         def body(a):
-            total, fail = stream_sums_pallas(a)
+            total, fail = stream_sums_pallas(a, report=True)
             return jnp.concatenate([total, fail])
     else:  # CPU fallback so the bench is runnable anywhere
         from libflagstats_tpu.ops.xla_ops import flagstat_xla, stream_sums_xla
 
         full = jax.jit(lambda a: flagstat_xla(a, n=N_WORDS))
+        full_parity = None
+        check_idx = list(range(32))
 
         def body(a):
             total, fail = stream_sums_xla(a)
@@ -56,9 +65,13 @@ def main() -> int:
     x = jax.block_until_ready(jnp.asarray(x_host))
 
     # correctness gate: bit-exact vs host oracle
-    got = np.asarray(full(x), dtype=np.int64)
     ref = flagstat_numpy(x_host).astype(np.int64)
-    if not (got == ref).all():
+    got = np.asarray(full(x), dtype=np.int64)
+    ok = (got[check_idx] == ref[check_idx]).all()
+    if ok and full_parity is not None:
+        got_full = np.asarray(full_parity(x), dtype=np.int64)
+        ok = (got_full == ref).all()
+    if not ok:
         print(json.dumps({"metric": "flagstat_words_per_sec", "value": 0.0,
                           "unit": "words/s", "vs_baseline": 0.0,
                           "error": "counter mismatch vs oracle"}))

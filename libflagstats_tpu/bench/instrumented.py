@@ -75,8 +75,10 @@ def run_all(n: int = 1 << 20, iters: int = 5, with_roofline: bool = True,
     from ..ops.dispatch import get_function
 
     variants = ["numpy", "xla"]
-    if jax.default_backend() == "tpu" and n >= 8 * 65536:
-        variants.append("pallas")
+    if jax.default_backend() == "tpu":
+        variants.append("pallas_words")
+        if n >= 8 * 65536:
+            variants.append("pallas")
 
     roof = None
     if with_roofline and jax.default_backend() != "cpu":

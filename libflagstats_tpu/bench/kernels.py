@@ -1,0 +1,88 @@
+"""Per-kernel throughput table, dispatch-latency-free.
+
+The TPU analogue of the reference's per-variant cycles/word table
+(linux/instrumented_benchmark.cpp -t): every device kernel variant timed
+with in-jit repetition (bench/harness.kernel_time) over the same data,
+reported as words/s, GB/s, and fraction of the measured HBM read
+roofline. Correctness is asserted against the host oracle before timing.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import flags as F
+from ..oracle import flagstat_numpy, generate_flags
+from ..ops.xla_ops import stream_sums_xla
+from .harness import kernel_time, roofline_bytes_per_s
+
+HEADER = "kernel\twords\ttime_us\tMwords/s\tGB/s\tvs_roofline"
+
+
+def _bodies(n_words: int):
+    from ..ops import pallas_kernels as PK
+
+    bodies = {
+        "xla": lambda a: jnp.concatenate(stream_sums_xla(a)),
+    }
+    if jax.default_backend() == "tpu":
+        if n_words % (8 * PK.GROUP_WORDS) == 0:
+            bodies["pallas_bitsliced"] = lambda a: jnp.concatenate(
+                PK.stream_sums_pallas(a)
+            )
+            bodies["pospopcnt_bitsliced"] = lambda a: PK.pospopcnt_u16_pallas(a)
+        if n_words % PK.WORDS_STEP == 0:
+            def words_body(a):
+                padded = a.reshape(-1, 512, 128)
+                t, f = PK._run_words_kernel(padded, False)
+                return jnp.concatenate([t, f])
+
+            bodies["pallas_words"] = words_body
+    return bodies
+
+
+def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
+        check: bool = True) -> list[str]:
+    x_host = generate_flags(n_words, seed=0, full_range=True)
+    x = jax.block_until_ready(jnp.asarray(x_host))
+    ref = flagstat_numpy(x_host).astype(np.int64)
+    pp_ref = np.array(
+        [np.count_nonzero((x_host.astype(np.uint32) >> k) & 1) for k in range(16)],
+        dtype=np.int64,
+    )
+
+    roofs = roofline_bytes_per_s(2 * n_words, iters=iters)
+    roof = max(roofs.values()) if roofs else None
+
+    lines = [HEADER]
+    for name, body in _bodies(n_words).items():
+        if check:
+            out = np.asarray(jax.jit(body)(x), dtype=np.int64)
+            if name.startswith("pospopcnt"):
+                ok = (out == pp_ref).all()
+            else:
+                total, fail = out[:16], out[16:]
+                from ..ops.xla_ops import assemble_counters
+
+                counters = np.asarray(
+                    assemble_counters(jnp.asarray(total, jnp.int32),
+                                      jnp.asarray(fail, jnp.int32),
+                                      jnp.int32(n_words)),
+                    dtype=np.int64,
+                )
+                ok = (counters == ref).all()
+            if not ok:
+                lines.append(f"{name}\t{n_words}\tMISMATCH")
+                continue
+        t = kernel_time(body, x, iters=iters)
+        gbs = 2.0 * n_words / t / 1e9
+        frac = f"{2.0 * n_words / t / roof:.3f}" if roof else "n/a"
+        lines.append(
+            f"{name}\t{n_words}\t{t*1e6:.1f}\t{n_words/t/1e6:.0f}\t"
+            f"{gbs:.1f}\t{frac}"
+        )
+    if roofs:
+        for rname, v in roofs.items():
+            lines.append(f"[roofline:{rname}]\t{n_words}\t-\t-\t{v/1e9:.1f}\t1.000")
+    return lines

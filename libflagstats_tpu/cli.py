@@ -111,8 +111,10 @@ def _cmd_inmemory(args):
     impls = ["numpy", "xla"]
     import jax
 
-    if jax.default_backend() == "tpu" and n >= 8 * 65536:
-        impls.append("pallas")
+    if jax.default_backend() == "tpu":
+        impls.append("pallas_words")
+        if n >= 8 * 65536:
+            impls.append("pallas")
     ok_all = True
     for impl in impls:
         fn = get_function(n, impl=impl)
@@ -177,6 +179,14 @@ def _cmd_instrumented(args):
     return 0
 
 
+def _cmd_kernels(args):
+    from .bench.kernels import run
+
+    for line in run(n_words=args.n, iters=args.iters):
+        print(line)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="libflagstats_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -208,14 +218,14 @@ def main(argv=None) -> int:
                         "R/D/S: raw binary [+flagstat|+samtools]")
     d.add_argument("--codec", choices=["raw", "lz4", "zstd"], default="lz4")
     d.add_argument("--threads", type=int, default=0)
-    d.add_argument("--impl", choices=["numpy", "xla", "pallas"], default=None)
+    d.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words"], default=None)
     d.add_argument("--loop", action="store_true",
                    help="use the literal per-word loop for -s/-S")
     d.set_defaults(fn=_cmd_decompress)
 
     f = sub.add_parser("flagstat", help="samtools-style report of a binary column")
     f.add_argument("input")
-    f.add_argument("--impl", choices=["numpy", "xla", "pallas"], default=None)
+    f.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words"], default=None)
     f.set_defaults(fn=_cmd_flagstat)
 
     m = sub.add_parser("inmemory", help="correctness+speed harness")
@@ -228,7 +238,7 @@ def main(argv=None) -> int:
     s.add_argument("--lz4-levels", type=int, nargs="*", default=[1, 4, 9])
     s.add_argument("--zstd-levels", type=int, nargs="*", default=[1, 3, 19])
     s.add_argument("--threads", type=int, default=0)
-    s.add_argument("--impl", choices=["numpy", "xla", "pallas"], default=None)
+    s.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words"], default=None)
     s.set_defaults(fn=_cmd_codec_sweep)
 
     b = sub.add_parser(
@@ -241,6 +251,14 @@ def main(argv=None) -> int:
     b.add_argument("-v", "--verbose", action="store_true")
     b.add_argument("--no-roofline", action="store_true")
     b.set_defaults(fn=_cmd_instrumented)
+
+    k = sub.add_parser(
+        "kernels",
+        help="dispatch-free per-kernel throughput table vs HBM roofline",
+    )
+    k.add_argument("-n", type=int, default=64 * 1024 * 1024)
+    k.add_argument("-i", "--iters", type=int, default=5)
+    k.set_defaults(fn=_cmd_kernels)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -264,6 +264,72 @@ def iter_framed_blocks(path, codec: str | int) -> Iterator[np.ndarray]:
                             dtype=np.uint16)
 
 
+def scan_frames(path) -> list[tuple[int, int, int]]:
+    """Index a framed stream without decoding: per block
+    (file_offset_of_payload, raw_len, comp_len). Used to assign block
+    ranges to processes in multi-host runs."""
+    frames = []
+    off = 0
+    size = Path(path).stat().st_size
+    with open(path, "rb") as f:
+        while off + 8 <= size:
+            raw_len, comp_len = struct.unpack("<ii", f.read(8))
+            frames.append((off + 8, raw_len, comp_len))
+            off += 8 + comp_len
+            f.seek(off)
+    if off != size:
+        raise ValueError("trailing garbage in framed stream")
+    return frames
+
+
+def read_framed_range(path, codec: str | int, block_start: int, block_stop: int,
+                      n_threads: int = 0) -> np.ndarray:
+    """Decode blocks [block_start, block_stop) of a framed stream.
+
+    The shard unit for multi-host streaming: process p of P reads only
+    its contiguous block range (reference decomposition: the sequential
+    512k-record block loop, flagstats.cpp:311-332, gone parallel)."""
+    cid = _codec_id(codec)
+    frames = scan_frames(path)[block_start:block_stop]
+    if not frames:
+        return np.zeros(0, dtype=np.uint16)
+    lib = native_lib.load()
+    with open(path, "rb") as f:
+        if lib is not None:
+            # re-frame the byte range and reuse the parallel decoder
+            chunks = []
+            for off, raw_len, comp_len in frames:
+                f.seek(off - 8)
+                chunks.append(f.read(8 + comp_len))
+            data = b"".join(chunks)
+            raw_total = sum(r for _, r, _ in frames)
+            out = np.empty(raw_total // 2, dtype=np.uint16)
+            r = lib.lfs_decode_stream(
+                data, len(data), out.ctypes.data_as(ctypes.c_void_p),
+                raw_total, cid, n_threads,
+            )
+            if r != raw_total:
+                raise RuntimeError("framed range decode failed")
+            return out
+        parts = []
+        for off, raw_len, comp_len in frames:
+            f.seek(off)
+            parts.append(decompress_block(f.read(comp_len), raw_len, cid))
+    return np.frombuffer(b"".join(parts), dtype=np.uint16).copy()
+
+
+def shard_block_ranges(n_blocks: int, n_shards: int) -> list[tuple[int, int]]:
+    """Contiguous near-equal block ranges for n_shards processes."""
+    base, rem = divmod(n_blocks, n_shards)
+    ranges = []
+    start = 0
+    for p in range(n_shards):
+        stop = start + base + (1 if p < rem else 0)
+        ranges.append((start, stop))
+        start = stop
+    return ranges
+
+
 def codec_filename(base: str, codec: str, level: int) -> str:
     """Reference output naming (benchmark/flagstats.cpp:114,151,196)."""
     if codec == "lz4":

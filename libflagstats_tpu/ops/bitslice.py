@@ -65,20 +65,37 @@ C_STREAMS = tuple(range(N_PLANES))
 F_STREAMS = tuple(k for k in range(N_PLANES) if k != F.FQCFAIL_OFF)
 N_STREAMS = len(C_STREAMS) + len(F_STREAMS)  # 29
 
+# "Report mode": only the counters samtools flagstat actually reports
+# (drops the masked-positional PROPER/MUNMAP/REVERSE/MREVERSE counts the
+# report never reads — the reference's improved3/4 variants make the
+# same trade, libflagstats.h:2325-2428, and its conformance harness
+# excludes those counters, inmemory.cpp:173-194). 21 streams vs 29.
+REPORT_BITS = (0, 2, 6, 7, 8, 9, 10, 11, 12, 13, 14)
+REPORT_C_STREAMS = REPORT_BITS
+REPORT_F_STREAMS = tuple(k for k in REPORT_BITS if k != F.FQCFAIL_OFF)
+N_REPORT_STREAMS = len(REPORT_C_STREAMS) + len(REPORT_F_STREAMS)  # 21
+# REVERSE/MREVERSE planes are not needed at all in report mode (PROPER
+# and MUNMAP still feed bits 12-14)
+REPORT_NEEDED_PLANES = tuple(j for j in NEEDED_PLANES if j not in (4, 5))
+REPORT_NEEDED_ROWS = frozenset(
+    {even_row(j) for j in REPORT_NEEDED_PLANES}
+    | {odd_row(j) for j in REPORT_NEEDED_PLANES}
+)
+
 
 def swap_pairs(j: int) -> list[int]:
     """k-indices of the masked-swap pairs (k, k+j) for stage j."""
     return [k for k in range(32) if not (k & j)]
 
 
-def pruned_pairs() -> dict[int, list[int]]:
+def pruned_pairs(needed_rows=NEEDED_ROWS) -> dict[int, list[int]]:
     """Per-stage swap pairs with unneeded output rows pruned.
 
     A pair (k, k+j) at a stage may be skipped iff neither output feeds a
     needed row downstream. Computed by backward reachability over the
     5-stage network.
     """
-    needed = set(NEEDED_ROWS)
+    needed = set(needed_rows)
     stages: dict[int, list[int]] = {}
     for j, _ in reversed(TRANSPOSE_STAGES):
         # every row belongs to exactly one pair at each stage; a skipped
@@ -105,12 +122,14 @@ def transpose32_np(regs: list[np.ndarray], prune: bool = False) -> list[np.ndarr
     return A
 
 
-def transform_planes(p: list[np.ndarray], ops=np) -> list[np.ndarray]:
+def transform_planes(p: list[np.ndarray], report: bool = False) -> list[np.ndarray]:
     """Flagstat mask-select transform in plane space.
 
-    ``p[j]`` is the bit-plane of input FLAG bit j (j in 0..11). Returns the
-    15 counted planes t[0..14]. Written against a minimal op surface
-    (&, |, ^, ~) so the same code traces for NumPy and jnp inside Pallas.
+    ``p[j]`` is the bit-plane of input FLAG bit j (j in 0..11; in report
+    mode planes 4 and 5 may be None). Returns the 15 counted planes
+    t[0..14] (entries 1,3,4,5 are None in report mode). Written against a
+    minimal op surface (&, |, ^, ~) so the same code traces for NumPy and
+    jnp inside Pallas.
     """
     secsup = p[8] | p[11]
     inpair = p[0] & ~secsup                 # paired, not secondary, not suppl.
@@ -119,13 +138,14 @@ def transform_planes(p: list[np.ndarray], ops=np) -> list[np.ndarray]:
     t12 = im & p[1]                         # properly paired
     t13 = im & p[3]                         # singleton
     t14 = im ^ t13                          # both mates mapped (im & ~munmap)
+    masked = (lambda j: None) if report else (lambda j: p[j] & inpair)
     return [
         inpair,                             # 0  FPAIRED (pair branch only)
-        p[1] & inpair,                      # 1  FPROPER_PAIR (masked positional)
+        masked(1),                          # 1  FPROPER_PAIR (masked positional)
         p[2],                               # 2  FUNMAP (always)
-        p[3] & inpair,                      # 3  FMUNMAP (masked positional)
-        p[4] & inpair,                      # 4  FREVERSE (masked positional)
-        p[5] & inpair,                      # 5  FMREVERSE (masked positional)
+        masked(3),                          # 3  FMUNMAP (masked positional)
+        masked(4),                          # 4  FREVERSE (masked positional)
+        masked(5),                          # 5  FMREVERSE (masked positional)
         p[6] & inpair,                      # 6  FREAD1
         p[7] & inpair,                      # 7  FREAD2
         p[8],                               # 8  FSECONDARY (always)

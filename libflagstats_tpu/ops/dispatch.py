@@ -27,6 +27,7 @@ FLAGSTAT_IMPLS = {
     "numpy": "host vectorized mask-select oracle (FLAGSTAT_scalar tier)",
     "xla": "fused jnp transform + positional reduce (SSE4/AVX2 tier)",
     "pallas": "bit-sliced transpose + Harley-Seal CSA VMEM kernel (AVX512 tier)",
+    "pallas_words": "word-space packed-SWAR dual-tree kernel (AVX512-base analogue)",
 }
 POSPOPCNT_IMPLS = {
     "numpy": "host per-bit count",
@@ -90,6 +91,14 @@ def get_function(n_len: int, impl: str | None = None):
         return lambda arr: np.asarray(
             pallas_kernels.flagstat_pallas(
                 jax.numpy.asarray(_bucket_pad(arr, PALLAS_MIN)),
+                n=int(arr.size), interpret=interpret,
+            )
+        )
+    if impl == "pallas_words":
+        interpret = backend() != "tpu"
+        return lambda arr: np.asarray(
+            pallas_kernels.flagstat_pallas_words(
+                jax.numpy.asarray(_bucket_pad(arr, XLA_MIN)),
                 n=int(arr.size), interpret=interpret,
             )
         )

@@ -78,14 +78,18 @@ def _csa(v: jax.Array, a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array
     return va ^ b, (v & a) | (b & va)
 
 
-def _stream_inputs_flagstat(rows: list[jax.Array]) -> list[jax.Array]:
-    """Transposed rows -> the 29 counted plane streams (C then F)."""
+def _stream_inputs_flagstat(rows: list[jax.Array], report: bool = False) -> list[jax.Array]:
+    """Transposed rows -> the counted plane streams (C then F);
+    29 streams in full-positional mode, 21 in report mode."""
+    c_streams = B.REPORT_C_STREAMS if report else B.C_STREAMS
+    f_streams = B.REPORT_F_STREAMS if report else B.F_STREAMS
     streams = []
     for row_of in (B.even_row, B.odd_row):
-        p = [rows[row_of(j)] for j in range(12)]
-        t = B.transform_planes(p)
+        p = [None if (report and j in (4, 5)) else rows[row_of(j)]
+             for j in range(12)]
+        t = B.transform_planes(p, report=report)
         q = t[F.FQCFAIL_OFF]
-        half = [t[k] for k in B.C_STREAMS] + [t[k] & q for k in B.F_STREAMS]
+        half = [t[k] for k in c_streams] + [t[k] & q for k in f_streams]
         streams.append(half)
     # pair up even/odd per stream: list of (even, odd) tuples
     return list(zip(streams[0], streams[1]))
@@ -104,6 +108,10 @@ def _make_kernel(nblk: int, mode: str):
         n_streams = B.N_STREAMS
         stages = B.pruned_pairs()
         make_streams = _stream_inputs_flagstat
+    elif mode == "flagstat_report":
+        n_streams = B.N_REPORT_STREAMS
+        stages = B.pruned_pairs(B.REPORT_NEEDED_ROWS)
+        make_streams = functools.partial(_stream_inputs_flagstat, report=True)
     else:
         n_streams = 16
         stages = {j: B.swap_pairs(j) for j, _ in B.TRANSPOSE_STAGES}
@@ -183,7 +191,7 @@ def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool) -> jax.Arr
     """xg: (groups, 32, 16, 128) uint16, groups % nblk == 0."""
     kernel, n_streams = _make_kernel(nblk, mode)
     groups = xg.shape[0]
-    out_rows = 32 if mode == "flagstat" else 16
+    out_rows = 16 if mode == "pospopcnt" else 32
     out = pl.pallas_call(
         kernel,
         grid=(groups // nblk,),
@@ -225,28 +233,43 @@ def _pack_stream(x: jax.Array, nblk: int) -> jax.Array:
 
 
 def stream_sums_pallas(
-    x: jax.Array, nblk: int = 8, interpret: bool = False
+    x: jax.Array, nblk: int = 8, interpret: bool = False, report: bool = False
 ) -> tuple[jax.Array, jax.Array]:
     """Raw stratified stream sums (C[k], F[k]) each (16,) int32, psum-mergeable.
 
     ``x`` must already be zero-padded to a multiple of nblk*GROUP_WORDS
-    when called under shard_map (use _pack_stream/pad_length outside)."""
-    sums = _run_kernel(_pack_stream(x, nblk), nblk, "flagstat", interpret)
+    when called under shard_map (use _pack_stream/pad_length outside).
+    ``report=True`` runs the faster 21-stream kernel that skips the four
+    masked-positional counters the flagstat report never reads."""
+    mode = "flagstat_report" if report else "flagstat"
+    sums = _run_kernel(_pack_stream(x, nblk), nblk, mode, interpret)
+    if report:
+        nc = len(B.REPORT_C_STREAMS)
+        c_idx, f_idx = np.array(B.REPORT_C_STREAMS), np.array(B.REPORT_F_STREAMS)
+        total = jnp.zeros(F.N_BITS, jnp.int32).at[c_idx].set(sums[:nc])
+        fail = jnp.zeros(F.N_BITS, jnp.int32).at[f_idx].set(
+            sums[nc:nc + len(B.REPORT_F_STREAMS)]
+        )
+        return total, fail
     total = jnp.zeros(F.N_BITS, jnp.int32).at[jnp.arange(15)].set(sums[:15])
     fail = jnp.zeros(F.N_BITS, jnp.int32).at[np.array(B.F_STREAMS)].set(sums[15:29])
     return total, fail
 
 
-def flagstat_pallas(x: jax.Array, n=None, nblk: int = 8, interpret: bool = False) -> jax.Array:
+def flagstat_pallas(x: jax.Array, n=None, nblk: int = 8, interpret: bool = False,
+                    report: bool = False) -> jax.Array:
     """Flagstat counters for a uint16 FLAG batch -> (32,) int32.
 
     The flagship kernel: fused transpose + mask-select + stratified
     pospopcnt. `n` is the true (pre-padding) length for the derived
-    pass-total (reference: libflagstats.h:429).
+    pass-total (reference: libflagstats.h:429). ``report=True`` trades
+    the four masked-positional counters (left at 0) for ~15% more
+    throughput (reference analogue: FLAGSTAT_avx512_improved3/4).
     """
     if n is None:
         n = x.size
-    total, fail = stream_sums_pallas(x, nblk=nblk, interpret=interpret)
+    total, fail = stream_sums_pallas(x, nblk=nblk, interpret=interpret,
+                                     report=report)
     return assemble_counters(total, fail, n)
 
 
@@ -303,13 +326,17 @@ def _transform_words_packed(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 def _make_words_kernel():
     """Pallas kernel body for the word-space variant.
 
-    in tile: (512, 128) uint16 (65,536 words). out: (32, 8, 128) int32
-    packed half-accumulators — rows 0-15 pass bits, 16-31 fail bits."""
+    in tile: (512, 128) uint16 (65,536 words). out: (32, 8, 128) int32 of
+    *packed 16-bit half* accumulators — rows 0-14 pass-stratum bits,
+    16-30 fail-stratum bits; each int32 lane holds two per-field
+    subcounts, split and merged in the final jnp reduction. Peels add up
+    to 16 per half per HS body, so the halves stay below 2^16 for up to
+    ~2048 grid steps (128M words per call) — enforced by the runner."""
 
     def kernel(x_ref, out_ref, vp_ref, vf_ref):
         step = pl.program_id(0)
         nsteps = pl.num_programs(0)
-        one = _u32(_ONE16)
+        one = _u32(_ONE16)  # created inside the kernel: no captured consts
 
         @pl.when(step == 0)
         def _init():
@@ -317,30 +344,99 @@ def _make_words_kernel():
             vp_ref[...] = jnp.zeros_like(vp_ref)
             vf_ref[...] = jnp.zeros_like(vf_ref)
 
-        x32 = pltpu.bitcast(x_ref[...], _U32)      # (256, 128)
-        vp = [vp_ref[i] for i in range(4)]          # v1,v2,v4,v8 pass tree
+        x32 = pltpu.bitcast(x_ref[0], _U32)         # (256, 128)
+        vp = [vp_ref[i] for i in range(4)]          # v1,v2,v4,v8 (pass tree)
         vf = [vf_ref[i] for i in range(4)]
 
-        def peel(v16, base):
+        def peel(plane, base, weight_log2):
             for k in range(15):                     # bit 15 is always 0
-                out_ref[base + k] += ((v16 >> k) & one).astype(jnp.int32)
+                sub = ((plane >> k) & one) << weight_log2
+                out_ref[base + k] += sub.astype(jnp.int32)
 
-        # two HS-16 bodies over the 32 row-slices of the tile
-        for body in range(2):
-            pend = {"P": [], "F": []}
-            for i in range(16):
-                row = x32[(body * 16 + i) * 8:(body * 16 + i + 1) * 8]
-                tp, tf = _transform_words_packed(row)
-                for tree, d, v, base in (("P", tp, vp, 0), ("F", tf, vf, 16)):
-                    p = pend[tree]
-                    v[0], c = _csa(v[0], d, p.pop() if p else jnp.zeros_like(d))
-                    # ragged: pair carries level by level
-                    pend[tree] = p + [c] if False else p
-                    p.append(c)
-            # NOTE: replaced below by explicit pairing
-        out_ref[...] = out_ref[...]
+        # transform each row once, feeding both strata trees
+        tps, tfs = [], []
+        for i in range(32):
+            tp, tf = _transform_words_packed(x32[i * 8:(i + 1) * 8])
+            tps.append(tp)
+            tfs.append(tf)
+
+        # two HS-16 bodies per tree (reference: the dual v/vU trees of
+        # FLAGSTAT_avx512, libflagstats.h:1706-1754)
+        for ds, v, base in ((tps, vp, 0), (tfs, vf, 16)):
+            for body in range(2):
+                d = ds[body * 16:(body + 1) * 16]
+                v[0], twosA = _csa(v[0], d[0], d[1])
+                v[0], twosB = _csa(v[0], d[2], d[3])
+                v[1], foursA = _csa(v[1], twosA, twosB)
+                v[0], twosA = _csa(v[0], d[4], d[5])
+                v[0], twosB = _csa(v[0], d[6], d[7])
+                v[1], foursB = _csa(v[1], twosA, twosB)
+                v[2], eightsA = _csa(v[2], foursA, foursB)
+                v[0], twosA = _csa(v[0], d[8], d[9])
+                v[0], twosB = _csa(v[0], d[10], d[11])
+                v[1], foursA = _csa(v[1], twosA, twosB)
+                v[0], twosA = _csa(v[0], d[12], d[13])
+                v[0], twosB = _csa(v[0], d[14], d[15])
+                v[1], foursB = _csa(v[1], twosA, twosB)
+                v[2], eightsB = _csa(v[2], foursA, foursB)
+                v[3], sixteens = _csa(v[3], eightsA, eightsB)
+                peel(sixteens, base, 4)
+
+        for i in range(4):
+            vp_ref[i] = vp[i]
+            vf_ref[i] = vf[i]
+
+        @pl.when(step == nsteps - 1)
+        def _flush():
+            for i in range(4):
+                peel(vp_ref[i], 0, i)
+                peel(vf_ref[i], 16, i)
 
     return kernel
+
+
+WORDS_STEP = 512 * 128                    # uint16 words per grid step
+_WORDS_MAX_STEPS = 1536                   # packed-half overflow headroom
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _run_words_kernel(xt: jax.Array, interpret: bool) -> tuple[jax.Array, jax.Array]:
+    """xt: (steps, 512, 128) uint16 -> (P[k], F[k]) each (16,) int32."""
+    steps = xt.shape[0]
+    assert steps <= _WORDS_MAX_STEPS, "words-kernel call too large; chunk it"
+    out = pl.pallas_call(
+        _make_words_kernel(),
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((1, 512, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((32, SUB, LANE), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((32, SUB, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((4, SUB, LANE), jnp.uint32) for _ in range(2)],
+        interpret=interpret,
+    )(xt)
+    u = jax.lax.bitcast_convert_type(out, jnp.uint32)
+    low = u & jnp.uint32(0xFFFF)
+    high = u >> 16
+    sums = jnp.sum((low + high).astype(jnp.int32), axis=(1, 2))  # (32,)
+    p = jnp.concatenate([sums[0:15], jnp.zeros(1, jnp.int32)])
+    f = jnp.concatenate([sums[16:31], jnp.zeros(1, jnp.int32)])
+    return p + f, f
+
+
+def flagstat_pallas_words(x: jax.Array, n=None, interpret: bool = False) -> jax.Array:
+    """Word-space Pallas flagstat (small-trace variant; reference
+    analogue: the base FLAGSTAT_avx512 dual-tree kernel)."""
+    if n is None:
+        n = x.size
+    padded = ((x.size + WORDS_STEP - 1) // WORDS_STEP) * WORDS_STEP
+    if padded != x.size:
+        x = jnp.pad(x.ravel(), (0, padded - x.size))
+    xt = x.reshape(-1, 512, LANE)
+    total, fail = _run_words_kernel(xt, interpret)
+    return assemble_counters(total, fail, n)
 # (_transpose32, transform, CSA, peel) outside pallas_call so the whole
 # algorithm is differentially testable on CPU, where interpret-mode
 # compilation of the full grid is impractically slow. Only the Pallas
@@ -352,6 +448,10 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str) -> jax.Array:
         stages = B.pruned_pairs()
         make_streams = _stream_inputs_flagstat
         n_streams = B.N_STREAMS
+    elif mode == "flagstat_report":
+        stages = B.pruned_pairs(B.REPORT_NEEDED_ROWS)
+        make_streams = functools.partial(_stream_inputs_flagstat, report=True)
+        n_streams = B.N_REPORT_STREAMS
     else:
         stages = {j: B.swap_pairs(j) for j, _ in B.TRANSPOSE_STAGES}
         make_streams = _stream_inputs_pospopcnt
@@ -400,10 +500,17 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str) -> jax.Array:
     return jnp.stack([a.sum() for a in acc])
 
 
-def flagstat_bitsliced_jnp(x: jax.Array, n=None, nblk: int = 8) -> jax.Array:
+def flagstat_bitsliced_jnp(x: jax.Array, n=None, nblk: int = 8,
+                           report: bool = False) -> jax.Array:
     """CPU-testable twin of flagstat_pallas (same math, no pallas_call)."""
     if n is None:
         n = x.size
+    if report:
+        sums = _stream_sums_jnp_body(_pack_stream(x, nblk), "flagstat_report")
+        nc = len(B.REPORT_C_STREAMS)
+        total = jnp.zeros(F.N_BITS, jnp.int32).at[np.array(B.REPORT_C_STREAMS)].set(sums[:nc])
+        fail = jnp.zeros(F.N_BITS, jnp.int32).at[np.array(B.REPORT_F_STREAMS)].set(sums[nc:])
+        return assemble_counters(total, fail, n)
     sums = _stream_sums_jnp_body(_pack_stream(x, nblk), "flagstat")
     total = jnp.zeros(F.N_BITS, jnp.int32).at[jnp.arange(15)].set(sums[:15])
     fail = jnp.zeros(F.N_BITS, jnp.int32).at[np.array(B.F_STREAMS)].set(sums[15:29])

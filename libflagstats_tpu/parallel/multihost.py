@@ -42,19 +42,26 @@ def initialize(coordinator_address: str | None = None,
 
 
 def flagstat_multihost(local_flags: np.ndarray, total_words: int | None = None,
-                       impl: str | None = None, nblk: int = 8) -> np.ndarray:
+                       impl: str | None = None, nblk: int = 8,
+                       pad_to_words: int | None = None) -> np.ndarray:
     """Count a globally-sharded FLAG stream; every process passes its own
     host-local shard (e.g. its file shard) and receives the full global
     32-counter vector.
 
     ``total_words`` is the global true word count (defaults to the psum of
-    local sizes)."""
+    local sizes). When shards are uneven, every process must pass the
+    same ``pad_to_words`` (>= the largest local shard) so the global
+    array assembles; zero padding is count-neutral."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     mesh = data_mesh()
     granule = shard_granule(impl, nblk)
     local = np.ascontiguousarray(np.asarray(local_flags, dtype=np.uint16)).ravel()
 
+    if pad_to_words is not None and pad_to_words > local.size:
+        local = np.concatenate(
+            [local, np.zeros(pad_to_words - local.size, dtype=np.uint16)]
+        )
     n_local_dev = jax.local_device_count()
     padded = pad_for_mesh(local, n_local_dev, granule)
     if total_words is None:
@@ -69,6 +76,27 @@ def flagstat_multihost(local_flags: np.ndarray, total_words: int | None = None,
     fn = make_sharded_counter_fn(mesh, impl=impl, nblk=nblk)
     counters = fn(arr, jnp.int32(total_words))
     return np.asarray(counters, dtype=np.int64).astype(np.uint64)
+
+
+def flagstat_multihost_file(path, codec: str | int = "lz4",
+                            impl: str | None = None,
+                            n_threads: int = 0) -> np.ndarray:
+    """Multi-host flagstat of one framed compressed stream.
+
+    Each process scans the frame index (cheap, header-only), decodes its
+    contiguous block range with the native thread pool, counts its shard
+    on its local devices, and the int32[2,16] sums merge globally
+    (the reference's sequential block loop, flagstats.cpp:311-332,
+    spread across hosts)."""
+    from ..io import codec as C
+
+    frames = C.scan_frames(path)
+    ranges = C.shard_block_ranges(len(frames), jax.process_count())
+    words = [sum(r for _, r, _ in frames[a:b]) // 2 for a, b in ranges]
+    start, stop = ranges[jax.process_index()]
+    local = C.read_framed_range(path, codec, start, stop, n_threads=n_threads)
+    return flagstat_multihost(local, total_words=sum(words), impl=impl,
+                              pad_to_words=max(words))
 
 
 def _global_sum(value: int) -> int:

@@ -24,6 +24,12 @@ if not os.environ.get("RUN_TPU_TESTS"):
 
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: the bit-sliced twin takes minutes to compile
+# cold; cached it is instant on re-runs
+from libflagstats_tpu.config import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

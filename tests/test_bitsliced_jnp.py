@@ -33,7 +33,9 @@ def test_flagstat_bitsliced_one_step(jitted, full_range):
 
 def test_flagstat_bitsliced_with_tail(jitted):
     fn, _ = jitted
-    n = 8 * GROUP_WORDS + 12345  # exercises zero padding neutrality
+    # pads up to the same 8-group shape as the one-step test (shared
+    # compile) while exercising zero-padding neutrality
+    n = 8 * GROUP_WORDS - 12345
     x = generate_flags(n, seed=2, full_range=True)
     got = np.asarray(fn(jnp.asarray(x), n=n), dtype=np.int64)
     assert_counters_equal(flagstat_numpy(x).astype(np.int64), got)

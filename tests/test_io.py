@@ -125,3 +125,23 @@ def test_cli_end_to_end(tmp_path):
     ref = flagstat_numpy(x)
     expected_total = f"{int(ref[9])} + {int(ref[25])} in total"
     assert expected_total in report
+
+
+def test_scan_and_range_decode(tmp_path):
+    x = generate_flags(1_700_000, seed=13)
+    path = tmp_path / "r.lz4"
+    info = C.write_framed(path, x, codec="lz4", level=1)
+    frames = C.scan_frames(path)
+    assert len(frames) == info.n_blocks
+    assert sum(r for _, r, _ in frames) == 2 * x.size
+
+    # shard into 3 ranges; concatenation must reproduce the stream
+    ranges = C.shard_block_ranges(len(frames), 3)
+    assert ranges[0][0] == 0 and ranges[-1][1] == len(frames)
+    parts = [C.read_framed_range(path, "lz4", a, b) for a, b in ranges]
+    np.testing.assert_array_equal(np.concatenate(parts), x)
+
+
+def test_shard_block_ranges_edge():
+    assert C.shard_block_ranges(5, 3) == [(0, 2), (2, 4), (4, 5)]
+    assert C.shard_block_ranges(2, 4) == [(0, 1), (1, 2), (2, 2), (2, 2)]

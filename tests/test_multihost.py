@@ -23,3 +23,14 @@ def test_scaling_sweep_shape():
     for r in res:
         assert r["words_per_s"] > 0
         assert 0 < r["scaling_efficiency"]
+
+
+def test_multihost_file_single_process(tmp_path):
+    from libflagstats_tpu.io import codec as C
+    from libflagstats_tpu.parallel.multihost import flagstat_multihost_file
+
+    x = generate_flags(1_200_000, seed=41, full_range=True)
+    path = tmp_path / "mh.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+    got = flagstat_multihost_file(path, codec="lz4", impl="xla")
+    assert_counters_equal(flagstat_numpy(x), got)
