@@ -72,14 +72,22 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     n_threads = threads or 8
 
     def blocks():
-        frames = list(C.iter_framed(path))
+        # bounded decode-ahead window: up to 4*n_threads blocks in flight
+        # so memory stays O(window), not O(file)
+        from collections import deque
+
+        window = 4 * n_threads
+        frames = C.iter_framed(path)
+        for _ in range(start_block):
+            next(frames, None)
         with cf.ThreadPoolExecutor(n_threads) as pool:
-            futs = [
-                pool.submit(C.decompress_block, payload, raw_len, codec)
-                for raw_len, payload in frames[start_block:]
-            ]
-            for fut in futs:
-                yield np.frombuffer(fut.result(), dtype=np.uint16)
+            futs: deque = deque()
+            for raw_len, payload in frames:
+                futs.append(pool.submit(C.decompress_block, payload, raw_len, codec))
+                if len(futs) >= window:
+                    yield np.frombuffer(futs.popleft().result(), dtype=np.uint16)
+            while futs:
+                yield np.frombuffer(futs.popleft().result(), dtype=np.uint16)
 
     block_index = start_block
     for block in blocks():

@@ -28,6 +28,8 @@ FLAGSTAT_IMPLS = {
     "xla": "fused jnp transform + positional reduce (SSE4/AVX2 tier)",
     "pallas": "bit-sliced transpose + Harley-Seal CSA VMEM kernel (AVX512 tier)",
     "pallas_words": "word-space packed-SWAR dual-tree kernel (AVX512-base analogue)",
+    "pallas_report": "21-stream bit-sliced kernel, report counters only "
+                     "(improved3/4 analogue; masked-positional counters are 0)",
 }
 POSPOPCNT_IMPLS = {
     "numpy": "host per-bit count",
@@ -92,6 +94,14 @@ def get_function(n_len: int, impl: str | None = None):
             pallas_kernels.flagstat_pallas(
                 jax.numpy.asarray(_bucket_pad(arr, PALLAS_MIN)),
                 n=int(arr.size), interpret=interpret,
+            )
+        )
+    if impl == "pallas_report":
+        interpret = backend() != "tpu"
+        return lambda arr: np.asarray(
+            pallas_kernels.flagstat_pallas(
+                jax.numpy.asarray(_bucket_pad(arr, PALLAS_MIN)),
+                n=int(arr.size), interpret=interpret, report=True,
             )
         )
     if impl == "pallas_words":

@@ -18,7 +18,7 @@ from conftest import assert_counters_equal
 @pytest.fixture(scope="module")
 def jitted():
     return (
-        jax.jit(flagstat_bitsliced_jnp, static_argnames=("n", "nblk")),
+        jax.jit(flagstat_bitsliced_jnp, static_argnames=("n", "nblk", "report")),
         jax.jit(pospopcnt_bitsliced_jnp, static_argnames=("nblk",)),
     )
 
@@ -50,3 +50,19 @@ def test_pospopcnt_bitsliced(jitted):
     )
     got = np.asarray(fn(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_flagstat_bitsliced_report_mode(jitted):
+    """Report mode (21 streams) is bit-exact on every reported counter
+    and zero on the masked-positional ones (improved3/4 analogue)."""
+    import libflagstats_tpu.flags as F
+
+    fn, _ = jitted
+    n = 8 * GROUP_WORDS - 333
+    x = generate_flags(n, seed=8, full_range=True)
+    got = np.asarray(fn(jnp.asarray(x), n=n, report=True), dtype=np.int64)
+    ref = flagstat_numpy(x).astype(np.int64)
+    idx = list(F.REPORT_COUNTERS)
+    np.testing.assert_array_equal(got[idx], ref[idx])
+    zeros = [1, 3, 4, 5, 17, 19, 20, 21]
+    assert (got[zeros] == 0).all()

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""End-to-end NA12878-scale pipeline run (BASELINE.json config #4).
+
+Reconstructs the 824,541,892-read NA12878 FLAG column synthetically
+(datasets.synth_na12878 — report-provably identical to the published
+flagstat numbers; the real BAM is unreachable from this zero-egress
+box), writes it as the reference's framed LZ4 stream, then runs the full
+host-decode → device-count pipeline and checks every reported value
+against the published report (reference: README.md:177-196; the
+reference's own timing of this workload is 0.72 s over LZ4-HC,
+README.md:35).
+
+Usage: python tools/na12878_run.py [--scale 1] [--codec lz4] [--keep]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=1,
+                    help="divide the 824M-read dataset by this factor")
+    ap.add_argument("--codec", default="lz4", choices=["raw", "lz4", "zstd"])
+    ap.add_argument("--level", type=int, default=1)
+    ap.add_argument("--workdir", default="/tmp/na12878")
+    ap.add_argument("--impl", default=None)
+    ap.add_argument("--threads", type=int, default=0)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    from libflagstats_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from libflagstats_tpu.datasets import na12878_report_values, synth_na12878
+    from libflagstats_tpu.io import codec as C
+    from libflagstats_tpu.io.stream import flagstat_stream
+    from libflagstats_tpu.report import counters_to_report
+
+    wd = Path(args.workdir)
+    wd.mkdir(parents=True, exist_ok=True)
+    stream_path = wd / f"na12878_s{args.scale}.{args.codec}"
+
+    t0 = time.perf_counter()
+    arr, _ = synth_na12878(scale_divisor=args.scale, seed=0)
+    t_gen = time.perf_counter() - t0
+    print(f"[gen] {arr.size:,} words in {t_gen:.1f}s "
+          f"({2*arr.size/1e9:.2f} GB)", flush=True)
+
+    if not stream_path.exists():
+        t0 = time.perf_counter()
+        info = C.write_framed(stream_path, arr, codec=args.codec,
+                              level=args.level)
+        t_comp = time.perf_counter() - t0
+        print(f"[compress] {info.n_blocks} blocks, "
+              f"{info.raw_bytes/1e9:.2f} -> {info.compressed_bytes/1e9:.2f} GB "
+              f"({info.raw_bytes/max(info.compressed_bytes,1):.2f}x) "
+              f"in {t_comp:.1f}s", flush=True)
+    del arr
+
+    # warmup pass compiles the chunk kernel (excluded, like the
+    # reference's separate cache-warmup mode, flagstats.cpp:596)
+    t0 = time.perf_counter()
+    counters = flagstat_stream(stream_path, codec=args.codec, impl=args.impl,
+                               threads=args.threads)
+    t_warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    counters = flagstat_stream(stream_path, codec=args.codec, impl=args.impl,
+                               threads=args.threads)
+    t_run = time.perf_counter() - t0
+
+    rep = counters_to_report(counters)
+    expected = na12878_report_values(scale_divisor=args.scale)
+    checks = {
+        "total": rep.total[0], "supplementary": rep.supplementary[0],
+        "mapped": rep.mapped[0], "paired_in_sequencing": rep.paired_in_sequencing[0],
+        "read1": rep.read1[0], "read2": rep.read2[0],
+        "properly_paired": rep.properly_paired[0],
+        "both_mapped": rep.both_mapped[0], "singletons": rep.singletons[0],
+        "secondary": rep.secondary[0], "duplicates": rep.duplicates[0],
+    }
+    ok = all(checks[k] == expected[k] for k in checks)
+    n = expected["total"]
+    print(rep.text())
+    print(f"[check] published-report match: {ok}")
+    print(f"[time] warm(compile) {t_warm:.2f}s; steady run {t_run:.2f}s "
+          f"({n/t_run/1e6:.0f} Mwords/s end-to-end; reference: 0.72s for "
+          f"824.5M reads over LZ4-HC)")
+    if not args.keep:
+        stream_path.unlink(missing_ok=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
