@@ -34,23 +34,28 @@ import numpy as np
 from .. import flags as F
 
 # ---- transpose network constants ----
-# Masked-swap stages (j, mask): Hacker's Delight transpose32.
+# Masked-swap stages (j, mask) of the classic transpose32 network, with
+# the j=16 stage ELIDED: that stage only exchanges whole 16-bit fields
+# between registers — i.e. it permutes *which word* sits where, never
+# mixing bit positions — and positional counting is word-order-free, so
+# we simply relabel the input pairing as already-swapped and skip it
+# (saves 96 of 432 ops per 32-register block; verified by brute force in
+# tools/codegen.py and the bitslice tests).
 TRANSPOSE_STAGES: tuple[tuple[int, int], ...] = (
-    (16, 0x0000FFFF),
     (8, 0x00FF00FF),
     (4, 0x0F0F0F0F),
     (2, 0x33333333),
     (1, 0x55555555),
 )
 
-# Output row r of the network holds input bit (31 - r):
-#   plane j of even words (bits 0..15 of each int32)  -> row 31 - j
-#   plane j of odd words  (bits 16..31 of each int32) -> row 15 - j
+# With the 4-stage network, bit j of the block's first 32 words lands in
+# row 15 - j and of the other 32 words in row 31 - j (each row is a pure
+# 32-word plane; every (word, bit) appears exactly once).
 def even_row(j: int) -> int:
-    return 31 - j
+    return 15 - j
 
 def odd_row(j: int) -> int:
-    return 15 - j
+    return 31 - j
 
 # Planes consumed by the flagstat transform (input bits 12-15 ignored).
 NEEDED_PLANES = tuple(range(12))

@@ -26,27 +26,30 @@ from libflagstats_tpu.oracle import transform_words  # noqa: E402
 
 
 def derive_transpose_stages():
-    """Derive the masked-swap stage masks from the transpose recurrence
-    and verify the network against a brute-force bit transpose."""
-    stages = []
-    m = 0x0000FFFF
-    j = 16
-    while j:
-        stages.append((j, m))
-        j >>= 1
-        if j:
-            m = m ^ (m << j) & 0xFFFFFFFF
-    assert tuple(stages) == B.TRANSPOSE_STAGES, stages
+    """Verify the 4-stage elided-j=16 network by brute force: every
+    (word, bit) marker must land exactly once, in the row the mapping
+    predicts, and every row must be a pure single-bit plane."""
+    stages = [(j, m) for j, m in B.TRANSPOSE_STAGES]
+    assert [j for j, _ in stages] == [8, 4, 2, 1]
 
-    # brute force verification on random data
-    rng = np.random.default_rng(0)
-    regs = [rng.integers(0, 1 << 32, size=16, dtype=np.uint32) for _ in range(32)]
-    out = B.transpose32_np(regs)
-    for r in range(32):
-        for c in range(32):
-            got = (out[r] >> np.uint32(c)) & 1
-            want = (regs[31 - c] >> np.uint32(31 - r)) & 1
-            assert (got == want).all(), (r, c)
+    for w in range(64):
+        for b in range(16):
+            words = np.zeros(64, dtype=np.uint32)
+            words[w] = 1 << b
+            regs = [
+                np.array([words[2 * k] | (words[2 * k + 1] << 16)], np.uint32)
+                for k in range(32)
+            ]
+            out = B.transpose32_np(regs)
+            hits = [
+                (r, c)
+                for r in range(32)
+                for c in range(32)
+                if (int(out[r][0]) >> c) & 1
+            ]
+            assert len(hits) == 1, (w, b, hits)
+            row = hits[0][0]
+            assert row in (B.even_row(b), B.odd_row(b)), (w, b, row)
     return stages
 
 
