@@ -28,16 +28,21 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 // Decompress an LZ4 block into dst; returns decompressed size or -1.
+// Hot loop uses wild 16-byte copies inside safety margins (short matches
+// and literals dominate columnar FLAG data, so per-sequence overhead is
+// the whole game); falls back to exact copies near buffer ends.
 int64_t lfs_lz4_decompress(const uint8_t* src, int64_t src_len,
                            uint8_t* dst, int64_t dst_cap) {
     const uint8_t* ip = src;
     const uint8_t* iend = src + src_len;
     uint8_t* op = dst;
     uint8_t* oend = dst + dst_cap;
+    // margins: within these, 16B wild copies cannot overrun
+    const uint8_t* iend_fast = iend - 32;
+    uint8_t* oend_fast = oend - 32;
 
     while (ip < iend) {
         const uint8_t token = *ip++;
-        // literal run
         int64_t lit = token >> 4;
         if (lit == 15) {
             uint8_t b;
@@ -47,13 +52,16 @@ int64_t lfs_lz4_decompress(const uint8_t* src, int64_t src_len,
                 lit += b;
             } while (b == 255);
         }
-        if (ip + lit > iend || op + lit > oend) return -1;
-        std::memcpy(op, ip, static_cast<size_t>(lit));
+        if (lit <= 16 && ip <= iend_fast && op <= oend_fast) {
+            std::memcpy(op, ip, 16);                  // wild copy
+        } else {
+            if (ip + lit > iend || op + lit > oend) return -1;
+            std::memcpy(op, ip, static_cast<size_t>(lit));
+        }
         ip += lit;
         op += lit;
         if (ip >= iend) break;  // last sequence: literals only
 
-        // match
         if (ip + 2 > iend) return -1;
         const uint32_t offset = static_cast<uint32_t>(ip[0]) |
                                 (static_cast<uint32_t>(ip[1]) << 8);
@@ -70,13 +78,38 @@ int64_t lfs_lz4_decompress(const uint8_t* src, int64_t src_len,
         }
         if (op + mlen > oend) return -1;
         const uint8_t* match = op - offset;
-        // overlapping copy must run forward byte-wise when offset < 8
-        if (offset >= 8) {
-            int64_t n = mlen;
-            while (n >= 8) { std::memcpy(op, match, 8); op += 8; match += 8; n -= 8; }
-            while (n--) *op++ = *match++;
+        if (op + mlen <= oend_fast && mlen <= 16 && offset >= 16) {
+            std::memcpy(op, match, 16);               // wild copy
+            op += mlen;
+        } else if (offset >= 8) {
+            uint8_t* o = op;
+            op += mlen;
+            if (op <= oend_fast) {
+                do {                                   // 8B wild chunks
+                    std::memcpy(o, match, 8);
+                    o += 8; match += 8;
+                } while (o < op);
+            } else {
+                int64_t n = mlen;
+                while (n >= 8) { std::memcpy(o, match, 8); o += 8; match += 8; n -= 8; }
+                while (n--) *o++ = *match++;
+            }
         } else {
-            for (int64_t i = 0; i < mlen; ++i) *op++ = *match++;
+            // short offset: expand the repeating pattern to 8 bytes, then
+            // chunk-copy with the pattern-aligned stride
+            uint8_t pat[16];
+            for (int i = 0; i < 16; ++i) pat[i] = match[i % offset];
+            const int64_t stride = (16 / offset) * offset;
+            uint8_t* o = op;
+            op += mlen;
+            if (op <= oend_fast) {
+                do {
+                    std::memcpy(o, pat, 16);
+                    o += stride;
+                } while (o < op);
+            } else {
+                for (int64_t i = 0; i < mlen; ++i) o[i] = match[i];
+            }
         }
     }
     return op - dst;
@@ -145,6 +178,7 @@ int64_t lfs_lz4_compress(const uint8_t* src, int64_t src_len,
 
     int64_t anchor = 0;
     int64_t pos = 0;
+    int64_t miss_run = 0;   // LZ4-fast style skip acceleration
     while (pos < mflimit) {
         const uint32_t h = lfs_hash4(lfs_read32(src + pos));
         int64_t best_len = 0;
@@ -155,6 +189,10 @@ int64_t lfs_lz4_compress(const uint8_t* src, int64_t src_len,
             if (lfs_read32(src + cand) == lfs_read32(src + pos)) {
                 int64_t len = 4;
                 const int64_t maxlen = src_len - LASTLITERALS - pos;
+                while (len + 8 <= maxlen &&
+                       lfs_read32(src + cand + len) == lfs_read32(src + pos + len) &&
+                       lfs_read32(src + cand + len + 4) == lfs_read32(src + pos + len + 4))
+                    len += 8;
                 while (len < maxlen && src[cand + len] == src[pos + len]) ++len;
                 if (len > best_len) { best_len = len; best_ref = cand; }
             }
@@ -163,21 +201,28 @@ int64_t lfs_lz4_compress(const uint8_t* src, int64_t src_len,
         if (hc) chain[static_cast<size_t>(pos)] = head[h];
         head[h] = pos;
         if (best_len >= 4) {
+            miss_run = 0;
             if (!emit(anchor, pos - anchor,
                       best_len, static_cast<uint32_t>(pos - best_ref)))
                 return -1;
-            // index interior positions of the match (cheap stride for speed)
             const int64_t end = pos + best_len;
-            const int64_t stride = hc ? 1 : 2;
-            for (int64_t q = pos + 1; q + 4 <= end && q < mflimit; q += stride) {
-                const uint32_t hq = lfs_hash4(lfs_read32(src + q));
-                if (hc) chain[static_cast<size_t>(q)] = head[hq];
-                head[hq] = q;
+            // index a couple of interior positions only (classic lz4
+            // inserts just the match tail; full-stride indexing was the
+            // encoder hot spot on highly repetitive columnar data)
+            if (hc) {
+                for (int64_t q = pos + 1; q + 4 <= end && q < mflimit; ++q) {
+                    const uint32_t hq = lfs_hash4(lfs_read32(src + q));
+                    chain[static_cast<size_t>(q)] = head[hq];
+                    head[hq] = q;
+                }
+            } else if (end - 2 > pos && end - 2 + 4 <= src_len) {
+                const uint32_t hq = lfs_hash4(lfs_read32(src + end - 2));
+                head[hq] = end - 2;
             }
             pos = end;
             anchor = pos;
         } else {
-            ++pos;
+            pos += 1 + (miss_run++ >> 6);   // accelerate through noise
         }
     }
     // final literals
