@@ -115,6 +115,21 @@ def get_function(n_len: int, impl: str | None = None):
     raise ValueError(f"unknown impl {impl!r}")
 
 
+def _validate_u16(array) -> np.ndarray:
+    arr = np.asarray(array)
+    if arr.dtype != np.uint16:
+        # allow lossless integer input; reject anything that would be a
+        # silent value-mangling cast
+        if arr.dtype.kind not in "ui" or (arr.size and
+                                          (arr.min() < 0 or arr.max() > 0xFFFF)):
+            raise ValueError(
+                f"FLAG array must be uint16 (or losslessly convertible), "
+                f"got {arr.dtype}"
+            )
+        arr = arr.astype(np.uint16)
+    return np.ascontiguousarray(arr).ravel()
+
+
 def flagstats_u16(array, out=None, impl: str | None = None) -> np.ndarray:
     """Count flagstat statistics of a uint16 FLAG array.
 
@@ -122,7 +137,7 @@ def flagstats_u16(array, out=None, impl: str | None = None) -> np.ndarray:
     contract: one counter vector across many blocks,
     reference: FLAGSTATS_u16, libflagstats.h:3025 and
     benchmark/flagstats.cpp:304-329)."""
-    arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
+    arr = _validate_u16(array)
     counters = get_function(arr.size, impl)(arr)
     if out is None:
         return np.asarray(counters, dtype=np.uint64)
@@ -133,7 +148,7 @@ def flagstats_u16(array, out=None, impl: str | None = None) -> np.ndarray:
 def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
     """Positional popcount of a uint16 array -> (16,) counts
     (reference: STORM_pospopcnt_u16, libalgebra.h:3497)."""
-    arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
+    arr = _validate_u16(array)
     if impl is None:
         if arr.size >= PALLAS_MIN and backend() == "tpu":
             impl = "pallas"

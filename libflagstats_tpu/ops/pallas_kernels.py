@@ -3,12 +3,14 @@
 The hot path of the framework. Design (see ops/bitslice.py for the
 executable NumPy spec):
 
-* the uint16 FLAG stream is viewed as int32 "registers" and reshaped to
-  (groups, 32, 8, 128): each (32, 8, 128) register-group holds 1024
-  independent 32x32 bit matrices (one per (sublane, lane) position);
-* a 5-stage masked-swap network bit-transposes each group into plane
-  rows — the TPU-native replacement for the reference's pshufb/vpermw
-  lookups (reference: libflagstats.h:281-290, 1850-2075);
+* the uint16 FLAG stream is reshaped to (groups, 32, 16, 128) tiles; a
+  free sublane bitcast pairs words into 32 uint32 "registers" per group,
+  i.e. 1024 independent 32x32 bit matrices (one per (sublane, lane));
+* a masked-swap network bit-transposes each group into plane rows — the
+  TPU-native replacement for the reference's pshufb/vpermw lookups
+  (reference: libflagstats.h:281-290, 1850-2075). The classic j=16 stage
+  is elided: it only permutes words, and counting is order-free
+  (see ops/bitslice.py);
 * the samtools flagstat logic runs in plane space at one VPU op per 32
   words (reference semantics: libflagstats.h:118-142);
 * each counted plane feeds a Harley-Seal CSA tree (v1/v2/v4/v8 carried in
@@ -48,8 +50,8 @@ def _u32(c: int) -> jax.Array:
 
 
 def _transpose32(A: list[jax.Array], stages: dict[int, list[int]]) -> list[jax.Array]:
-    """Masked-swap bit transpose of 32 uint32 tiles (in the reversed
-    convention: output row r holds input bit 31-r; see bitslice.py)."""
+    """Masked-swap bit transpose of 32 uint32 tiles (4-stage elided
+    network: bit j lands at rows 15-j and 31-j; see bitslice.py)."""
     A = list(A)
     for j, mask in B.TRANSPOSE_STAGES:
         m = _u32(mask)
@@ -243,16 +245,17 @@ def stream_sums_pallas(
     masked-positional counters the flagstat report never reads."""
     mode = "flagstat_report" if report else "flagstat"
     sums = _run_kernel(_pack_stream(x, nblk), nblk, mode, interpret)
-    if report:
-        nc = len(B.REPORT_C_STREAMS)
-        c_idx, f_idx = np.array(B.REPORT_C_STREAMS), np.array(B.REPORT_F_STREAMS)
-        total = jnp.zeros(F.N_BITS, jnp.int32).at[c_idx].set(sums[:nc])
-        fail = jnp.zeros(F.N_BITS, jnp.int32).at[f_idx].set(
-            sums[nc:nc + len(B.REPORT_F_STREAMS)]
-        )
-        return total, fail
-    total = jnp.zeros(F.N_BITS, jnp.int32).at[jnp.arange(15)].set(sums[:15])
-    fail = jnp.zeros(F.N_BITS, jnp.int32).at[np.array(B.F_STREAMS)].set(sums[15:29])
+    return _sums_to_streams(sums, report)
+
+
+def _sums_to_streams(sums: jax.Array, report: bool) -> tuple[jax.Array, jax.Array]:
+    """Per-stream kernel totals -> (C[k], F[k]) scatter into 16-bin vectors."""
+    c_idx = np.array(B.REPORT_C_STREAMS if report else B.C_STREAMS)
+    f_idx = np.array(B.REPORT_F_STREAMS if report else B.F_STREAMS)
+    total = jnp.zeros(F.N_BITS, jnp.int32).at[c_idx].set(sums[: len(c_idx)])
+    fail = jnp.zeros(F.N_BITS, jnp.int32).at[f_idx].set(
+        sums[len(c_idx):len(c_idx) + len(f_idx)]
+    )
     return total, fail
 
 
@@ -437,10 +440,14 @@ def flagstat_pallas_words(x: jax.Array, n=None, interpret: bool = False) -> jax.
     xt = x.reshape(-1, 512, LANE)
     total, fail = _run_words_kernel(xt, interpret)
     return assemble_counters(total, fail, n)
-# (_transpose32, transform, CSA, peel) outside pallas_call so the whole
-# algorithm is differentially testable on CPU, where interpret-mode
-# compilation of the full grid is impractically slow. Only the Pallas
-# plumbing (refs, grid, scratch carry) is left to on-TPU tests.
+
+
+# ---------------------------------------------------------------------------
+# Plain-jnp twin of the bit-sliced kernel body. Runs the *identical*
+# traced code (_transpose32, transform, CSA, peel) outside pallas_call so
+# the whole algorithm is differentially testable on CPU, where
+# interpret-mode compilation of the full grid is impractically slow. Only
+# the Pallas plumbing (refs, grid, scratch carry) is left to on-TPU tests.
 # ---------------------------------------------------------------------------
 
 def _stream_sums_jnp_body(xg: jax.Array, mode: str) -> jax.Array:
@@ -505,15 +512,9 @@ def flagstat_bitsliced_jnp(x: jax.Array, n=None, nblk: int = 8,
     """CPU-testable twin of flagstat_pallas (same math, no pallas_call)."""
     if n is None:
         n = x.size
-    if report:
-        sums = _stream_sums_jnp_body(_pack_stream(x, nblk), "flagstat_report")
-        nc = len(B.REPORT_C_STREAMS)
-        total = jnp.zeros(F.N_BITS, jnp.int32).at[np.array(B.REPORT_C_STREAMS)].set(sums[:nc])
-        fail = jnp.zeros(F.N_BITS, jnp.int32).at[np.array(B.REPORT_F_STREAMS)].set(sums[nc:])
-        return assemble_counters(total, fail, n)
-    sums = _stream_sums_jnp_body(_pack_stream(x, nblk), "flagstat")
-    total = jnp.zeros(F.N_BITS, jnp.int32).at[jnp.arange(15)].set(sums[:15])
-    fail = jnp.zeros(F.N_BITS, jnp.int32).at[np.array(B.F_STREAMS)].set(sums[15:29])
+    mode = "flagstat_report" if report else "flagstat"
+    sums = _stream_sums_jnp_body(_pack_stream(x, nblk), mode)
+    total, fail = _sums_to_streams(sums, report)
     return assemble_counters(total, fail, n)
 
 

@@ -42,3 +42,21 @@ def test_binding_validation():
         lfs.flagstats([1, 2, 3])
     with pytest.raises(ValueError):
         lfs.flagstats(np.zeros(4, dtype=np.uint32))
+
+
+def test_dispatch_input_validation():
+    import pytest
+
+    from libflagstats_tpu.ops.dispatch import flagstats_u16
+
+    # lossless integer input is accepted
+    c1 = flagstats_u16(np.array([73, 147], dtype=np.int64))
+    c2 = flagstats_u16(np.array([73, 147], dtype=np.uint16))
+    np.testing.assert_array_equal(c1, c2)
+    # value-mangling casts are rejected
+    with pytest.raises(ValueError):
+        flagstats_u16(np.array([1.5, 2.5]))
+    with pytest.raises(ValueError):
+        flagstats_u16(np.array([70000], dtype=np.int64))
+    with pytest.raises(ValueError):
+        flagstats_u16(np.array([-1], dtype=np.int32))

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Prewarm the persistent compile cache for the common kernel shapes.
+
+Cold Mosaic compiles go through this environment's remote compile helper
+(minutes each); running this once populates .jax_cache so the driver
+entrypoint check, the streaming pipeline, and the TPU tests all start
+instantly.
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from libflagstats_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+    if jax.default_backend() != "tpu":
+        print("not a TPU backend; nothing to prewarm")
+        return 0
+
+    from libflagstats_tpu.oracle import generate_flags
+    from libflagstats_tpu.ops.pallas_kernels import (
+        GROUP_WORDS,
+        WORDS_STEP,
+        flagstat_pallas,
+        flagstat_pallas_words,
+        pospopcnt_u16_pallas,
+    )
+
+    shapes = [
+        ("entry/stream chunk (1 step)", 8 * GROUP_WORDS),
+        ("two steps", 16 * GROUP_WORDS),
+    ]
+    for name, n in shapes:
+        x = jnp.asarray(generate_flags(n, seed=0))
+        for label, fn in (
+            ("full", lambda a: flagstat_pallas(a, n=n)),
+            ("report", lambda a: flagstat_pallas(a, n=n, report=True)),
+        ):
+            t0 = time.time()
+            jax.block_until_ready(fn(x))
+            print(f"[prewarm] {name} {label}: {time.time()-t0:.1f}s", flush=True)
+
+    x = jnp.asarray(generate_flags(8 * GROUP_WORDS, seed=0))
+    t0 = time.time()
+    jax.block_until_ready(pospopcnt_u16_pallas(x))
+    print(f"[prewarm] pospopcnt: {time.time()-t0:.1f}s", flush=True)
+
+    x = jnp.asarray(generate_flags(5 * WORDS_STEP, seed=0))
+    t0 = time.time()
+    jax.block_until_ready(flagstat_pallas_words(x))
+    print(f"[prewarm] words kernel: {time.time()-t0:.1f}s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
