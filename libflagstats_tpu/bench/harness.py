@@ -60,17 +60,25 @@ def _repeated(body_fn, k: int):
     return jax.jit(run)
 
 
+def _sync(result):
+    """Force completion. On this experimental remote backend,
+    block_until_ready does NOT await execution — only a device->host
+    read does — so completion is forced by materializing the (tiny)
+    result on the host."""
+    return np.asarray(jax.block_until_ready(result))
+
+
 def _time_min(fn, x, iters: int) -> float:
-    jax.block_until_ready(fn(x))  # compile + warmup
+    _sync(fn(x))  # compile + warmup
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(x))
+        _sync(fn(x))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
-def kernel_time(body_fn, x, k_small: int = 4, k_big: int = 68,
+def kernel_time(body_fn, x, k_small: int = 4, k_big: int = 260,
                 iters: int = 5) -> float:
     """Per-invocation device time of body_fn(x), net of dispatch latency."""
     t_small = _time_min(_repeated(body_fn, k_small), x, iters)
@@ -82,11 +90,11 @@ def measure_min(fn, args, iters: int = 7, warmup: int = 2, name: str = "") -> Be
     """Plain wall-clock timing (includes dispatch latency — use for
     end-to-end pipeline numbers, not kernel numbers)."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     n_words = int(np.prod(args[0].shape)) if hasattr(args[0], "shape") else 0
     return BenchResult(name=name, n_words=n_words, iters=iters,

@@ -55,13 +55,14 @@ def run_variant(name: str, fn, n: int, iters: int, verbose: bool = False) -> Var
     for it in range(iters + 1):  # first iteration is warmup/compile
         x = generate_flags(n, seed=1000 + it, full_range=True)
         t0 = time.perf_counter()
-        got = fn(x)
-        jax.block_until_ready(got) if hasattr(got, "block_until_ready") else None
+        # np.asarray forces completion (block_until_ready does not await
+        # execution on this remote backend)
+        got = np.asarray(fn(x), dtype=np.int64)
         dt = time.perf_counter() - t0
         if it > 0:
             times.append(dt)
         ref = flagstat_numpy(x).astype(np.int64)
-        ok = bool((np.asarray(got, dtype=np.int64) == ref).all())
+        ok = bool((got == ref).all())
         if not ok and verbose:
             print(f"{name}: mismatch at iter {it}:\nexp {ref}\ngot {np.asarray(got)}")
         correct &= ok
