@@ -71,6 +71,20 @@ def _samtools_loop(arr: np.ndarray):
 
 def _cmd_decompress(args):
     mode = args.mode
+    if args.stream and mode == "d":
+        # overlapped decode+count pipeline (io/stream.py)
+        from .io.stream import flagstat_stream
+
+        t0 = time.perf_counter()
+        counters = flagstat_stream(args.input, codec=args.codec,
+                                   impl=args.impl, threads=args.threads)
+        dt = time.perf_counter() - t0
+        n = int(counters[9] + counters[25])
+        print(f"[d/stream] {n} words: total {dt*1e3:.1f} ms "
+              f"({n/dt/1e6:.1f} Mwords/s)", file=sys.stderr)
+        print(counters_to_report(counters).text())
+        return 0
+
     t0 = time.perf_counter()
     if mode in ("R", "D", "S"):  # raw binary file modes
         arr = samio.read_binary(args.input)
@@ -221,6 +235,8 @@ def main(argv=None) -> int:
     d.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report"], default=None)
     d.add_argument("--loop", action="store_true",
                    help="use the literal per-word loop for -s/-S")
+    d.add_argument("--stream", action="store_true",
+                   help="overlapped decode+count pipeline (mode d only)")
     d.set_defaults(fn=_cmd_decompress)
 
     f = sub.add_parser("flagstat", help="samtools-style report of a binary column")

@@ -145,3 +145,9 @@ def test_scan_and_range_decode(tmp_path):
 def test_shard_block_ranges_edge():
     assert C.shard_block_ranges(5, 3) == [(0, 2), (2, 4), (4, 5)]
     assert C.shard_block_ranges(2, 4) == [(0, 1), (1, 2), (2, 2), (2, 2)]
+
+
+def test_empty_block_roundtrip():
+    for codec in ("raw", "lz4", "zstd"):
+        comp = C.compress_block(b"", codec, 1)
+        assert C.decompress_block(comp, 0, codec) == b""
