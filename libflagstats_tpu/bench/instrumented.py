@@ -20,7 +20,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .. import flags as F
+
 from ..oracle import flagstat_numpy, generate_flags
 from .harness import roofline_bytes_per_s
 

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import flags as F
+
 from ..oracle import flagstat_numpy, generate_flags
 from ..ops.xla_ops import stream_sums_xla
 from .harness import kernel_time, roofline_bytes_per_s

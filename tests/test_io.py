@@ -2,8 +2,6 @@
 trips, reference frame layout, CLI drivers."""
 import io
 import struct
-import subprocess
-import sys
 
 import numpy as np
 import pytest

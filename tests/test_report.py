@@ -5,7 +5,7 @@ import numpy as np
 import libflagstats_tpu as lfs
 from libflagstats_tpu import flags as F
 from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
-from libflagstats_tpu.report import counters_to_dict, counters_to_report
+from libflagstats_tpu.report import counters_to_report
 
 
 def test_report_consistency():

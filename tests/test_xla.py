@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from libflagstats_tpu import flags as F
+
 from libflagstats_tpu.oracle import flagstat_numpy, generate_flags, transform_words
 from libflagstats_tpu.ops.xla_ops import (
     flagstat_xla,

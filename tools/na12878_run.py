@@ -33,6 +33,8 @@ def main() -> int:
     ap.add_argument("--workdir", default="/tmp/na12878")
     ap.add_argument("--impl", default=None)
     ap.add_argument("--threads", type=int, default=0)
+    ap.add_argument("--chunk-words", type=int, default=None,
+                    help="device chunk size (default: one kernel grid step)")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -70,11 +72,11 @@ def main() -> int:
     # reference's separate cache-warmup mode, flagstats.cpp:596)
     t0 = time.perf_counter()
     counters = flagstat_stream(stream_path, codec=args.codec, impl=args.impl,
-                               threads=args.threads)
+                               threads=args.threads, chunk_words=args.chunk_words)
     t_warm = time.perf_counter() - t0
     t0 = time.perf_counter()
     counters = flagstat_stream(stream_path, codec=args.codec, impl=args.impl,
-                               threads=args.threads)
+                               threads=args.threads, chunk_words=args.chunk_words)
     t_run = time.perf_counter() - t0
 
     rep = counters_to_report(counters)
