@@ -28,8 +28,9 @@ from libflagstats_tpu.ops.pallas_kernels import (  # noqa: E402
 from conftest import assert_counters_equal  # noqa: E402
 
 
-@pytest.mark.parametrize("steps,extra", [(1, 0), (2, 12345)])
+@pytest.mark.parametrize("steps,extra", [(1, 0), (2, -12345)])
 def test_flagstat_pallas_tpu(steps, extra):
+    # negative extra: a tail that zero-pads up to the same grid shape
     n = steps * 8 * GROUP_WORDS + extra
     x = generate_flags(n, seed=n, full_range=True)
     got = np.asarray(flagstat_pallas(jnp.asarray(x), n=n), dtype=np.int64)
