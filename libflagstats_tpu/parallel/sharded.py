@@ -32,14 +32,16 @@ def data_mesh(devices=None) -> Mesh:
     return Mesh(devices.reshape(-1), (AXIS,))
 
 
-def _local_sums(xs: jax.Array, impl: str, nblk: int, interpret: bool):
+def _local_sums(xs: jax.Array, impl: str, nblk: int, interpret: bool,
+                report: bool = False):
     if impl == "pallas":
-        return stream_sums_pallas(xs, nblk=nblk, interpret=interpret)
+        return stream_sums_pallas(xs, nblk=nblk, interpret=interpret,
+                                  report=report)
     return stream_sums_xla(xs)
 
 
 def make_sharded_counter_fn(mesh: Mesh, impl: str = "xla", nblk: int = 8,
-                            interpret: bool = False):
+                            interpret: bool = False, report: bool = False):
     """Build a jitted (padded_flags, n) -> (32,) int32 counter function.
 
     ``padded_flags`` must be zero-padded to a multiple of
@@ -48,7 +50,7 @@ def make_sharded_counter_fn(mesh: Mesh, impl: str = "xla", nblk: int = 8,
     """
 
     def local(xs: jax.Array, n: jax.Array) -> jax.Array:
-        total, fail = _local_sums(xs, impl, nblk, interpret)
+        total, fail = _local_sums(xs, impl, nblk, interpret, report)
         total = jax.lax.psum(total, AXIS)
         fail = jax.lax.psum(fail, AXIS)
         return assemble_counters(total, fail, n)
