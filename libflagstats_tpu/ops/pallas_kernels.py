@@ -431,14 +431,22 @@ def _run_words_kernel(xt: jax.Array, interpret: bool) -> tuple[jax.Array, jax.Ar
 
 def flagstat_pallas_words(x: jax.Array, n=None, interpret: bool = False) -> jax.Array:
     """Word-space Pallas flagstat (small-trace variant; reference
-    analogue: the base FLAGSTAT_avx512 dual-tree kernel)."""
+    analogue: the base FLAGSTAT_avx512 dual-tree kernel).
+
+    Chunks calls at the packed-half accumulator capacity (~100M words)."""
     if n is None:
         n = x.size
     padded = ((x.size + WORDS_STEP - 1) // WORDS_STEP) * WORDS_STEP
     if padded != x.size:
         x = jnp.pad(x.ravel(), (0, padded - x.size))
     xt = x.reshape(-1, 512, LANE)
-    total, fail = _run_words_kernel(xt, interpret)
+    chunk = _WORDS_MAX_STEPS
+    total = jnp.zeros(F.N_BITS, jnp.int32)
+    fail = jnp.zeros(F.N_BITS, jnp.int32)
+    for start in range(0, xt.shape[0], chunk):
+        t, f = _run_words_kernel(xt[start:start + chunk], interpret)
+        total = total + t
+        fail = fail + f
     return assemble_counters(total, fail, n)
 
 
