@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Kernel micro-parameter sweep on real hardware.
+
+Times the bit-sliced kernel across tuning knobs (nblk = grid-step depth)
+and both stream modes, dispatch-latency-free. Used to pick defaults;
+results land in docs/BENCHMARKS.md.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libflagstats_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+    from libflagstats_tpu.bench.harness import kernel_time, roofline_bytes_per_s
+    from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+    from libflagstats_tpu.ops import pallas_kernels as PK
+    from libflagstats_tpu.ops.xla_ops import assemble_counters
+
+    n = 64 * 1024 * 1024
+    x_host = generate_flags(n, seed=0, full_range=True)
+    x = jnp.asarray(x_host)
+    ref = flagstat_numpy(x_host).astype(np.int64)
+
+    roofs = roofline_bytes_per_s(2 * n)
+    roof = max(roofs.values())
+    print("rooflines: " + ", ".join(f"{k}={v/1e9:.1f}GB/s" for k, v in roofs.items()),
+          flush=True)
+
+    for report in (True, False):
+        for nblk in (8, 16):
+            def body(a, nblk=nblk, report=report):
+                t, f = PK.stream_sums_pallas(a, nblk=nblk, report=report)
+                return jnp.concatenate([t, f])
+
+            # correctness first
+            t_, f_ = PK.stream_sums_pallas(x, nblk=nblk, report=report)
+            got = np.asarray(
+                assemble_counters(t_, f_, jnp.int32(n)), dtype=np.int64
+            )
+            idx = ([0, 2, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+                   + [16 + k for k in [0, 2, 6, 7, 8, 10, 11, 12, 13, 14]]
+                   + [25]) if report else list(range(32))
+            ok = (got[idx] == ref[idx]).all()
+            t = kernel_time(body, x)
+            gbs = 2.0 * n / t / 1e9
+            print(f"mode={'report' if report else 'full'} nblk={nblk}: "
+                  f"{t*1e3:.3f} ms, {gbs:.1f} GB/s, {gbs*1e9/roof:.3f}x roofline, "
+                  f"{'OK' if ok else 'MISMATCH'}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
