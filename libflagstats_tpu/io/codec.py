@@ -220,6 +220,8 @@ def iter_framed(path) -> Iterator[tuple[int, bytes]]:
             if len(header) != 8:
                 raise ValueError("truncated frame header")
             raw_len, comp_len = struct.unpack("<ii", header)
+            if raw_len < 0 or comp_len < 0:
+                raise ValueError("corrupt frame header (negative length)")
             payload = f.read(comp_len)
             if len(payload) != comp_len:
                 raise ValueError("truncated frame payload")
@@ -240,6 +242,8 @@ def read_framed(path, codec: str | int, n_threads: int = 0) -> np.ndarray:
         off = 0
         while off + 8 <= len(data):
             raw_len, comp_len = struct.unpack_from("<ii", data, off)
+            if raw_len < 0 or comp_len < 0:
+                raise ValueError("corrupt frame header (negative length)")
             raw_total += raw_len
             off += 8 + comp_len
         out = np.empty(raw_total // 2, dtype=np.uint16)
@@ -274,6 +278,8 @@ def scan_frames(path) -> list[tuple[int, int, int]]:
     with open(path, "rb") as f:
         while off + 8 <= size:
             raw_len, comp_len = struct.unpack("<ii", f.read(8))
+            if raw_len < 0 or comp_len < 0:
+                raise ValueError("corrupt frame header (negative length)")
             frames.append((off + 8, raw_len, comp_len))
             off += 8 + comp_len
             f.seek(off)

@@ -149,3 +149,16 @@ def test_empty_block_roundtrip():
     for codec in ("raw", "lz4", "zstd"):
         comp = C.compress_block(b"", codec, 1)
         assert C.decompress_block(comp, 0, codec) == b""
+
+
+def test_corrupt_negative_frame_header(tmp_path):
+    import struct as _s
+
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(_s.pack("<ii", -5, -9) + b"xxxx")
+    with pytest.raises((ValueError, RuntimeError)):
+        C.read_framed(bad, "raw")
+    with pytest.raises(ValueError):
+        C.scan_frames(bad)
+    with pytest.raises(ValueError):
+        list(C.iter_framed(bad))
