@@ -45,3 +45,14 @@ def test_pospopcnt_pallas_tpu():
     )
     got = np.asarray(pospopcnt_u16_pallas(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_pallas_composition():
+    """shard_map + psum wrapping the Pallas kernel on a 1-device mesh:
+    validates the production sharded path end-to-end on hardware."""
+    from libflagstats_tpu.parallel.sharded import flagstat_sharded
+
+    n = 8 * GROUP_WORDS
+    x = generate_flags(n, seed=99, full_range=True)
+    got = flagstat_sharded(x, impl="pallas")
+    assert_counters_equal(flagstat_numpy(x), got)
