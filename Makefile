@@ -29,3 +29,12 @@ inmemory:
 clean:
 	rm -rf build .pytest_cache
 	find . -name __pycache__ -type d -exec rm -rf {} +
+
+# ThreadSanitizer stress of the parallel framed-stream decoder
+tsan:
+	mkdir -p build
+	g++ -O1 -g -fsanitize=thread -std=c++17 \
+	  libflagstats_tpu/io/native/tests/tsan_decode_test.cpp \
+	  libflagstats_tpu/io/native/flagstats_io.cpp \
+	  -o build/tsan_decode_test -lzstd -pthread
+	./build/tsan_decode_test
