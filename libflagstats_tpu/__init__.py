@@ -26,6 +26,20 @@ from .flags import (  # noqa: F401
 from .ops.dispatch import flagstats_u16, pospopcnt_u16, get_function  # noqa: F401
 from .report import FlagstatReport, counters_to_dict, counters_to_report  # noqa: F401
 
+
+def flagstat_stream(path, **kwargs):
+    """Streaming flagstat of a framed compressed file (see io.stream)."""
+    from .io.stream import flagstat_stream as _fs
+
+    return _fs(path, **kwargs)
+
+
+def flagstat_sharded(values, **kwargs):
+    """Data-parallel flagstat over the device mesh (see parallel.sharded)."""
+    from .parallel.sharded import flagstat_sharded as _fs
+
+    return _fs(values, **kwargs)
+
 __version__ = "0.1.0"
 
 
