@@ -26,10 +26,10 @@ from . import codec as C
 
 
 @functools.cache
-def _jit_chunk_sums(impl: str, chunk_words: int):
+def _jit_chunk_sums(impl: str, chunk_words: int, report: bool = False):
     if impl == "pallas":
         def fn(chunk, total, fail):
-            t, f = PK.stream_sums_pallas(chunk)
+            t, f = PK.stream_sums_pallas(chunk, report=report)
             return total + t, fail + f
     else:
         def fn(chunk, total, fail):
@@ -45,19 +45,20 @@ def _jit_assemble():
 
 def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
                     chunk_words: int | None = None, threads: int = 0,
-                    checkpoint=None) -> np.ndarray:
+                    checkpoint=None, report: bool = False) -> np.ndarray:
     """Framed stream -> 32-counter vector, decode/compute overlapped.
 
     ``checkpoint``: optional StreamCheckpoint to resume from / update
     (persists (block_index, partial sums) — the block-accumulative
     contract makes partial results trivially checkpointable).
-    """
+    ``report=True`` uses the faster 21-stream kernel (masked-positional
+    counters left at zero)."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if chunk_words is None:
         chunk_words = 8 * PK.GROUP_WORDS if impl == "pallas" else 1 << 20
 
-    step = _jit_chunk_sums(impl, chunk_words)
+    step = _jit_chunk_sums(impl, chunk_words, report and impl == "pallas")
     total = jnp.zeros(F.N_BITS, jnp.int32)
     fail = jnp.zeros(F.N_BITS, jnp.int32)
     n_words = 0
