@@ -60,3 +60,15 @@ def test_dispatch_input_validation():
         flagstats_u16(np.array([70000], dtype=np.int64))
     with pytest.raises(ValueError):
         flagstats_u16(np.array([-1], dtype=np.int32))
+
+
+def test_bucket_pad_shapes():
+    from libflagstats_tpu.ops.dispatch import _bucket_pad
+
+    a = np.zeros(5, dtype=np.uint16)
+    assert _bucket_pad(a, 16).size == 16          # minimum wins
+    a = np.zeros(1 << 20, dtype=np.uint16)
+    assert _bucket_pad(a, 16).size == 1 << 20     # exact pow2 unchanged
+    a = np.zeros((1 << 20) + 1, dtype=np.uint16)
+    assert _bucket_pad(a, 16).size == 1 << 21     # rounds up
+    assert _bucket_pad(np.zeros(0, dtype=np.uint16), 16).size == 16
