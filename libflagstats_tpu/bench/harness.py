@@ -45,11 +45,18 @@ class BenchResult:
 
 
 def _repeated(body_fn, k: int):
-    """jit(x -> sum of k data-chained body_fn(x) evaluations)."""
+    """jit((x, salt) -> sum of k data-chained body_fn(x) evaluations).
 
-    def run(x):
+    ``salt`` is folded into the initial accumulator so every timed call
+    has distinct arguments — the remote runtime has been observed to
+    satisfy repeated identical executions from cache, which would
+    otherwise fake sub-roofline times."""
+
+    def run(x, salt):
         out_shape = jax.eval_shape(body_fn, x)
-        init = jnp.zeros(out_shape.shape, out_shape.dtype)
+        init = jnp.zeros(out_shape.shape, out_shape.dtype) + salt.astype(
+            out_shape.dtype
+        )
 
         def body(_, c):
             xb = jax.lax.optimization_barrier((x, c))[0]
@@ -69,11 +76,11 @@ def _sync(result):
 
 
 def _time_min(fn, x, iters: int) -> float:
-    _sync(fn(x))  # compile + warmup
+    _sync(fn(x, jnp.int32(0)))  # compile + warmup
     best = float("inf")
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        _sync(fn(x))
+        _sync(fn(x, jnp.int32(i + 1)))
         best = min(best, time.perf_counter() - t0)
     return best
 
