@@ -21,7 +21,7 @@ def _bits(x):
     return b
 
 
-def test_counters_from_first_principles(full_range=True):
+def test_counters_from_first_principles():
     x = generate_flags(200_000, seed=77, full_range=True)
     c = flagstat_numpy(x).astype(np.int64)
     b = _bits(x.astype(np.uint32))
