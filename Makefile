@@ -38,3 +38,12 @@ tsan:
 	  libflagstats_tpu/io/native/flagstats_io.cpp \
 	  -o build/tsan_decode_test -lzstd -pthread
 	./build/tsan_decode_test
+
+# ASan/UBSan fuzz of the LZ4 decoder against corrupted inputs
+asan:
+	mkdir -p build
+	g++ -O1 -g -fsanitize=address,undefined,pointer-overflow -std=c++17 \
+	  libflagstats_tpu/io/native/tests/asan_fuzz_test.cpp \
+	  libflagstats_tpu/io/native/flagstats_io.cpp \
+	  -o build/asan_fuzz_test -lzstd -pthread
+	./build/asan_fuzz_test

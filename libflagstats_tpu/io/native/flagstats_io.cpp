@@ -37,9 +37,10 @@ int64_t lfs_lz4_decompress(const uint8_t* src, int64_t src_len,
     const uint8_t* iend = src + src_len;
     uint8_t* op = dst;
     uint8_t* oend = dst + dst_cap;
-    // margins: within these, 16B wild copies cannot overrun
-    const uint8_t* iend_fast = iend - 32;
-    uint8_t* oend_fast = oend - 32;
+    // margins: within these, 16B wild copies cannot overrun (guarded so
+    // tiny buffers never form out-of-bounds pointers)
+    const uint8_t* iend_fast = src_len >= 32 ? iend - 32 : src;
+    uint8_t* oend_fast = dst_cap >= 32 ? oend - 32 : dst;
 
     while (ip < iend) {
         const uint8_t token = *ip++;

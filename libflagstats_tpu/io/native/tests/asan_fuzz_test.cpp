@@ -1,0 +1,61 @@
+// ASan/UBSan fuzz of the LZ4 block decoder against corrupted inputs.
+// The decoder parses untrusted compressed payloads; it must reject (or
+// produce bounded output for) any byte-flipped / truncated stream
+// without touching memory out of bounds.
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <random>
+#include <vector>
+
+extern "C" {
+int64_t lfs_lz4_compress(const uint8_t*, int64_t, uint8_t*, int64_t, int);
+int64_t lfs_lz4_bound(int64_t);
+int64_t lfs_lz4_decompress(const uint8_t*, int64_t, uint8_t*, int64_t);
+}
+
+int main() {
+    std::mt19937 rng(1234);
+    int rounds = 0;
+    for (int trial = 0; trial < 400; ++trial) {
+        const int64_t n = 1 + rng() % 60000;
+        std::vector<uint8_t> raw(n);
+        switch (trial % 3) {
+            case 0: for (auto& b : raw) b = rng() & 0xFF; break;
+            case 1: for (auto& b : raw) b = rng() & 0x07; break;
+            case 2: {
+                const int p = 1 + rng() % 6;
+                for (int64_t i = 0; i < n; ++i) raw[i] = (i % p) * 37;
+                break;
+            }
+        }
+        std::vector<uint8_t> comp(lfs_lz4_bound(n));
+        const int64_t c = lfs_lz4_compress(raw.data(), n, comp.data(),
+                                           comp.size(), trial % 5);
+        if (c < 0) { printf("compress fail\n"); return 1; }
+        comp.resize(c);
+
+        std::vector<uint8_t> out(n);  // exact capacity: ASan sees any overrun
+        // valid stream must round-trip
+        int64_t r = lfs_lz4_decompress(comp.data(), c, out.data(), n);
+        if (r != n || memcmp(out.data(), raw.data(), n)) {
+            printf("roundtrip fail trial %d\n", trial);
+            return 1;
+        }
+        // corrupted variants: random byte flips and truncations must not
+        // crash or overflow (return value may be anything <= capacity)
+        for (int k = 0; k < 20; ++k) {
+            std::vector<uint8_t> bad(comp);
+            if (k % 2 == 0 && !bad.empty()) {
+                bad[rng() % bad.size()] ^= 1 << (rng() % 8);
+            } else {
+                bad.resize(rng() % (bad.size() + 1));
+            }
+            std::fill(out.begin(), out.end(), 0);
+            (void)lfs_lz4_decompress(bad.data(), bad.size(), out.data(), n);
+            ++rounds;
+        }
+    }
+    printf("ASan fuzz OK: %d corrupted decodes\n", rounds);
+    return 0;
+}
