@@ -66,3 +66,16 @@ def test_flagstat_bitsliced_report_mode(jitted):
     np.testing.assert_array_equal(got[idx], ref[idx])
     zeros = [1, 3, 4, 5, 17, 19, 20, 21]
     assert (got[zeros] == 0).all()
+
+
+def test_adversarial_saturated_planes(jitted):
+    """All-ones FLAG words saturate every CSA plane (maximal carries at
+    every tree level) — the worst case for the staged-counter discipline
+    (SURVEY.md §4 implication (f))."""
+    fn, _ = jitted
+    n = 8 * GROUP_WORDS
+    x = np.full(n, 0x0FFF, dtype=np.uint16)
+    got = np.asarray(fn(jnp.asarray(x), n=n), dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x).astype(np.int64), got)
+    # sanity: every word is QC-fail + secondary here
+    assert got[16 + 8] == n and got[25] == n and got[9] == 0
