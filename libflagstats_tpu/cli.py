@@ -69,8 +69,25 @@ def _samtools_loop(arr: np.ndarray):
     return flagstat_numpy(arr)
 
 
+def _drop_caches() -> bool:
+    """Drop the OS page cache for cold-IO measurement (reference:
+    clear_cache(), benchmark/flagstats.cpp:82-88; needs root)."""
+    try:
+        import os
+
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except OSError:
+        return False
+
+
 def _cmd_decompress(args):
     mode = args.mode
+    if args.drop_caches and not _drop_caches():
+        print("warning: could not drop page caches (need root)",
+              file=sys.stderr)
     if args.stream and mode == "d":
         # overlapped decode+count pipeline (io/stream.py)
         from .io.stream import flagstat_stream
@@ -237,6 +254,9 @@ def main(argv=None) -> int:
                    help="use the literal per-word loop for -s/-S")
     d.add_argument("--stream", action="store_true",
                    help="overlapped decode+count pipeline (mode d only)")
+    d.add_argument("--drop-caches", action="store_true",
+                   help="drop the OS page cache first (cold-IO timing; "
+                        "reference: flagstats.cpp clear_cache)")
     d.set_defaults(fn=_cmd_decompress)
 
     f = sub.add_parser("flagstat", help="samtools-style report of a binary column")
