@@ -55,8 +55,10 @@ def make_sharded_counter_fn(mesh: Mesh, impl: str = "xla", nblk: int = 8,
         fail = jax.lax.psum(fail, AXIS)
         return assemble_counters(total, fail, n)
 
+    # check_vma=False: pallas_call outputs don't carry vma metadata yet
     mapped = jax.shard_map(
-        local, mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P()
+        local, mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(),
+        check_vma=False,
     )
     return jax.jit(mapped)
 
