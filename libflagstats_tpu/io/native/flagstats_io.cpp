@@ -21,6 +21,10 @@
 
 #include <zstd.h>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -322,6 +326,134 @@ int64_t lfs_decode_stream(const uint8_t* stream, int64_t stream_len,
         for (auto& th : pool) th.join();
     }
     return failed ? -1 : dst_off;
+}
+
+// ---------------------------------------------------------------------------
+// Host-side bit transpose ("pretransposed ingest"): uint16 FLAG words ->
+// (groups, 32, 8, 128) uint32 plane tiles, byte-identical to the device
+// kernel's internal sublane-bitcast + 4-stage masked-swap network (see
+// ops/bitslice.pretranspose_host_np for the NumPy reference). Lets the
+// device kernel skip its in-VMEM transpose. Stages j=8..1 never cross
+// 16-register halves, so each half fits the AVX2 register file.
+// ---------------------------------------------------------------------------
+
+}  // extern "C"
+
+namespace {
+
+#if defined(__AVX2__)
+static inline void lfs_swap_pair_avx2(__m256i& a, __m256i& b, int j,
+                                      __m256i m) {
+    __m256i t = _mm256_and_si256(
+        _mm256_xor_si256(a, _mm256_srli_epi32(b, j)), m);
+    // note: shift count must be an immediate for best codegen; j is one
+    // of 8/4/2/1 from an unrolled caller in practice
+    a = _mm256_xor_si256(a, t);
+    b = _mm256_xor_si256(b, _mm256_slli_epi32(t, j));
+}
+#endif
+
+inline void lfs_swap_pair_scalar(uint32_t* a, uint32_t* b, int j, uint32_t m,
+                                 int lanes) {
+    for (int i = 0; i < lanes; ++i) {
+        uint32_t t = (a[i] ^ (b[i] >> j)) & m;
+        a[i] ^= t;
+        b[i] ^= t << j;
+    }
+}
+
+constexpr int kStageJ[4] = {8, 4, 2, 1};
+constexpr uint32_t kStageM[4] = {0x00FF00FFu, 0x0F0F0F0Fu, 0x33333333u,
+                                 0x55555555u};
+
+}  // namespace
+
+extern "C" {
+
+// src: n_words uint16 (n_words % 65536 == 0); dst: (n_words/65536, 32, 8, 128)
+// uint32. Returns 0 on success.
+int64_t lfs_bit_transpose(const uint16_t* src, int64_t n_words,
+                          uint32_t* dst, int n_threads) {
+    if (n_words % 65536) return -1;
+    const int64_t n_groups = n_words / 65536;
+
+    auto do_group = [&](int64_t g) {
+        const uint16_t* gs = src + g * 65536;
+        uint32_t* gd = dst + g * 32 * 8 * 128;
+        for (int half = 0; half < 2; ++half) {
+            const int k0 = half * 16;
+            for (int s = 0; s < 8; ++s) {
+#if defined(__AVX2__)
+                for (int lc = 0; lc < 128; lc += 8) {
+                    __m256i A[16];
+                    for (int k = 0; k < 16; ++k) {
+                        const uint16_t* row0 =
+                            gs + (k0 + k) * 2048 + (2 * s) * 128 + lc;
+                        const uint16_t* row1 = row0 + 128;
+                        __m256i lo = _mm256_cvtepu16_epi32(
+                            _mm_loadu_si128((const __m128i*)row0));
+                        __m256i hi = _mm256_cvtepu16_epi32(
+                            _mm_loadu_si128((const __m128i*)row1));
+                        A[k] = _mm256_or_si256(lo, _mm256_slli_epi32(hi, 16));
+                    }
+                    for (int st = 0; st < 4; ++st) {
+                        const int j = kStageJ[st];
+                        const __m256i m = _mm256_set1_epi32((int)kStageM[st]);
+                        for (int k = 0; k < 16; ++k) {
+                            if (k & j) continue;
+                            lfs_swap_pair_avx2(A[k], A[k + j], j, m);
+                        }
+                    }
+                    for (int k = 0; k < 16; ++k) {
+                        _mm256_storeu_si256(
+                            (__m256i*)(gd + (k0 + k) * 1024 + s * 128 + lc),
+                            A[k]);
+                    }
+                }
+#else
+                uint32_t A[16][128];
+                for (int k = 0; k < 16; ++k) {
+                    const uint16_t* row0 = gs + (k0 + k) * 2048 + (2 * s) * 128;
+                    const uint16_t* row1 = row0 + 128;
+                    for (int l = 0; l < 128; ++l)
+                        A[k][l] = (uint32_t)row0[l] | ((uint32_t)row1[l] << 16);
+                }
+                for (int st = 0; st < 4; ++st) {
+                    const int j = kStageJ[st];
+                    for (int k = 0; k < 16; ++k) {
+                        if (k & j) continue;
+                        lfs_swap_pair_scalar(A[k], A[k + j], j, kStageM[st], 128);
+                    }
+                }
+                for (int k = 0; k < 16; ++k)
+                    std::memcpy(gd + (k0 + k) * 1024 + s * 128, A[k],
+                                128 * sizeof(uint32_t));
+#endif
+            }
+        }
+    };
+
+    int nt = n_threads > 0 ? n_threads
+                           : (int)std::thread::hardware_concurrency();
+    if (nt < 1) nt = 1;
+    if (nt > n_groups) nt = (int)n_groups;
+    if (nt <= 1) {
+        for (int64_t g = 0; g < n_groups; ++g) do_group(g);
+    } else {
+        std::atomic<int64_t> next{0};
+        std::vector<std::thread> pool;
+        for (int t = 0; t < nt; ++t) {
+            pool.emplace_back([&]() {
+                for (;;) {
+                    const int64_t g = next.fetch_add(1);
+                    if (g >= n_groups) return;
+                    do_group(g);
+                }
+            });
+        }
+        for (auto& th : pool) th.join();
+    }
+    return 0;
 }
 
 }  // extern "C"

@@ -58,5 +58,7 @@ def load():
     lib.lfs_zstd_bound.argtypes = [i64]
     lib.lfs_decode_stream.restype = i64
     lib.lfs_decode_stream.argtypes = [u8p, i64, ctypes.c_void_p, i64, i32, i32]
+    lib.lfs_bit_transpose.restype = i64
+    lib.lfs_bit_transpose.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
     _lib = lib
     return _lib

@@ -200,6 +200,58 @@ def flagstat_bitsliced_np(array: np.ndarray) -> np.ndarray:
     return counters
 
 
+def pretranspose_host_np(arr: np.ndarray) -> np.ndarray:
+    """Host-side bit transpose: uint16 stream -> (groups, 32, 8, 128)
+    uint32 plane tiles, byte-identical to what the device kernel produces
+    internally after its sublane bitcast + masked-swap network.
+
+    This is the NumPy reference for the AVX2 implementation in
+    io/native/flagstats_io.cpp (lfs_bit_transpose); the "pretransposed"
+    kernel mode consumes this format and skips the in-VMEM transpose —
+    useful when host cycles are cheaper than device VPU cycles.
+    """
+    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint16)).ravel()
+    group_words = 32 * 16 * 128
+    pad = (-arr.size) % group_words
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint16)])
+    t = arr.reshape(-1, 32, 16, 128)
+    # sublane pairing: row 2s = low half, row 2s+1 = high half
+    regs = t[:, :, 0::2, :].astype(np.uint32) | (
+        t[:, :, 1::2, :].astype(np.uint32) << 16
+    )  # (G, 32, 8, 128)
+    reg_list = [regs[:, k] for k in range(32)]
+    rows = transpose32_np(reg_list)
+    return np.stack(rows, axis=1)  # (G, 32, 8, 128)
+
+
+def pretranspose_host(arr: np.ndarray, threads: int = 0) -> np.ndarray:
+    """Host bit transpose for pretransposed ingest: AVX2 C++ when the
+    native lib is available (multi-GB/s, thread-pooled), NumPy otherwise.
+    Pads the stream to whole 64Ki-word groups (zero padding is
+    count-neutral)."""
+    from ..io import native_lib
+
+    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint16)).ravel()
+    group_words = 32 * 16 * 128
+    pad = (-arr.size) % group_words
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint16)])
+    lib = native_lib.load()
+    if lib is None:
+        return pretranspose_host_np(arr)
+    import ctypes
+
+    out = np.empty((arr.size // group_words, 32, 8, 128), dtype=np.uint32)
+    r = lib.lfs_bit_transpose(
+        arr.ctypes.data_as(ctypes.c_void_p), arr.size,
+        out.ctypes.data_as(ctypes.c_void_p), threads,
+    )
+    if r != 0:
+        raise RuntimeError("native bit transpose failed")
+    return out
+
+
 def popcount32_np(x: np.ndarray) -> np.ndarray:
     """SWAR popcount of uint32 (the kernel's v16 'peel' step)."""
     x = x.astype(np.uint32)

@@ -104,8 +104,10 @@ def _stream_inputs_pospopcnt(rows: list[jax.Array]) -> list[jax.Array]:
     return list(zip(even, odd))
 
 
-def _make_kernel(nblk: int, mode: str):
-    """Build the Pallas kernel body for `mode` in {"flagstat", "pospopcnt"}."""
+def _make_kernel(nblk: int, mode: str, pre: bool = False):
+    """Build the Pallas kernel body for `mode` in
+    {"flagstat", "flagstat_report", "pospopcnt"}; ``pre=True`` consumes
+    host-pretransposed plane tiles and skips the in-VMEM transpose."""
     if mode == "flagstat":
         n_streams = B.N_STREAMS
         stages = B.pruned_pairs()
@@ -141,11 +143,14 @@ def _make_kernel(nblk: int, mode: str):
         foursA = [None] * n_streams
         eightsA = [None] * n_streams
         for g in range(nblk):
-            # free sublane reinterpretation: (16,128) uint16 -> (8,128)
-            # uint32, each word landing intact in one 16-bit field (any
-            # pairing is count-neutral)
-            regs = [pltpu.bitcast(x_ref[g, k], _U32) for k in range(REGS)]
-            rows = _transpose32(regs, stages)
+            if pre:
+                rows = [x_ref[g, k] for k in range(REGS)]
+            else:
+                # free sublane reinterpretation: (16,128) uint16 -> (8,128)
+                # uint32, each word landing intact in one 16-bit field (any
+                # pairing is count-neutral)
+                regs = [pltpu.bitcast(x_ref[g, k], _U32) for k in range(REGS)]
+                rows = _transpose32(regs, stages)
             pairs = make_streams(rows)
             for s, (d0, d1) in enumerate(pairs):
                 v1[s], twos = _csa(v1[s], d0, d1)
@@ -188,18 +193,22 @@ def _make_kernel(nblk: int, mode: str):
     return kernel, n_streams
 
 
-@functools.partial(jax.jit, static_argnames=("nblk", "mode", "interpret"))
-def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool) -> jax.Array:
-    """xg: (groups, 32, 16, 128) uint16, groups % nblk == 0."""
-    kernel, n_streams = _make_kernel(nblk, mode)
+@functools.partial(jax.jit, static_argnames=("nblk", "mode", "interpret", "pre"))
+def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool,
+                pre: bool = False) -> jax.Array:
+    """xg: (groups, 32, 16, 128) uint16 — or, with pre=True,
+    (groups, 32, 8, 128) uint32 host-pretransposed plane tiles;
+    groups % nblk == 0."""
+    kernel, n_streams = _make_kernel(nblk, mode, pre=pre)
     groups = xg.shape[0]
     out_rows = 16 if mode == "pospopcnt" else 32
+    in_block = (nblk, REGS, SUB, LANE) if pre else (nblk, REGS, SUB16, LANE)
     out = pl.pallas_call(
         kernel,
         grid=(groups // nblk,),
         in_specs=[
             pl.BlockSpec(
-                (nblk, REGS, SUB16, LANE),
+                in_block,
                 lambda i: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -273,6 +282,26 @@ def flagstat_pallas(x: jax.Array, n=None, nblk: int = 8, interpret: bool = False
         n = x.size
     total, fail = stream_sums_pallas(x, nblk=nblk, interpret=interpret,
                                      report=report)
+    return assemble_counters(total, fail, n)
+
+
+def flagstat_pallas_pre(planes: jax.Array, n: int, nblk: int = 8,
+                        interpret: bool = False, report: bool = False) -> jax.Array:
+    """Flagstat over host-pretransposed plane tiles (see
+    bitslice.pretranspose_host_np / the native lfs_bit_transpose):
+    the kernel skips its in-VMEM transpose, trading device VPU work for
+    host cycles. ``planes``: (groups, 32, 8, 128) uint32."""
+    if planes.ndim != 4 or planes.shape[1:] != (REGS, SUB, LANE):
+        raise ValueError(f"expected (G, 32, 8, 128) plane tiles, got {planes.shape}")
+    groups = planes.shape[0]
+    if groups % nblk:
+        pad = nblk - groups % nblk
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((pad, REGS, SUB, LANE), planes.dtype)]
+        )
+    mode = "flagstat_report" if report else "flagstat"
+    sums = _run_kernel(planes, nblk, mode, interpret, pre=True)
+    total, fail = _sums_to_streams(sums, report)
     return assemble_counters(total, fail, n)
 
 
@@ -458,7 +487,7 @@ def flagstat_pallas_words(x: jax.Array, n=None, interpret: bool = False) -> jax.
 # the Pallas plumbing (refs, grid, scratch carry) is left to on-TPU tests.
 # ---------------------------------------------------------------------------
 
-def _stream_sums_jnp_body(xg: jax.Array, mode: str) -> jax.Array:
+def _stream_sums_jnp_body(xg: jax.Array, mode: str, pre: bool = False) -> jax.Array:
     if mode == "flagstat":
         stages = B.pruned_pairs()
         make_streams = _stream_inputs_flagstat
@@ -481,14 +510,18 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str) -> jax.Array:
     foursA = [None] * n_streams
     eightsA = [None] * n_streams
     for g in range(groups):
-        # jnp-level equivalent of the kernel's sublane bitcast: pair
-        # adjacent uint16 sublanes into uint32 registers (the exact
-        # pairing is count-neutral)
-        regs = [
-            xg[g, k, 0::2, :].astype(_U32) | (xg[g, k, 1::2, :].astype(_U32) << 16)
-            for k in range(REGS)
-        ]
-        rows = _transpose32(regs, stages)
+        if pre:
+            rows = [xg[g, k] for k in range(REGS)]
+        else:
+            # jnp-level equivalent of the kernel's sublane bitcast: pair
+            # adjacent uint16 sublanes into uint32 registers (the exact
+            # pairing is count-neutral)
+            regs = [
+                xg[g, k, 0::2, :].astype(_U32)
+                | (xg[g, k, 1::2, :].astype(_U32) << 16)
+                for k in range(REGS)
+            ]
+            rows = _transpose32(regs, stages)
         for s, (d0, d1) in enumerate(make_streams(rows)):
             v1[s], twos = _csa(v1[s], d0, d1)
             if g % 2 == 0:

@@ -79,3 +79,29 @@ def test_adversarial_saturated_planes(jitted):
     assert_counters_equal(flagstat_numpy(x).astype(np.int64), got)
     # sanity: every word is QC-fail + secondary here
     assert got[16 + 8] == n and got[25] == n and got[9] == 0
+
+
+def test_pretransposed_ingest(jitted):
+    """Host bit transpose (native AVX2 or NumPy) + pre-mode counting is
+    bit-exact; the native and NumPy transposes agree byte-for-byte."""
+    from libflagstats_tpu.ops import pallas_kernels as PK
+    from libflagstats_tpu.ops.bitslice import pretranspose_host, pretranspose_host_np
+    from libflagstats_tpu.ops.xla_ops import assemble_counters
+
+    n = 3 * GROUP_WORDS + 777
+    x = generate_flags(n, seed=45, full_range=True)
+    planes = pretranspose_host(x)
+    np.testing.assert_array_equal(planes, pretranspose_host_np(x))
+
+    g = planes.shape[0]
+    pad = (-g) % 8
+    if pad:
+        planes = np.concatenate(
+            [planes, np.zeros((pad, 32, 8, 128), np.uint32)]
+        )
+    sums = jax.jit(
+        PK._stream_sums_jnp_body, static_argnames=("mode", "pre")
+    )(jnp.asarray(planes), "flagstat", pre=True)
+    total, fail = PK._sums_to_streams(sums, False)
+    got = np.asarray(assemble_counters(total, fail, jnp.int32(n)), dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x).astype(np.int64), got)

@@ -56,3 +56,16 @@ def test_sharded_pallas_composition():
     x = generate_flags(n, seed=99, full_range=True)
     got = flagstat_sharded(x, impl="pallas")
     assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_pretransposed_kernel_tpu():
+    """Pre-mode kernel (no in-VMEM transpose) over host-AVX2-transposed
+    plane tiles — bit-exact vs the oracle."""
+    from libflagstats_tpu.ops.bitslice import pretranspose_host
+    from libflagstats_tpu.ops.pallas_kernels import flagstat_pallas_pre
+
+    n = 8 * GROUP_WORDS - 555
+    x = generate_flags(n, seed=50, full_range=True)
+    planes = pretranspose_host(x)
+    got = np.asarray(flagstat_pallas_pre(jnp.asarray(planes), n=n), dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x), got)
