@@ -249,7 +249,7 @@ def main(argv=None) -> int:
                         "R/D/S: raw binary [+flagstat|+samtools]")
     d.add_argument("--codec", choices=["raw", "lz4", "zstd"], default="lz4")
     d.add_argument("--threads", type=int, default=0)
-    d.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report"], default=None)
+    d.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report", "pallas_pre"], default=None)
     d.add_argument("--loop", action="store_true",
                    help="use the literal per-word loop for -s/-S")
     d.add_argument("--stream", action="store_true",
@@ -261,7 +261,7 @@ def main(argv=None) -> int:
 
     f = sub.add_parser("flagstat", help="samtools-style report of a binary column")
     f.add_argument("input")
-    f.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report"], default=None)
+    f.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report", "pallas_pre"], default=None)
     f.set_defaults(fn=_cmd_flagstat)
 
     m = sub.add_parser("inmemory", help="correctness+speed harness")
@@ -274,7 +274,7 @@ def main(argv=None) -> int:
     s.add_argument("--lz4-levels", type=int, nargs="*", default=[1, 4, 9])
     s.add_argument("--zstd-levels", type=int, nargs="*", default=[1, 3, 19])
     s.add_argument("--threads", type=int, default=0)
-    s.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report"], default=None)
+    s.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report", "pallas_pre"], default=None)
     s.set_defaults(fn=_cmd_codec_sweep)
 
     b = sub.add_parser(

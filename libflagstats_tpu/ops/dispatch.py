@@ -30,6 +30,8 @@ FLAGSTAT_IMPLS = {
     "pallas_words": "word-space packed-SWAR dual-tree kernel (AVX512-base analogue)",
     "pallas_report": "21-stream bit-sliced kernel, report counters only "
                      "(improved3/4 analogue; masked-positional counters are 0)",
+    "pallas_pre": "host AVX2 bit transpose + transpose-free kernel "
+                  "(fully memory-bound on device; costs host cycles)",
 }
 POSPOPCNT_IMPLS = {
     "numpy": "host per-bit count",
@@ -104,6 +106,21 @@ def get_function(n_len: int, impl: str | None = None):
                 n=int(arr.size), interpret=interpret, report=True,
             )
         )
+    if impl == "pallas_pre":
+        from .bitslice import pretranspose_host
+
+        interpret = backend() != "tpu"
+
+        def run_pre(arr):
+            planes = pretranspose_host(_bucket_pad(arr, PALLAS_MIN))
+            return np.asarray(
+                pallas_kernels.flagstat_pallas_pre(
+                    jax.numpy.asarray(planes), n=int(arr.size),
+                    interpret=interpret,
+                )
+            )
+
+        return run_pre
     if impl == "pallas_words":
         interpret = backend() != "tpu"
         return lambda arr: np.asarray(
