@@ -44,7 +44,7 @@ def main() -> int:
 
     impls = ["numpy", "xla"]
     if args.tpu and jax.default_backend() == "tpu":
-        impls += ["pallas", "pallas_report", "pallas_words"]
+        impls += ["pallas", "pallas_report", "pallas_words", "pallas_pre"]
 
     rng = np.random.default_rng(int(time.time()))
     tested = list(F.TESTED_COUNTERS)
