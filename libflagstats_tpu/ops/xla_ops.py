@@ -47,13 +47,25 @@ def transform_words_jnp(x: jax.Array) -> jax.Array:
 def pospopcnt_u16_xla(x: jax.Array, n_bits: int = F.N_BITS) -> jax.Array:
     """Positional popcount of a uint16 stream -> (n_bits,) int32.
 
-    TPU-native analogue of STORM_pospopcnt_u16 (libalgebra.h:3497): the
-    per-bit extraction fuses into a single pass over the data under jit.
+    TPU-native analogue of STORM_pospopcnt_u16 (libalgebra.h:3497),
+    packed-SWAR form: two words per uint32 lane, per-bit fused
+    shift-mask-sum (no (N, n_bits) bit-matrix intermediate).
     """
-    x = x.astype(jnp.uint32)
-    ks = jnp.arange(n_bits, dtype=jnp.uint32)
-    bits = (x[:, None] >> ks[None, :]) & jnp.uint32(1)
-    return jnp.sum(bits.astype(jnp.int32), axis=0)
+    n = x.size
+    pad = (-n) % 256
+    if pad:
+        x = jnp.pad(x.ravel(), (0, pad))
+    x2 = x.reshape(-1, 256)
+    packed = x2[:, :128].astype(jnp.uint32) | (
+        x2[:, 128:].astype(jnp.uint32) << 16
+    )
+    one = jnp.uint32(0x00010001)
+    out = []
+    for k in range(n_bits):
+        c = (packed >> k) & one
+        both = (c + (c >> 16)) & jnp.uint32(3)
+        out.append(jnp.sum(both.astype(jnp.int32)))
+    return jnp.stack(out)
 
 
 def stream_sums_xla(x: jax.Array) -> tuple[jax.Array, jax.Array]:
