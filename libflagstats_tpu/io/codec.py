@@ -244,6 +244,11 @@ def read_framed(path, codec: str | int, n_threads: int = 0) -> np.ndarray:
             raw_len, comp_len = struct.unpack_from("<ii", data, off)
             if raw_len < 0 or comp_len < 0:
                 raise ValueError("corrupt frame header (negative length)")
+            if raw_len % 2:
+                # uint16 payloads only; an odd raw_len would make the
+                # native decoder write raw_total bytes into a
+                # raw_total//2-word buffer (advisor finding, round 1)
+                raise ValueError("corrupt frame header (odd raw length)")
             raw_total += raw_len
             off += 8 + comp_len
         out = np.empty(raw_total // 2, dtype=np.uint16)
@@ -280,6 +285,8 @@ def scan_frames(path) -> list[tuple[int, int, int]]:
             raw_len, comp_len = struct.unpack("<ii", f.read(8))
             if raw_len < 0 or comp_len < 0:
                 raise ValueError("corrupt frame header (negative length)")
+            if raw_len % 2:
+                raise ValueError("corrupt frame header (odd raw length)")
             frames.append((off + 8, raw_len, comp_len))
             off += 8 + comp_len
             f.seek(off)

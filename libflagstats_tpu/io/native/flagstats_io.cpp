@@ -41,10 +41,11 @@ int64_t lfs_lz4_decompress(const uint8_t* src, int64_t src_len,
     const uint8_t* iend = src + src_len;
     uint8_t* op = dst;
     uint8_t* oend = dst + dst_cap;
-    // margins: within these, 16B wild copies cannot overrun (guarded so
-    // tiny buffers never form out-of-bounds pointers)
-    const uint8_t* iend_fast = src_len >= 32 ? iend - 32 : src;
-    uint8_t* oend_fast = dst_cap >= 32 ? oend - 32 : dst;
+    // Wild-copy margins are checked arithmetically per copy site
+    // ((iend - ip) / (oend - op) >= 32) rather than via precomputed
+    // "fast end" pointers: with dst_cap < 32 a clamped oend_fast == dst
+    // still compared equal to op on the first sequence, letting a 16B
+    // wild copy overrun a tiny output buffer (advisor finding, round 1).
 
     while (ip < iend) {
         const uint8_t token = *ip++;
@@ -57,7 +58,7 @@ int64_t lfs_lz4_decompress(const uint8_t* src, int64_t src_len,
                 lit += b;
             } while (b == 255);
         }
-        if (lit <= 16 && ip <= iend_fast && op <= oend_fast) {
+        if (lit <= 16 && (iend - ip) >= 32 && (oend - op) >= 32) {
             std::memcpy(op, ip, 16);                  // wild copy
         } else {
             if (ip + lit > iend || op + lit > oend) return -1;
@@ -83,13 +84,13 @@ int64_t lfs_lz4_decompress(const uint8_t* src, int64_t src_len,
         }
         if (op + mlen > oend) return -1;
         const uint8_t* match = op - offset;
-        if (op + mlen <= oend_fast && mlen <= 16 && offset >= 16) {
+        if (mlen <= 16 && offset >= 16 && (oend - op) >= 32) {
             std::memcpy(op, match, 16);               // wild copy
             op += mlen;
         } else if (offset >= 8) {
             uint8_t* o = op;
             op += mlen;
-            if (op <= oend_fast) {
+            if ((oend - op) >= 32) {
                 do {                                   // 8B wild chunks
                     std::memcpy(o, match, 8);
                     o += 8; match += 8;
@@ -107,7 +108,7 @@ int64_t lfs_lz4_decompress(const uint8_t* src, int64_t src_len,
             const int64_t stride = (16 / offset) * offset;
             uint8_t* o = op;
             op += mlen;
-            if (op <= oend_fast) {
+            if ((oend - op) >= 32) {
                 do {
                     std::memcpy(o, pat, 16);
                     o += stride;

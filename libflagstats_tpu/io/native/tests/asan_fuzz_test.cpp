@@ -17,6 +17,37 @@ int64_t lfs_lz4_decompress(const uint8_t*, int64_t, uint8_t*, int64_t);
 int main() {
     std::mt19937 rng(1234);
     int rounds = 0;
+
+    // Regression (advisor round 1): large valid-looking payload decoded
+    // into a tiny dst (crafted frame header declaring raw_len < 16 while
+    // the payload is >= 33 bytes). The old wild-copy guard compared
+    // op <= oend_fast where oend_fast had been clamped to dst, so the
+    // first sequence wrote 16 wild bytes into dst regardless of dst_cap.
+    {
+        std::vector<uint8_t> raw(4096);
+        for (auto& b : raw) b = rng() & 0xFF;  // incompressible
+        std::vector<uint8_t> comp(lfs_lz4_bound(raw.size()));
+        const int64_t c = lfs_lz4_compress(raw.data(), raw.size(),
+                                           comp.data(), comp.size(), 0);
+        if (c < 33) { printf("setup fail: payload too small\n"); return 1; }
+        for (int64_t cap = 0; cap < 32; ++cap) {
+            std::vector<uint8_t> tiny(cap ? cap : 1);
+            const int64_t r = lfs_lz4_decompress(comp.data(), c,
+                                                 tiny.data(), cap);
+            if (r > cap) { printf("tiny-dst overrun report\n"); return 1; }
+        }
+        // literal-only stream (one token, 20 literals) into tiny dst
+        std::vector<uint8_t> lits;
+        lits.push_back(15 << 4);
+        lits.push_back(5);  // 15 + 5 = 20 literals
+        for (int i = 0; i < 40; ++i) lits.push_back(0x5A);
+        for (int64_t cap = 0; cap < 20; ++cap) {
+            std::vector<uint8_t> tiny(cap ? cap : 1);
+            const int64_t r = lfs_lz4_decompress(lits.data(), lits.size(),
+                                                 tiny.data(), cap);
+            if (r >= 0) { printf("tiny-dst literal accept\n"); return 1; }
+        }
+    }
     for (int trial = 0; trial < 400; ++trial) {
         const int64_t n = 1 + rng() % 60000;
         std::vector<uint8_t> raw(n);

@@ -38,6 +38,12 @@ class FlagstatReport:
         mp, mf = self.mapped
         pp, pf = self.properly_paired
         sp, sf = self.singletons
+        # samtools (and the reference printer, benchmark/flagstats.cpp:
+        # percent(n_pair_good, n_pair_all) / percent(n_sgltn, n_pair_all))
+        # use paired-in-sequencing as the denominator for the
+        # properly-paired and singleton percentage columns; only the
+        # mapped line is a fraction of the stratum total.
+        qp, qf = self.paired_in_sequencing
         return [
             f"{p} + {f} in total (QC-passed reads + QC-failed reads)",
             f"{self.secondary[0]} + {self.secondary[1]} secondary",
@@ -47,9 +53,9 @@ class FlagstatReport:
             f"{self.paired_in_sequencing[0]} + {self.paired_in_sequencing[1]} paired in sequencing",
             f"{self.read1[0]} + {self.read1[1]} read1",
             f"{self.read2[0]} + {self.read2[1]} read2",
-            f"{pp} + {pf} properly paired ({pct(pp, p)} : {pct(pf, f)})",
+            f"{pp} + {pf} properly paired ({pct(pp, qp)} : {pct(pf, qf)})",
             f"{self.both_mapped[0]} + {self.both_mapped[1]} with itself and mate mapped",
-            f"{sp} + {sf} singletons ({pct(sp, p)} : {pct(sf, f)})",
+            f"{sp} + {sf} singletons ({pct(sp, qp)} : {pct(sf, qf)})",
         ]
 
     def text(self) -> str:

@@ -162,3 +162,17 @@ def test_corrupt_negative_frame_header(tmp_path):
         C.scan_frames(bad)
     with pytest.raises(ValueError):
         list(C.iter_framed(bad))
+
+
+def test_corrupt_odd_raw_len_rejected(tmp_path):
+    """A crafted odd raw_len must be rejected before the native decoder
+    writes raw_total bytes into a raw_total//2-word (raw_total-1-byte)
+    buffer (advisor finding, round 1)."""
+    import struct as _s
+
+    bad = tmp_path / "odd.bin"
+    bad.write_bytes(_s.pack("<ii", 5, 5) + b"abcde")
+    with pytest.raises(ValueError, match="odd raw length"):
+        C.read_framed(bad, "raw")
+    with pytest.raises(ValueError, match="odd raw length"):
+        C.scan_frames(bad)

@@ -24,6 +24,37 @@ def test_report_consistency():
     assert "properly paired" in text
 
 
+def test_report_text_matches_samtools_na12878():
+    """Exact report text — including percentage columns — against the
+    published `samtools flagstat` output for NA12878 (reference
+    README.md:179-191). samtools and the reference printer
+    (benchmark/flagstats.cpp percent(n_pair_good, n_pair_all)) use
+    paired-in-sequencing as the denominator for the properly-paired and
+    singletons columns, and the stratum total for the mapped column."""
+    c = np.zeros(32, dtype=np.uint64)
+    c[F.FQCFAIL_OFF] = 824541892           # pass-total
+    c[F.FUNMAP_OFF] = 824541892 - 805383403
+    c[F.FSUPPLEMENTARY_OFF] = 5393628
+    c[F.FPAIRED_OFF] = 819148264
+    c[F.FREAD1_OFF] = 409574132
+    c[F.FREAD2_OFF] = 409574132
+    c[F.BIT12_OFF] = 781085884
+    c[F.BIT13_OFF] = 2038885
+    c[F.BIT14_OFF] = 797950890
+    lines = counters_to_report(c).lines()
+    assert lines[0] == "824541892 + 0 in total (QC-passed reads + QC-failed reads)"
+    assert lines[1] == "0 + 0 secondary"
+    assert lines[2] == "5393628 + 0 supplementary"
+    assert lines[3] == "0 + 0 duplicates"
+    assert lines[4] == "805383403 + 0 mapped (97.68% : N/A)"
+    assert lines[5] == "819148264 + 0 paired in sequencing"
+    assert lines[6] == "409574132 + 0 read1"
+    assert lines[7] == "409574132 + 0 read2"
+    assert lines[8] == "781085884 + 0 properly paired (95.35% : N/A)"
+    assert lines[9] == "797950890 + 0 with itself and mate mapped"
+    assert lines[10] == "2038885 + 0 singletons (0.25% : N/A)"
+
+
 def test_binding_dict_shape():
     x = generate_flags(10_000, seed=2)
     d = lfs.flagstats(x, impl="numpy")
