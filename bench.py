@@ -4,34 +4,58 @@
 Workload: 64M uniform-random 16-bit FLAG words (BASELINE.json config #2/#3),
 bit-exact counters validated against the host oracle before timing (the
 reference validates every benchmark iteration against FLAGSTAT_scalar,
-linux/instrumented_benchmark.cpp:181-208). Kernel time is measured with
-in-jit repetition to cancel this environment's remote-dispatch latency
-(see libflagstats_tpu/bench/harness.py).
+linux/instrumented_benchmark.cpp:181-208; its min/avg + memcpy
+speed-of-light method is instrumented_benchmark.cpp:107-142,456-544).
+
+Self-defending measurement (round 2 — the round-1 driver capture was a
+remote-execution-caching artifact claiming 7.5x the HBM roofline):
+
+  1. every timed call runs on a FRESH salted device buffer, so an
+     execution cache keyed on (executable, input buffers) can never hit;
+  2. kernel time is the SLOPE of a linear fit of total time over >= 3
+     in-jit repetition counts (intercept = dispatch overhead), with
+     residual and median-vs-min dispersion gates;
+  3. any sample implying throughput above the same-process measured HBM
+     read roofline is rejected and remeasured (a kernel that must read
+     128 MB cannot beat a bare read-reduce);
+  4. the whole measurement runs in TWO fresh worker processes and the
+     result only prints if they agree within 5%.
 
 Prints ONE JSON line:
   {"metric": "flagstat_words_per_sec", "value": ..., "unit": "words/s",
-   "vs_baseline": <fraction of measured HBM read roofline>}
+   "vs_baseline": <fraction of measured HBM read roofline>, ...}
 """
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from libflagstats_tpu.bench.harness import kernel_time, roofline_bytes_per_s
-from libflagstats_tpu.config import enable_compilation_cache
-from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+import time
 
 N_WORDS = 64 * 1024 * 1024
+ROOF_MARGIN = 1.05        # reject kernel samples > 1.05x same-process roofline
+AGREE_PCT = 5.0           # cross-process reproduction tolerance
+MAX_ATTEMPTS = 4          # in-process remeasure attempts
+MAX_WORKERS = 4           # worker launches before giving up
 
 
-def main() -> int:
+def _measure_worker() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libflagstats_tpu.bench.harness import kernel_time_fit, roofline_fit
+    from libflagstats_tpu.config import enable_compilation_cache
+    from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
     enable_compilation_cache()
     backend = jax.default_backend()
-    x_host = generate_flags(N_WORDS, seed=0, full_range=True)
+    # smaller workload + repetition counts off-TPU so the CPU fallback
+    # stays runnable; the driver-visible number is the TPU one
+    n_words = N_WORDS if backend == "tpu" else 4 * 1024 * 1024
+    ks = (4, 64, 260) if backend == "tpu" else (2, 8, 24)
+    x_host = generate_flags(n_words, seed=0, full_range=True)
 
     from libflagstats_tpu import flags as FL
 
@@ -44,8 +68,8 @@ def main() -> int:
         # headline: the 21-stream report-mode kernel — the exact
         # `samtools flagstat` workload (the reference's improved3/4
         # kernels make the same masked-positional trade)
-        full = jax.jit(lambda a: flagstat_pallas(a, n=N_WORDS, report=True))
-        full_parity = jax.jit(lambda a: flagstat_pallas(a, n=N_WORDS))
+        full = jax.jit(lambda a: flagstat_pallas(a, n=n_words, report=True))
+        full_parity = jax.jit(lambda a: flagstat_pallas(a, n=n_words))
         check_idx = list(FL.REPORT_COUNTERS)
 
         def body(a):
@@ -54,7 +78,7 @@ def main() -> int:
     else:  # CPU fallback so the bench is runnable anywhere
         from libflagstats_tpu.ops.xla_ops import flagstat_xla, stream_sums_xla
 
-        full = jax.jit(lambda a: flagstat_xla(a, n=N_WORDS))
+        full = jax.jit(lambda a: flagstat_xla(a, n=n_words))
         full_parity = None
         check_idx = list(range(32))
 
@@ -72,32 +96,129 @@ def main() -> int:
         got_full = np.asarray(full_parity(x), dtype=np.int64)
         ok = (got_full == ref).all()
     if not ok:
-        print(json.dumps({"metric": "flagstat_words_per_sec", "value": 0.0,
-                          "unit": "words/s", "vs_baseline": 0.0,
-                          "error": "counter mismatch vs oracle"}))
         print(f"expected {ref}\ngot      {got}", file=sys.stderr)
+        return {"error": "counter mismatch vs oracle"}
+
+    # same-process roofline, measured with the same defended method
+    roofs = roofline_fit(2 * n_words, ks=ks)
+    if not roofs:
+        return {"error": "roofline measurement failed"}
+    roof_name, roof_entry = max(roofs.items(),
+                                key=lambda kv: kv[1]["bytes_per_s"])
+    roof = roof_entry["bytes_per_s"]
+
+    rejected = 0
+    last = None
+    for attempt in range(MAX_ATTEMPTS):
+        fit = kernel_time_fit(body, x, ks=ks,
+                              salt_base=(time.time_ns() >> 10) & 0x3FFF)
+        t_kernel = fit.slope_s
+        bps = 2.0 * n_words / t_kernel
+        last = (fit, t_kernel, bps)
+        print(f"[bench] attempt {attempt}: slope={t_kernel*1e3:.4f}ms "
+              f"({bps/1e9:.1f} GB/s) intercept={fit.intercept_s*1e3:.1f}ms "
+              f"residual={fit.rel_residual:.3f} dispersion={fit.dispersion:.3f}",
+              file=sys.stderr)
+        if not fit.ok or fit.dispersion > 0.30:
+            rejected += 1
+            continue
+        if bps > roof * ROOF_MARGIN:
+            # physically impossible: the kernel reads the same bytes the
+            # roofline does — caching artifact, remeasure
+            rejected += 1
+            continue
+        break
+    else:
+        fit, t_kernel, bps = last
+        return {
+            "error": "no physically-plausible sample after "
+                     f"{MAX_ATTEMPTS} attempts",
+            "kernel_ms": t_kernel * 1e3,
+            "roofline_gbs": roof / 1e9,
+        }
+
+    return {
+        "backend": backend,
+        "n_words": n_words,
+        "kernel_ms": t_kernel * 1e3,
+        "bytes_per_s": bps,
+        "words_per_s": n_words / t_kernel,
+        "roofline_gbs": roof / 1e9,
+        "roofline_kind": roof_name,
+        "vs_roofline": bps / roof,
+        "fit_residual": fit.rel_residual,
+        "fit_dispersion": fit.dispersion,
+        "dispatch_ms": fit.intercept_s * 1e3,
+        "rejected_samples": rejected,
+    }
+
+
+def worker_main() -> int:
+    res = _measure_worker()
+    print("WORKER_RESULT " + json.dumps(res))
+    return 0 if "error" not in res else 1
+
+
+def _run_worker(idx: int) -> dict:
+    env = dict(os.environ)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--worker"],
+        capture_output=True, text=True, env=env, timeout=5400,
+    )
+    sys.stderr.write(proc.stderr)
+    for line in proc.stdout.splitlines():
+        if line.startswith("WORKER_RESULT "):
+            return json.loads(line[len("WORKER_RESULT "):])
+    return {"error": f"worker {idx} produced no result "
+                     f"(rc={proc.returncode})"}
+
+
+def main() -> int:
+    results: list[dict] = []
+    final = None
+    for i in range(MAX_WORKERS):
+        r = _run_worker(i)
+        if "error" in r:
+            print(f"[bench] worker {i}: {r['error']}", file=sys.stderr)
+            continue
+        results.append(r)
+        # find an agreeing pair among all good results so far
+        for a in range(len(results)):
+            for b in range(a + 1, len(results)):
+                va, vb = results[a]["words_per_s"], results[b]["words_per_s"]
+                spread = 200.0 * abs(va - vb) / (va + vb)
+                if spread <= AGREE_PCT:
+                    final = (results[a], results[b], spread)
+        if final:
+            break
+    if final is None:
+        print(json.dumps({
+            "metric": "flagstat_words_per_sec", "value": 0.0,
+            "unit": "words/s", "vs_baseline": 0.0,
+            "error": f"no two workers agreed within {AGREE_PCT}% "
+                     f"({len(results)} valid results)",
+        }))
         return 1
 
-    t_kernel = kernel_time(body, x)
-    roofs = roofline_bytes_per_s(2 * N_WORDS)
-    roof = max(roofs.values()) if roofs else float("nan")
-    words_per_s = N_WORDS / t_kernel
-    bytes_per_s = 2.0 * N_WORDS / t_kernel
-
+    ra, rb, spread = final
+    # conservative: report the slower of the agreeing pair
+    slow = ra if ra["words_per_s"] <= rb["words_per_s"] else rb
     print(json.dumps({
         "metric": "flagstat_words_per_sec",
-        "value": round(words_per_s, 1),
+        "value": round(slow["words_per_s"], 1),
         "unit": "words/s",
-        "vs_baseline": round(bytes_per_s / roof, 4) if roof == roof else None,
+        "vs_baseline": round(slow["vs_roofline"], 4),
+        "kernel_ms": round(slow["kernel_ms"], 4),
+        "gbytes_per_s": round(slow["bytes_per_s"] / 1e9, 1),
+        "roofline_gbs": round(slow["roofline_gbs"], 1),
+        "cross_process_spread_pct": round(spread, 2),
+        "fit_residual": round(slow["fit_residual"], 4),
+        "backend": slow["backend"],
     }))
-    print(
-        f"[bench] backend={backend} n={N_WORDS} kernel={t_kernel*1e3:.3f}ms "
-        f"-> {bytes_per_s/1e9:.1f} GB/s; roofline candidates: "
-        + ", ".join(f"{k}={v/1e9:.1f}GB/s" for k, v in roofs.items()),
-        file=sys.stderr,
-    )
     return 0
 
 
 if __name__ == "__main__":
+    if "--worker" in sys.argv:
+        sys.exit(worker_main())
     sys.exit(main())

@@ -93,6 +93,93 @@ def kernel_time(body_fn, x, k_small: int = 4, k_big: int = 260,
     return max((t_big - t_small) / (k_big - k_small), 1e-9)
 
 
+# ---------------------------------------------------------------------------
+# Self-defending measurement (round-2): the round-1 driver capture was a
+# caching artifact (physically impossible 7.5x-roofline throughput), so
+# the headline path now (a) gives every timed call a FRESH input buffer
+# (a jitted xor-mutation producing a new device allocation, so a runtime
+# execution cache keyed on (executable, buffers) can never hit), (b) fits
+# a line over >= 3 repetition counts instead of differencing two (slope =
+# kernel time, intercept = dispatch), (c) uses the per-K median with a
+# median-vs-min dispersion gate (a cache hit would poison a min), and
+# (d) reports fit residuals so callers can reject non-linear samples.
+# Callers additionally reject any slope faster than the same-process
+# roofline and require cross-process reproduction (see bench.py).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class FitResult:
+    slope_s: float          # per-invocation kernel time
+    intercept_s: float      # fixed dispatch + loop overhead per call
+    points: list            # (k, median_s, min_s)
+    rel_residual: float     # max |t - fit| / fit over the points
+    dispersion: float       # max (median - min) / median over the points
+
+    @property
+    def ok(self) -> bool:
+        return self.slope_s > 0 and self.rel_residual < 0.15
+
+
+_fresh_cache: dict = {}
+
+
+def _fresh_input(x, salt: int):
+    """A new device buffer with contents x ^ salt (same dtype/shape).
+
+    Completion is forced with a tiny tail fetch, so the buffer exists
+    before the timed region starts."""
+    key = (x.shape, str(x.dtype))
+    fn = _fresh_cache.get(key)
+    if fn is None:
+        def mut(a, s):
+            return jax.lax.bitwise_xor(a, jnp.broadcast_to(
+                s.astype(a.dtype), a.shape))
+        fn = jax.jit(mut)
+        _fresh_cache[key] = fn
+    y = fn(x, jnp.uint32(salt & 0xFFFF))
+    np.asarray(y.ravel()[-1])   # tiny sync fetch — awaits execution
+    return y
+
+
+def kernel_time_fit(body_fn, x, ks=(4, 64, 260), iters: int = 4,
+                    fresh: bool = True, salt_base: int | None = None) -> FitResult:
+    """Per-invocation device time via a linear fit of total time over
+    repetition count, every timed call on a fresh salted input buffer."""
+    if salt_base is None:
+        salt_base = time.time_ns() & 0x3FFF
+    points = []
+    call = 0
+    for k in ks:
+        fn = _repeated(body_fn, k)
+        xw = _fresh_input(x, salt_base) if fresh else x
+        _sync(fn(xw, jnp.int32(0)))           # compile + warmup
+        times = []
+        for i in range(iters):
+            call += 1
+            salt = salt_base + 7919 * call
+            xt = _fresh_input(x, salt) if fresh else x
+            t0 = time.perf_counter()
+            _sync(fn(xt, jnp.int32(salt)))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        med = times[len(times) // 2] if len(times) % 2 else (
+            0.5 * (times[len(times) // 2 - 1] + times[len(times) // 2]))
+        points.append((k, med, times[0]))
+
+    karr = np.array([p[0] for p in points], dtype=np.float64)
+    tarr = np.array([p[1] for p in points], dtype=np.float64)
+    km, tm = karr.mean(), tarr.mean()
+    var = float(((karr - km) ** 2).sum())
+    slope = float(((karr - km) * (tarr - tm)).sum()) / var
+    intercept = tm - slope * km
+    fit = intercept + slope * karr
+    rel_res = float(np.max(np.abs(tarr - fit) / np.maximum(fit, 1e-12)))
+    disp = max((p[1] - p[2]) / p[1] if p[1] > 0 else 0.0 for p in points)
+    return FitResult(slope_s=max(slope, 1e-12), intercept_s=intercept,
+                     points=points, rel_residual=rel_res, dispersion=disp)
+
+
 def measure_min(fn, args, iters: int = 7, warmup: int = 2, name: str = "") -> BenchResult:
     """Plain wall-clock timing (includes dispatch latency — use for
     end-to-end pipeline numbers, not kernel numbers)."""
@@ -131,4 +218,24 @@ def roofline_bytes_per_s(n_bytes: int, iters: int = 5) -> dict[str, float]:
         except Exception:
             continue
         out[name] = n_bytes / t
+    return out
+
+
+def roofline_fit(n_bytes: int, ks=(4, 64, 260), iters: int = 4) -> dict:
+    """HBM read speed-of-light, measured with the same defended multi-K
+    fit + fresh-buffer method as the kernels (so kernel and roofline
+    numbers share failure modes and the ratio stays meaningful)."""
+    n32 = n_bytes // 4
+    x = jax.block_until_ready(jnp.arange(n32, dtype=jnp.int32))
+    out = {}
+    for name, fn in (
+        ("read_sum", lambda a: jnp.sum(a)[None]),
+        ("read_xor", lambda a: jax.lax.reduce(
+            a, jnp.int32(0), jax.lax.bitwise_xor, (0,))[None]),
+    ):
+        try:
+            r = kernel_time_fit(fn, x, ks=ks, iters=iters)
+        except Exception:
+            continue
+        out[name] = {"bytes_per_s": n_bytes / r.slope_s, "fit": r}
     return out
