@@ -20,7 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.pallas_kernels import GROUP_WORDS, stream_sums_pallas
+from ..ops.pallas_kernels import (
+    GROUP_WORDS,
+    WORDS_STEP,
+    _run_words_kernel,
+    stream_sums_pallas,
+)
 from ..ops.xla_ops import assemble_counters, stream_sums_xla
 
 AXIS = "data"
@@ -37,6 +42,8 @@ def _local_sums(xs: jax.Array, impl: str, nblk: int, interpret: bool,
     if impl == "pallas":
         return stream_sums_pallas(xs, nblk=nblk, interpret=interpret,
                                   report=report)
+    if impl == "pallas_words":
+        return _run_words_kernel(xs.reshape(-1, 512, 128), interpret)
     return stream_sums_xla(xs)
 
 
@@ -65,7 +72,11 @@ def make_sharded_counter_fn(mesh: Mesh, impl: str = "xla", nblk: int = 8,
 
 def shard_granule(impl: str, nblk: int = 8) -> int:
     """Per-shard length quantum (Pallas grid step or XLA lane width)."""
-    return nblk * GROUP_WORDS if impl == "pallas" else 8
+    if impl == "pallas":
+        return nblk * GROUP_WORDS
+    if impl == "pallas_words":
+        return WORDS_STEP
+    return 8
 
 
 def pad_for_mesh(x: np.ndarray, mesh_size: int, granule: int) -> np.ndarray:
@@ -77,30 +88,36 @@ def pad_for_mesh(x: np.ndarray, mesh_size: int, granule: int) -> np.ndarray:
 
 
 @functools.cache
-def _cached_counter_fn(mesh_key, impl, nblk, interpret):
+def _cached_counter_fn(mesh_key, impl, nblk, interpret, report):
     mesh = data_mesh()
-    return make_sharded_counter_fn(mesh, impl=impl, nblk=nblk, interpret=interpret), mesh
+    return make_sharded_counter_fn(mesh, impl=impl, nblk=nblk,
+                                   interpret=interpret, report=report), mesh
 
 
 def flagstat_sharded(
     x, mesh: Mesh | None = None, impl: str | None = None,
-    nblk: int = 8, interpret: bool = False,
+    nblk: int = 8, interpret: bool = False, report: bool = False,
 ) -> np.ndarray:
     """One-call data-parallel flagstat of a host uint16 array.
 
     Pads, shards over the mesh, runs the local kernel per device, psums
     the stream sums, and assembles the 32-counter vector (bit-exact vs
     the single-device run — tested on a virtual 8-device mesh).
+
+    ``report=True`` selects the 21-stream report-mode kernel on the
+    Pallas path (only flags.REPORT_COUNTERS are guaranteed); the XLA
+    tier computes all 32 counters either way.
     """
     arr = np.ascontiguousarray(np.asarray(x, dtype=np.uint16)).ravel()
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if mesh is None:
         fn, mesh = _cached_counter_fn(
-            tuple(d.id for d in jax.devices()), impl, nblk, interpret
+            tuple(d.id for d in jax.devices()), impl, nblk, interpret, report
         )
     else:
-        fn = make_sharded_counter_fn(mesh, impl=impl, nblk=nblk, interpret=interpret)
+        fn = make_sharded_counter_fn(mesh, impl=impl, nblk=nblk,
+                                     interpret=interpret, report=report)
     padded = pad_for_mesh(arr, mesh.size, shard_granule(impl, nblk))
     sharding = NamedSharding(mesh, P(AXIS))
     y = jax.device_put(padded, sharding)

