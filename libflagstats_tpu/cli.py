@@ -164,6 +164,13 @@ def _cmd_inmemory(args):
     for impl, dt, ok in rows:
         print(f"{impl:<{w}}  {dt*1e6:10.1f} us  {n/dt/1e6:10.1f} Mwords/s  "
               f"{'OK' if ok else 'MISMATCH'}")
+    if jax.default_backend() == "tpu":
+        # single-call wall clock on this backend is dominated by the
+        # ~40-70 ms remote dispatch RTT; it is a smoke check, not a
+        # kernel number — `cli kernels` / `cli instrumented` measure
+        # dispatch-free device time
+        print("note: times above include one-dispatch RTT; "
+              "use `kernels` for device kernel time", file=sys.stderr)
     return 0 if ok_all else 1
 
 
@@ -176,12 +183,16 @@ def _cmd_codec_sweep(args):
 
     arr = samio.read_binary(args.input)
     configs = (
-        [("lz4", lv) for lv in args.lz4_levels]
-        + [("zstd", lv) for lv in args.zstd_levels]
-        + [("raw", 0)]
+        [("lz4", lv, f"HC_c{lv}" if lv > 1 else "fast_a1")
+         for lv in args.lz4_levels]
+        # LZ4-fast acceleration a maps to level 1-a (codec._lz4_effort;
+        # reference knob: flagstats.cpp:110)
+        + [("lz4", 1 - a, f"fast_a{a}") for a in args.lz4_accels]
+        + [("zstd", lv, f"c{lv}") for lv in args.zstd_levels]
+        + [("raw", 0, "-")]
     )
-    print("codec\tlevel\tcomp_MB\tratio\tcomp_ms\tdecode_ms\tflagstat_ms")
-    for codec, lv in configs:
+    print("codec\tconfig\tcomp_MB\tratio\tcomp_ms\tdecode_ms\tflagstat_ms")
+    for codec, lv, label in configs:
         with tempfile.TemporaryDirectory() as td:
             path = Path(td) / "sweep.bin"
             t0 = time.perf_counter()
@@ -194,7 +205,7 @@ def _cmd_codec_sweep(args):
             _flagstat_array(out, args.impl)
             t_flag = time.perf_counter() - t0
             ratio = info.raw_bytes / max(info.compressed_bytes, 1)
-            print(f"{codec}\t{lv}\t{info.compressed_bytes/1e6:.2f}\t"
+            print(f"{codec}\t{label}\t{info.compressed_bytes/1e6:.2f}\t"
                   f"{ratio:.2f}\t{t_comp*1e3:.1f}\t{t_dec*1e3:.1f}\t"
                   f"{(t_dec+t_flag)*1e3:.1f}")
     return 0
@@ -272,6 +283,8 @@ def main(argv=None) -> int:
                        help="compression/decode/flagstat sweep over codec levels")
     s.add_argument("input")
     s.add_argument("--lz4-levels", type=int, nargs="*", default=[1, 4, 9])
+    s.add_argument("--lz4-accels", type=int, nargs="*", default=[],
+                   help="LZ4-fast acceleration values (reference a2-10)")
     s.add_argument("--zstd-levels", type=int, nargs="*", default=[1, 3, 19])
     s.add_argument("--threads", type=int, default=0)
     s.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report", "pallas_pre"], default=None)

@@ -120,6 +120,17 @@ def _libzstd():
 # Single-block compress/decompress (native when available)
 # ---------------------------------------------------------------------------
 
+def _lz4_effort(level: int) -> int:
+    """CLI level -> native effort. Reference knobs: LZ4-HC level c
+    (flagstats.cpp:147) and LZ4-fast acceleration a (flagstats.cpp:110).
+
+      level >= 2  -> LZ4-HC at that level         (effort = level)
+      level == 1  -> LZ4-fast, acceleration 1     (effort = 0)
+      level <= 0  -> LZ4-fast, acceleration 1-level (effort = level)
+    """
+    return 0 if level == 1 else level
+
+
 def compress_block(data: bytes, codec: str | int, level: int = 1) -> bytes:
     cid = _codec_id(codec)
     if cid == CODEC_RAW:
@@ -130,7 +141,8 @@ def compress_block(data: bytes, codec: str | int, level: int = 1) -> bytes:
             return _lz4_compress_py(data)
         bound = lib.lfs_lz4_bound(len(data))
         dst = ctypes.create_string_buffer(bound)
-        r = lib.lfs_lz4_compress(data, len(data), dst, bound, max(level - 1, 0))
+        r = lib.lfs_lz4_compress(data, len(data), dst, bound,
+                                 _lz4_effort(level))
         if r < 0:
             raise RuntimeError("lz4 compress failed")
         return dst.raw[:r]
@@ -344,9 +356,13 @@ def shard_block_ranges(n_blocks: int, n_shards: int) -> list[tuple[int, int]]:
 
 
 def codec_filename(base: str, codec: str, level: int) -> str:
-    """Reference output naming (benchmark/flagstats.cpp:114,151,196)."""
+    """Reference output naming (benchmark/flagstats.cpp:114,151,196);
+    lz4 level <= 1 is the LZ4-fast family with acceleration 1 - (level-1)
+    (level 1 -> a1, level 0 -> a2, level -8 -> a10)."""
     if codec == "lz4":
-        return f"{base}_HC_c{level}.lz4" if level > 1 else f"{base}_fast_a{level}.lz4"
+        if level > 1:
+            return f"{base}_HC_c{level}.lz4"
+        return f"{base}_fast_a{1 - _lz4_effort(level)}.lz4"
     if codec == "zstd":
         return f"{base}_c{level}.zst"
     return f"{base}.bin"

@@ -19,6 +19,7 @@
 #include <thread>
 #include <vector>
 
+#include <dlfcn.h>
 #include <zstd.h>
 
 #if defined(__AVX2__)
@@ -131,11 +132,79 @@ static inline uint32_t lfs_hash4(uint32_t v) {
     return (v * 2654435761u) >> 17;  // 15-bit hash
 }
 
-// Compress src into dst (LZ4 block format). `effort` 0 = greedy single
-// probe (LZ4-fast analogue); >0 = hash-chain search depth (LZ4-HC
-// analogue). Returns compressed size, or -1 if dst_cap too small.
+// ---------------------------------------------------------------------------
+// Optional system liblz4 (runtime dlopen — no dev package needed). The
+// reference pipeline is built on the real LZ4_compress_HC /
+// LZ4_compress_fast (benchmark/flagstats.cpp:110,147); when the shared
+// library is present we use it for compression and keep the clean-room
+// encoder as the no-dependency fallback (decompression is always the
+// clean-room decoder — it is the untrusted-input path we harden and
+// test ourselves).
+// ---------------------------------------------------------------------------
+
+typedef int (*lfs_LZ4_compress_fast_t)(const char*, char*, int, int, int);
+typedef int (*lfs_LZ4_compress_HC_t)(const char*, char*, int, int, int);
+
+static lfs_LZ4_compress_fast_t lfs_sys_lz4_fast = nullptr;
+static lfs_LZ4_compress_HC_t lfs_sys_lz4_hc = nullptr;
+static std::atomic<int> lfs_lz4_own_only{0};
+
+static void lfs_lz4_sys_init() {
+    static std::once_flag once;
+    std::call_once(once, [] {
+        void* h = dlopen("liblz4.so.1", RTLD_NOW);
+        if (!h) h = dlopen("liblz4.so", RTLD_NOW);
+        if (h) {
+            lfs_sys_lz4_fast = reinterpret_cast<lfs_LZ4_compress_fast_t>(
+                dlsym(h, "LZ4_compress_fast"));
+            lfs_sys_lz4_hc = reinterpret_cast<lfs_LZ4_compress_HC_t>(
+                dlsym(h, "LZ4_compress_HC"));
+        }
+    });
+}
+
+// Force the clean-room encoder even when liblz4 is present (tests).
+void lfs_lz4_set_own_only(int v) { lfs_lz4_own_only.store(v); }
+
+// 1 if compression will use the system liblz4, else 0.
+int lfs_lz4_backend() {
+    lfs_lz4_sys_init();
+    return (!lfs_lz4_own_only.load() && lfs_sys_lz4_fast && lfs_sys_lz4_hc)
+               ? 1 : 0;
+}
+
+int64_t lfs_lz4_compress_own(const uint8_t* src, int64_t src_len,
+                             uint8_t* dst, int64_t dst_cap, int effort);
+
+// Compress src into dst (LZ4 block format). `effort` <= 0 selects the
+// LZ4-fast family with acceleration (1 - effort) (reference knob:
+// flagstats.cpp:110); >= 1 selects LZ4-HC at that level (flagstats.cpp:
+// 147). Returns compressed size, or -1 if dst_cap too small.
 int64_t lfs_lz4_compress(const uint8_t* src, int64_t src_len,
                          uint8_t* dst, int64_t dst_cap, int effort) {
+    if (lfs_lz4_backend() && src_len <= INT32_MAX && dst_cap <= INT32_MAX) {
+        int r;
+        if (effort >= 1) {
+            const int level = effort > 12 ? 12 : effort;
+            r = lfs_sys_lz4_hc(reinterpret_cast<const char*>(src),
+                               reinterpret_cast<char*>(dst),
+                               static_cast<int>(src_len),
+                               static_cast<int>(dst_cap), level);
+        } else {
+            r = lfs_sys_lz4_fast(reinterpret_cast<const char*>(src),
+                                 reinterpret_cast<char*>(dst),
+                                 static_cast<int>(src_len),
+                                 static_cast<int>(dst_cap), 1 - effort);
+        }
+        return r > 0 ? r : -1;
+    }
+    return lfs_lz4_compress_own(src, src_len, dst, dst_cap, effort);
+}
+
+// Clean-room encoder (fallback; block-format spec implementation).
+// `effort` <= 0 = greedy single probe; >= 1 = hash-chain search depth.
+int64_t lfs_lz4_compress_own(const uint8_t* src, int64_t src_len,
+                             uint8_t* dst, int64_t dst_cap, int effort) {
     constexpr int HASH_SIZE = 1 << 15;
     constexpr int64_t MFLIMIT = 12;   // no matches within last 12 bytes
     constexpr int64_t LASTLITERALS = 5;

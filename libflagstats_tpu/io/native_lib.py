@@ -46,6 +46,12 @@ def load():
     i64, u8p, i32 = ctypes.c_int64, ctypes.c_char_p, ctypes.c_int
     lib.lfs_lz4_compress.restype = i64
     lib.lfs_lz4_compress.argtypes = [u8p, i64, ctypes.c_void_p, i64, i32]
+    lib.lfs_lz4_compress_own.restype = i64
+    lib.lfs_lz4_compress_own.argtypes = [u8p, i64, ctypes.c_void_p, i64, i32]
+    lib.lfs_lz4_backend.restype = i32
+    lib.lfs_lz4_backend.argtypes = []
+    lib.lfs_lz4_set_own_only.restype = None
+    lib.lfs_lz4_set_own_only.argtypes = [i32]
     lib.lfs_lz4_decompress.restype = i64
     lib.lfs_lz4_decompress.argtypes = [u8p, i64, ctypes.c_void_p, i64]
     lib.lfs_lz4_bound.restype = i64

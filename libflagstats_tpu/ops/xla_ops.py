@@ -109,24 +109,38 @@ def stream_sums_xla(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return total, fail
 
 
-def pospopcnt_u16_matmul(x: jax.Array, n_bits: int = F.N_BITS) -> jax.Array:
+def pospopcnt_u16_matmul(x: jax.Array, n_bits: int = F.N_BITS,
+                         chunk: int = 1 << 17) -> jax.Array:
     """Positional popcount via the MXU: expand bits to int8 and reduce
     with a ones-vector int8 matmul (the systolic array does the adds).
 
     A genuinely TPU-native alternative to the VPU formulations — the
     reference's analogue is its family of distinct pospopcnt algorithms
     (sad / blend_popcnt / harvey_seal / adder_forest,
-    libalgebra.h:836-2554). Wins when the VPU is the bottleneck and the
-    MXU is idle."""
-    x = x.astype(jnp.uint32)
+    libalgebra.h:836-2554). The bit expansion is staged per ``chunk``
+    words inside a lax.scan so the (chunk, n_bits) int8 intermediate
+    stays a few MB regardless of stream length (the round-1 version
+    materialized the full (N, 16) matrix — an 8x memory blowup)."""
+    n = x.size
+    chunk = max(128, min(chunk, -(-n // 128) * 128))
+    pad = (-n) % chunk
+    if pad:
+        x = jnp.pad(x.ravel(), (0, pad))  # zero words are count-neutral
+    xg = x.reshape(-1, chunk)
     ks = jnp.arange(n_bits, dtype=jnp.uint32)
-    bits = ((x[:, None] >> ks[None, :]) & jnp.uint32(1)).astype(jnp.int8)
-    ones = jnp.ones((1, x.size), jnp.int8)
-    out = jax.lax.dot_general(
-        ones, bits, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    return out[0]
+    ones = jnp.ones((1, chunk), jnp.int8)
+
+    def step(acc, row):
+        bits = ((row.astype(jnp.uint32)[:, None] >> ks[None, :])
+                & jnp.uint32(1)).astype(jnp.int8)
+        out = jax.lax.dot_general(
+            ones, bits, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc + out[0], None
+
+    acc, _ = jax.lax.scan(step, jnp.zeros(n_bits, jnp.int32), xg)
+    return acc
 
 
 def flagstat_xla(x: jax.Array, n=None) -> jax.Array:

@@ -125,6 +125,82 @@ def test_cli_end_to_end(tmp_path):
     assert expected_total in report
 
 
+def test_lz4_system_and_own_encoders(native):
+    """Both compressor backends (system liblz4 when present, clean-room
+    fallback) must produce streams our hardened decoder round-trips;
+    the HC and fast/acceleration families are exercised (reference
+    knobs: flagstats.cpp:110,147)."""
+    import ctypes
+
+    rng = np.random.default_rng(3)
+    vals = np.array([99, 147, 83, 163, 1123, 77, 141], dtype=np.uint16)
+    raw = vals[rng.integers(0, 7, 500_000)].tobytes()
+    bound = native.lfs_lz4_bound(len(raw))
+    dst = ctypes.create_string_buffer(bound)
+    out = ctypes.create_string_buffer(len(raw))
+    for own_only in (0, 1):
+        native.lfs_lz4_set_own_only(own_only)
+        try:
+            for effort in (-9, 0, 4, 9):
+                r = native.lfs_lz4_compress(
+                    raw, len(raw), ctypes.cast(dst, ctypes.c_void_p),
+                    bound, effort)
+                assert r > 0
+                d = native.lfs_lz4_decompress(
+                    dst.raw[:r], r, ctypes.cast(out, ctypes.c_void_p),
+                    len(raw))
+                assert d == len(raw) and out.raw == raw, (own_only, effort)
+        finally:
+            native.lfs_lz4_set_own_only(0)
+
+
+def test_lz4_fast_acceleration_levels(tmp_path):
+    """Negative lz4 levels select the LZ4-fast acceleration family end
+    to end, and the output naming matches the reference scheme."""
+    x = generate_flags(300_000, seed=17)
+    for level in (-9, 0, 1):
+        path = tmp_path / f"a{level}.lz4"
+        C.write_framed(path, x, codec="lz4", level=level)
+        got = C.read_framed(path, "lz4")
+        np.testing.assert_array_equal(got, x)
+    assert C.codec_filename("f", "lz4", -9).endswith("_fast_a10.lz4")
+    assert C.codec_filename("f", "lz4", 1).endswith("_fast_a1.lz4")
+    assert C.codec_filename("f", "lz4", 9).endswith("_HC_c9.lz4")
+
+
+def test_cli_instrumented_smoke():
+    """`cli instrumented` runs on CPU and reports a passing check column
+    for every variant (round-1 verdict test hole)."""
+    import contextlib
+
+    from libflagstats_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["instrumented", "-n", "65536", "-i", "1",
+                     "--no-roofline"]) == 0
+    out = buf.getvalue().splitlines()
+    assert out[0].startswith("variant\t")
+    assert len(out) >= 3           # header + numpy + xla
+    for row in out[1:]:
+        assert row.endswith("ok"), row
+
+
+def test_cli_kernels_smoke():
+    """`cli kernels` (dispatch-free per-kernel table) runs on CPU."""
+    import contextlib
+
+    from libflagstats_tpu.cli import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["kernels", "-n", "65536", "-i", "1"]) == 0
+    out = buf.getvalue().splitlines()
+    assert out[0].startswith("kernel\t")
+    assert any(row.startswith("xla\t") for row in out[1:])
+    assert not any("MISMATCH" in row for row in out)
+
+
 def test_scan_and_range_decode(tmp_path):
     x = generate_flags(1_700_000, seed=13)
     path = tmp_path / "r.lz4"

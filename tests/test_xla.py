@@ -8,6 +8,7 @@ import pytest
 from libflagstats_tpu.oracle import flagstat_numpy, generate_flags, transform_words
 from libflagstats_tpu.ops.xla_ops import (
     flagstat_xla,
+    pospopcnt_u16_matmul,
     pospopcnt_u16_xla,
     transform_words_jnp,
 )
@@ -35,6 +36,28 @@ def test_pospopcnt_xla():
         [np.count_nonzero((x.astype(np.uint32) >> k) & 1) for k in range(16)]
     )
     got = np.asarray(jax.jit(pospopcnt_u16_xla)(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("n", [1, 100, 4096, 100_000, (1 << 17) + 13, 1 << 18])
+def test_pospopcnt_matmul(n):
+    """MXU int8-matmul formulation, staged per chunk inside lax.scan:
+    bit-exact vs the host count at sizes below / straddling / above the
+    chunk boundary."""
+    x = generate_flags(n, seed=n % 97, full_range=True)
+    ref = np.array(
+        [np.count_nonzero((x.astype(np.uint32) >> k) & 1) for k in range(16)]
+    )
+    got = np.asarray(jax.jit(pospopcnt_u16_matmul)(jnp.asarray(x)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_pospopcnt_matmul_dispatch():
+    from libflagstats_tpu.ops.dispatch import pospopcnt_u16
+
+    x = generate_flags(50_000, seed=12, full_range=True)
+    got = pospopcnt_u16(x, impl="xla_matmul")
+    ref = pospopcnt_u16(x, impl="numpy")
     np.testing.assert_array_equal(got, ref)
 
 
