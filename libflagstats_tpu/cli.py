@@ -90,15 +90,21 @@ def _cmd_decompress(args):
               file=sys.stderr)
     if args.stream and mode == "d":
         # overlapped decode+count pipeline (io/stream.py)
+        from .bench.profiling import SectionTimer
         from .io.stream import flagstat_stream
 
+        timer = SectionTimer() if args.timers else None
         t0 = time.perf_counter()
         counters = flagstat_stream(args.input, codec=args.codec,
-                                   impl=args.impl, threads=args.threads)
+                                   impl=args.impl, threads=args.threads,
+                                   timer=timer)
         dt = time.perf_counter() - t0
         n = int(counters[9] + counters[25])
         print(f"[d/stream] {n} words: total {dt*1e3:.1f} ms "
               f"({n/dt/1e6:.1f} Mwords/s)", file=sys.stderr)
+        if timer is not None:
+            print("[d/stream] pipeline wall-time breakdown:", file=sys.stderr)
+            print(timer.report(), file=sys.stderr)
         print(counters_to_report(counters).text())
         return 0
 
@@ -265,6 +271,9 @@ def main(argv=None) -> int:
                    help="use the literal per-word loop for -s/-S")
     d.add_argument("--stream", action="store_true",
                    help="overlapped decode+count pipeline (mode d only)")
+    d.add_argument("--timers", action="store_true",
+                   help="print the stream pipeline's decode/copy/dispatch "
+                        "wall-time breakdown (--stream only)")
     d.add_argument("--drop-caches", action="store_true",
                    help="drop the OS page cache first (cold-IO timing; "
                         "reference: flagstats.cpp clear_cache)")

@@ -107,7 +107,15 @@ def _stream_inputs_pospopcnt(rows: list[jax.Array]) -> list[jax.Array]:
 def _make_kernel(nblk: int, mode: str, pre: bool = False):
     """Build the Pallas kernel body for `mode` in
     {"flagstat", "flagstat_report", "pospopcnt"}; ``pre=True`` consumes
-    host-pretransposed plane tiles and skips the in-VMEM transpose."""
+    host-pretransposed plane tiles and skips the in-VMEM transpose.
+
+    Returns (kernel, n_streams, two_level). With nblk == 8 (one
+    Harley-Seal body per grid step) a SECOND Harley-Seal tree runs over
+    the sixteens planes across grid steps (v16/v32 carried in VMEM
+    scratch), so the SWAR popcount peel runs every 4th step instead of
+    every step — the same "fewer tree flushes" economy as the
+    reference's improved3/4 single-tree variants (libflagstats.h:
+    2325-2428), applied one level up."""
     if mode == "flagstat":
         n_streams = B.N_STREAMS
         stages = B.pruned_pairs()
@@ -121,14 +129,18 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
         stages = {j: B.swap_pairs(j) for j, _ in B.TRANSPOSE_STAGES}
         make_streams = _stream_inputs_pospopcnt
 
-    def kernel(x_ref, out_ref, v1_ref, v2_ref, v4_ref, v8_ref):
+    two_level = nblk == 8
+
+    def kernel(x_ref, out_ref, v1_ref, v2_ref, v4_ref, v8_ref, *extra):
         step = pl.program_id(0)
         nsteps = pl.num_programs(0)
+        if two_level:
+            v16_ref, v32_ref, s16p_ref, t32p_ref = extra
 
         @pl.when(step == 0)
         def _init():
             out_ref[...] = jnp.zeros_like(out_ref)
-            for ref in (v1_ref, v2_ref, v4_ref, v8_ref):
+            for ref in (v1_ref, v2_ref, v4_ref, v8_ref) + tuple(extra):
                 ref[...] = jnp.zeros_like(ref)
 
         v1 = [v1_ref[s] for s in range(n_streams)]
@@ -136,6 +148,7 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
         v4 = [v4_ref[s] for s in range(n_streams)]
         v8 = [v8_ref[s] for s in range(n_streams)]
         acc = [None] * n_streams
+        s16 = [None] * n_streams      # this step's sixteens (two_level)
 
         # Harley-Seal over nblk register-groups: each group contributes an
         # (even, odd) input pair per stream; nblk=8 is one 16-input body.
@@ -166,8 +179,11 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
                     eightsA[s] = eights
                     continue
                 v8[s], sixteens = _csa(v8[s], eightsA[s], eights)
-                pc = _popcount32(sixteens) << 4       # each bit = 16 words
-                acc[s] = pc if acc[s] is None else acc[s] + pc
+                if two_level:
+                    s16[s] = sixteens
+                else:
+                    pc = _popcount32(sixteens) << 4   # each bit = 16 words
+                    acc[s] = pc if acc[s] is None else acc[s] + pc
 
         for s in range(n_streams):
             v1_ref[s] = v1[s]
@@ -176,6 +192,32 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
             v8_ref[s] = v8[s]
             if acc[s] is not None:
                 out_ref[s] += acc[s].astype(jnp.int32)
+
+        if two_level:
+            # level-16/32 state machine keyed on the step index (one
+            # sixteens per step): stash on even steps, combine on odd,
+            # peel a 64s plane every 4th step.
+            @pl.when(step % 2 == 0)
+            def _stash16():
+                for s in range(n_streams):
+                    s16p_ref[s] = s16[s]
+
+            @pl.when(step % 2 == 1)
+            def _combine16():
+                t32 = [None] * n_streams
+                for s in range(n_streams):
+                    v16_ref[s], t32[s] = _csa(v16_ref[s], s16p_ref[s], s16[s])
+
+                @pl.when(step % 4 == 1)
+                def _stash32():
+                    for s in range(n_streams):
+                        t32p_ref[s] = t32[s]
+
+                @pl.when(step % 4 == 3)
+                def _peel64():
+                    for s in range(n_streams):
+                        v32_ref[s], t64 = _csa(v32_ref[s], t32p_ref[s], t32[s])
+                        out_ref[s] += (_popcount32(t64) << 6).astype(jnp.int32)
 
         # Final flush of CSA residuals (reference: the weighted v1/v2/v4/v8
         # reduction, libflagstats.h:1790-1840).
@@ -188,9 +230,26 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
                     + (_popcount32(v4_ref[s]) << 2)
                     + (_popcount32(v8_ref[s]) << 3)
                 )
+                if two_level:
+                    res += (_popcount32(v16_ref[s]) << 4) + (
+                        _popcount32(v32_ref[s]) << 5)
                 out_ref[s] += res.astype(jnp.int32)
+            if two_level:
+                # pending planes are live only for these step-count
+                # parities (consumed otherwise)
+                @pl.when(nsteps % 2 == 1)
+                def _pending16():
+                    for s in range(n_streams):
+                        out_ref[s] += (
+                            _popcount32(s16p_ref[s]) << 4).astype(jnp.int32)
 
-    return kernel, n_streams
+                @pl.when((nsteps % 4 == 2) | (nsteps % 4 == 3))
+                def _pending32():
+                    for s in range(n_streams):
+                        out_ref[s] += (
+                            _popcount32(t32p_ref[s]) << 5).astype(jnp.int32)
+
+    return kernel, n_streams, two_level
 
 
 @functools.partial(jax.jit, static_argnames=("nblk", "mode", "interpret", "pre"))
@@ -199,10 +258,11 @@ def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool,
     """xg: (groups, 32, 16, 128) uint16 — or, with pre=True,
     (groups, 32, 8, 128) uint32 host-pretransposed plane tiles;
     groups % nblk == 0."""
-    kernel, n_streams = _make_kernel(nblk, mode, pre=pre)
+    kernel, n_streams, two_level = _make_kernel(nblk, mode, pre=pre)
     groups = xg.shape[0]
     out_rows = 16 if mode == "pospopcnt" else 32
     in_block = (nblk, REGS, SUB, LANE) if pre else (nblk, REGS, SUB16, LANE)
+    n_scratch = 8 if two_level else 4   # + v16/v32/s16-pending/t32-pending
     out = pl.pallas_call(
         kernel,
         grid=(groups // nblk,),
@@ -218,7 +278,8 @@ def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool,
         ),
         out_shape=jax.ShapeDtypeStruct((out_rows, SUB, LANE), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((n_streams, SUB, LANE), jnp.uint32) for _ in range(4)
+            pltpu.VMEM((n_streams, SUB, LANE), jnp.uint32)
+            for _ in range(n_scratch)
         ],
         interpret=interpret,
     )(xg)
@@ -505,10 +566,12 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str, pre: bool = False) -> jax.Ar
     assert groups % 8 == 0
     acc = [jnp.zeros((SUB, LANE), jnp.int32) for _ in range(n_streams)]
     v1 = [jnp.zeros((SUB, LANE), _U32) for _ in range(n_streams)]
-    v2, v4, v8 = (list(v) for v in (v1, v1, v1))
+    v2, v4, v8, v16, v32 = (list(v) for v in (v1, v1, v1, v1, v1))
     twosA = [None] * n_streams
     foursA = [None] * n_streams
     eightsA = [None] * n_streams
+    s16p = [None] * n_streams     # pending sixteens (level-16 tree)
+    t32p = [None] * n_streams     # pending 32s (level-32 tree)
     for g in range(groups):
         if pre:
             rows = [xg[g, k] for k in range(REGS)]
@@ -522,6 +585,7 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str, pre: bool = False) -> jax.Ar
                 for k in range(REGS)
             ]
             rows = _transpose32(regs, stages)
+        body = g // 8   # == grid-step index of the nblk=8 kernel
         for s, (d0, d1) in enumerate(make_streams(rows)):
             v1[s], twos = _csa(v1[s], d0, d1)
             if g % 2 == 0:
@@ -536,14 +600,31 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str, pre: bool = False) -> jax.Ar
                 eightsA[s] = eights
                 continue
             v8[s], sixteens = _csa(v8[s], eightsA[s], eights)
-            acc[s] = acc[s] + (_popcount32(sixteens) << 4).astype(jnp.int32)
+            # second-level Harley-Seal over sixteens planes (identical
+            # state machine to the two_level kernel, keyed on body index)
+            if body % 2 == 0:
+                s16p[s] = sixteens
+                continue
+            v16[s], t32 = _csa(v16[s], s16p[s], sixteens)
+            if body % 4 == 1:
+                t32p[s] = t32
+                continue
+            v32[s], t64 = _csa(v32[s], t32p[s], t32)
+            acc[s] = acc[s] + (_popcount32(t64) << 6).astype(jnp.int32)
+    nbodies = groups // 8
     for s in range(n_streams):
         res = (
             _popcount32(v1[s])
             + (_popcount32(v2[s]) << 1)
             + (_popcount32(v4[s]) << 2)
             + (_popcount32(v8[s]) << 3)
+            + (_popcount32(v16[s]) << 4)
+            + (_popcount32(v32[s]) << 5)
         )
+        if nbodies % 2 == 1:
+            res = res + (_popcount32(s16p[s]) << 4)
+        if nbodies % 4 in (2, 3):
+            res = res + (_popcount32(t32p[s]) << 5)
         acc[s] = acc[s] + res.astype(jnp.int32)
     return jnp.stack([a.sum() for a in acc])
 

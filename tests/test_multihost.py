@@ -16,13 +16,42 @@ def test_multihost_single_process():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
-def test_scaling_sweep_shape():
-    res = scaling_sweep(n_words=1 << 18, impl="xla",
-                        device_counts=[1, 2, len(jax.devices())], iters=1)
-    assert [r["devices"] for r in res] == [1, 2, len(jax.devices())]
-    for r in res:
-        assert r["words_per_s"] > 0
-        assert 0 < r["scaling_efficiency"]
+def test_scaling_sweep_sane():
+    """Falsifiable properties of the sweep on the virtual CPU mesh.
+
+    Per-device scaling efficiency is NOT assertable here — the 8
+    'devices' share the same physical cores, so aggregate throughput is
+    roughly flat by construction. What must hold: (a) the sweep's
+    1-device number agrees with a direct sync-correct kernel_time
+    measurement of the same sharded fn (catches the round-1 bug where
+    the sweep timed with block_until_ready, which does not await
+    execution on the TPU backend), and (b) sharding wider must not
+    collapse aggregate throughput (a serialized or re-executing mesh
+    composition would)."""
+    import jax.numpy as jnp
+
+    from libflagstats_tpu.bench.harness import kernel_time
+    from libflagstats_tpu.parallel.sharded import (
+        data_mesh, make_sharded_counter_fn, pad_for_mesh, shard_granule,
+    )
+
+    n = 1 << 21
+    res = scaling_sweep(n_words=n, impl="xla",
+                        device_counts=[1, len(jax.devices())], iters=2)
+    assert [r["devices"] for r in res] == [1, len(jax.devices())]
+
+    # (a) cross-check the 1-device point against a direct measurement
+    mesh = data_mesh(jax.devices()[:1])
+    fn = make_sharded_counter_fn(mesh, impl="xla")
+    x = generate_flags(n, seed=0, full_range=True)
+    padded = pad_for_mesh(x, 1, shard_granule("xla"))
+    y = jax.device_put(padded)
+    direct = kernel_time(lambda a: fn(a, jnp.int32(n)), y, iters=2)
+    ratio = res[0]["min_s"] / direct
+    assert 1 / 3 < ratio < 3, (res[0]["min_s"], direct)
+
+    # (b) aggregate throughput must not collapse when sharded wide
+    assert res[-1]["words_per_s"] > 0.3 * res[0]["words_per_s"]
 
 
 def test_multihost_file_single_process(tmp_path):

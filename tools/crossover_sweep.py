@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Measure the dispatch size-tier crossovers on the current backend.
+
+The reference encodes *measured* crossovers in its size-tiered
+dispatchers (STORM_pospopcnt_u16, libalgebra.h:3519-3543;
+FLAGSTATS_u16, libflagstats.h:2999-3021). This sweep produces the
+equivalent measurements for this stack:
+
+  * host: flagstat_numpy wall time per size;
+  * device wall: one full dispatch (what a single flagstats_u16 call
+    pays — on this environment that includes the ~40-70 ms tunnel RTT);
+  * device kernel: dispatch-free in-jit repetition time (what a
+    streaming/pipelined caller pays per chunk).
+
+Prints a TSV plus suggested XLA_MIN / PALLAS_MIN values for both
+decision regimes. Run on TPU (idle) — results are recorded in
+docs/BENCHMARKS.md and encoded in ops/dispatch.py.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from libflagstats_tpu.bench.harness import kernel_time_fit, measure_min
+    from libflagstats_tpu.config import enable_compilation_cache
+    from libflagstats_tpu.ops import pallas_kernels as PK
+    from libflagstats_tpu.ops.xla_ops import stream_sums_xla
+    from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
+    enable_compilation_cache()
+    backend = jax.default_backend()
+    sizes = [1 << k for k in range(10, 27)]  # 1Ki .. 64Mi words
+    pallas_min_words = 8 * PK.GROUP_WORDS
+
+    print(f"# backend={backend}")
+    print("words\tnumpy_ms\txla_wall_ms\txla_kern_ms\t"
+          "pallas_wall_ms\tpallas_kern_ms")
+    rows = []
+    for n in sizes:
+        x = generate_flags(n, seed=n & 0xFFFF, full_range=True)
+
+        t0 = time.perf_counter()
+        flagstat_numpy(x)
+        t_numpy = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        flagstat_numpy(x)
+        t_numpy = min(t_numpy, time.perf_counter() - t0)
+
+        xj = jax.block_until_ready(jnp.asarray(x))
+
+        def xla_body(a):
+            t, f = stream_sums_xla(a)
+            return jnp.concatenate([t, f])
+
+        jit_xla = jax.jit(xla_body)
+        w = measure_min(jit_xla, (xj,), iters=5, warmup=2)
+        t_xla_wall = w.min_s
+        t_xla_kern = kernel_time_fit(
+            xla_body, xj, ks=(2, 8, 24) if n >= (1 << 22) else (4, 32, 96),
+            iters=3).slope_s
+
+        t_p_wall = t_p_kern = float("nan")
+        if backend == "tpu" and n >= pallas_min_words:
+            def p_body(a):
+                t, f = PK.stream_sums_pallas(a)
+                return jnp.concatenate([t, f])
+
+            jit_p = jax.jit(p_body)
+            w = measure_min(jit_p, (xj,), iters=5, warmup=2)
+            t_p_wall = w.min_s
+            t_p_kern = kernel_time_fit(
+                p_body, xj, ks=(2, 8, 24) if n >= (1 << 22) else (4, 32, 96),
+                iters=3).slope_s
+
+        rows.append((n, t_numpy, t_xla_wall, t_xla_kern, t_p_wall, t_p_kern))
+        print(f"{n}\t{t_numpy*1e3:.3f}\t{t_xla_wall*1e3:.3f}\t"
+              f"{t_xla_kern*1e3:.4f}\t{t_p_wall*1e3:.3f}\t{t_p_kern*1e3:.4f}")
+
+    def first_size(pred):
+        for r in rows:
+            if pred(r):
+                return r[0]
+        return None
+
+    xla_min_wall = first_size(lambda r: r[2] < r[1])
+    pallas_min_wall = first_size(
+        lambda r: r[4] == r[4] and r[4] < min(r[1], r[2]))
+    pallas_min_kern = first_size(
+        lambda r: r[5] == r[5] and r[5] < r[3])
+    print(f"# suggested XLA_MIN (single-call wall): {xla_min_wall}")
+    print(f"# suggested PALLAS_MIN (single-call wall): {pallas_min_wall}")
+    print(f"# suggested PALLAS_MIN (dispatch-free kernel): {pallas_min_kern}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
