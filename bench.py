@@ -45,7 +45,7 @@ def _measure_worker() -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from libflagstats_tpu.bench.harness import kernel_time_fit, roofline_fit
+    from libflagstats_tpu.bench.harness import defended_roofline, kernel_time_fit
     from libflagstats_tpu.config import enable_compilation_cache
     from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
 
@@ -99,13 +99,13 @@ def _measure_worker() -> dict:
         print(f"expected {ref}\ngot      {got}", file=sys.stderr)
         return {"error": "counter mismatch vs oracle"}
 
-    # same-process roofline, measured with the same defended method
-    roofs = roofline_fit(2 * n_words, ks=ks)
-    if not roofs:
+    # same-process roofline with its own agreement protocol (a single
+    # roofline sample can be a caching artifact that would disable the
+    # kernel-side reject-above-roofline gate)
+    roof = defended_roofline(2 * n_words, ks=ks)
+    if roof != roof:
         return {"error": "roofline measurement failed"}
-    roof_name, roof_entry = max(roofs.items(),
-                                key=lambda kv: kv[1]["bytes_per_s"])
-    roof = roof_entry["bytes_per_s"]
+    roof_name = "read_reduce_agreed"
 
     rejected = 0
     last = None

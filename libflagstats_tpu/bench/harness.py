@@ -239,3 +239,32 @@ def roofline_fit(n_bytes: int, ks=(4, 64, 260), iters: int = 4) -> dict:
             continue
         out[name] = {"bytes_per_s": n_bytes / r.slope_s, "fit": r}
     return out
+
+
+def defended_roofline(n_bytes: int, ks=(4, 64, 260),
+                      attempts: int = 5, agree_pct: float = 5.0) -> float:
+    """Roofline with its own agreement protocol.
+
+    A single roofline sample can itself be a caching artifact (observed:
+    a 1112 GB/s 'read roofline' on an 819 GB/s-HBM part, which then
+    disables the kernel-side reject-above-roofline gate). Collect
+    fit-gated samples until two agree within ``agree_pct`` and return
+    the mean of the agreeing pair; fall back to the MEDIAN of whatever
+    was collected (never the max)."""
+    samples: list[float] = []
+    for _ in range(attempts):
+        roofs = roofline_fit(n_bytes, ks=ks)
+        good = [v["bytes_per_s"] for v in roofs.values()
+                if v["fit"].ok and v["fit"].dispersion < 0.30]
+        if not good:
+            continue
+        samples.append(max(good))
+        for a in range(len(samples)):
+            for b in range(a + 1, len(samples)):
+                sa, sb = samples[a], samples[b]
+                if 200.0 * abs(sa - sb) / (sa + sb) <= agree_pct:
+                    return 0.5 * (sa + sb)
+    if not samples:
+        return float("nan")
+    samples.sort()
+    return samples[len(samples) // 2]

@@ -129,7 +129,7 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
         stages = {j: B.swap_pairs(j) for j, _ in B.TRANSPOSE_STAGES}
         make_streams = _stream_inputs_pospopcnt
 
-    two_level = nblk == 8
+    two_level = nblk in (8, 16)
 
     def kernel(x_ref, out_ref, v1_ref, v2_ref, v4_ref, v8_ref, *extra):
         step = pl.program_id(0)
@@ -148,7 +148,7 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
         v4 = [v4_ref[s] for s in range(n_streams)]
         v8 = [v8_ref[s] for s in range(n_streams)]
         acc = [None] * n_streams
-        s16 = [None] * n_streams      # this step's sixteens (two_level)
+        s16 = [[] for _ in range(n_streams)]  # this step's sixteens (two_level)
 
         # Harley-Seal over nblk register-groups: each group contributes an
         # (even, odd) input pair per stream; nblk=8 is one 16-input body.
@@ -180,7 +180,7 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
                     continue
                 v8[s], sixteens = _csa(v8[s], eightsA[s], eights)
                 if two_level:
-                    s16[s] = sixteens
+                    s16[s].append(sixteens)
                 else:
                     pc = _popcount32(sixteens) << 4   # each bit = 16 words
                     acc[s] = pc if acc[s] is None else acc[s] + pc
@@ -193,20 +193,21 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
             if acc[s] is not None:
                 out_ref[s] += acc[s].astype(jnp.int32)
 
-        if two_level:
+        if two_level and nblk == 8:
             # level-16/32 state machine keyed on the step index (one
             # sixteens per step): stash on even steps, combine on odd,
             # peel a 64s plane every 4th step.
             @pl.when(step % 2 == 0)
             def _stash16():
                 for s in range(n_streams):
-                    s16p_ref[s] = s16[s]
+                    s16p_ref[s] = s16[s][0]
 
             @pl.when(step % 2 == 1)
             def _combine16():
                 t32 = [None] * n_streams
                 for s in range(n_streams):
-                    v16_ref[s], t32[s] = _csa(v16_ref[s], s16p_ref[s], s16[s])
+                    v16_ref[s], t32[s] = _csa(v16_ref[s], s16p_ref[s],
+                                              s16[s][0])
 
                 @pl.when(step % 4 == 1)
                 def _stash32():
@@ -218,6 +219,23 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
                     for s in range(n_streams):
                         v32_ref[s], t64 = _csa(v32_ref[s], t32p_ref[s], t32[s])
                         out_ref[s] += (_popcount32(t64) << 6).astype(jnp.int32)
+        elif two_level:
+            # nblk == 16: two sixteens per step pair IN-step at level 16;
+            # only the 32s plane needs the cross-step pending machinery.
+            t32 = [None] * n_streams
+            for s in range(n_streams):
+                v16_ref[s], t32[s] = _csa(v16_ref[s], s16[s][0], s16[s][1])
+
+            @pl.when(step % 2 == 0)
+            def _stash32():
+                for s in range(n_streams):
+                    t32p_ref[s] = t32[s]
+
+            @pl.when(step % 2 == 1)
+            def _peel64():
+                for s in range(n_streams):
+                    v32_ref[s], t64 = _csa(v32_ref[s], t32p_ref[s], t32[s])
+                    out_ref[s] += (_popcount32(t64) << 6).astype(jnp.int32)
 
         # Final flush of CSA residuals (reference: the weighted v1/v2/v4/v8
         # reduction, libflagstats.h:1790-1840).
@@ -237,13 +255,18 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
             if two_level:
                 # pending planes are live only for these step-count
                 # parities (consumed otherwise)
-                @pl.when(nsteps % 2 == 1)
-                def _pending16():
-                    for s in range(n_streams):
-                        out_ref[s] += (
-                            _popcount32(s16p_ref[s]) << 4).astype(jnp.int32)
+                if nblk == 8:
+                    @pl.when(nsteps % 2 == 1)
+                    def _pending16():
+                        for s in range(n_streams):
+                            out_ref[s] += (
+                                _popcount32(s16p_ref[s]) << 4
+                            ).astype(jnp.int32)
 
-                @pl.when((nsteps % 4 == 2) | (nsteps % 4 == 3))
+                live32 = ((nsteps % 4 == 2) | (nsteps % 4 == 3)
+                          if nblk == 8 else nsteps % 2 == 1)
+
+                @pl.when(live32)
                 def _pending32():
                     for s in range(n_streams):
                         out_ref[s] += (

@@ -28,12 +28,25 @@ from libflagstats_tpu.ops.pallas_kernels import (  # noqa: E402
 from conftest import assert_counters_equal  # noqa: E402
 
 
-@pytest.mark.parametrize("steps,extra", [(1, 0), (2, -12345)])
+@pytest.mark.parametrize("steps,extra", [(1, 0), (2, -12345), (3, 0), (4, -1)])
 def test_flagstat_pallas_tpu(steps, extra):
-    # negative extra: a tail that zero-pads up to the same grid shape
+    # negative extra: a tail that zero-pads up to the same grid shape.
+    # steps 1-4 cover every parity of the second-level CSA state machine
+    # (pending sixteens/32s planes live vs consumed at the final flush).
     n = steps * 8 * GROUP_WORDS + extra
     x = generate_flags(n, seed=n, full_range=True)
     got = np.asarray(flagstat_pallas(jnp.asarray(x), n=n), dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+@pytest.mark.parametrize("steps", [1, 2, 3])
+def test_flagstat_pallas_nblk16_tpu(steps):
+    """nblk=16 variant: in-step level-16 pairing + cross-step 32s
+    pending machinery, every nsteps parity."""
+    n = steps * 16 * GROUP_WORDS - 99
+    x = generate_flags(n, seed=n & 0xFFFF, full_range=True)
+    got = np.asarray(flagstat_pallas(jnp.asarray(x), n=n, nblk=16),
+                     dtype=np.int64)
     assert_counters_equal(flagstat_numpy(x), got)
 
 

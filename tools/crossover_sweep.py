@@ -19,6 +19,10 @@ docs/BENCHMARKS.md and encoded in ops/dispatch.py.
 from __future__ import annotations
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import time
 
 import numpy as np

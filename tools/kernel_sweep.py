@@ -21,7 +21,9 @@ def main() -> int:
     from libflagstats_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()
-    from libflagstats_tpu.bench.harness import kernel_time, roofline_bytes_per_s
+    import time
+
+    from libflagstats_tpu.bench.harness import defended_roofline, kernel_time_fit
     from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
     from libflagstats_tpu.ops import pallas_kernels as PK
     from libflagstats_tpu.ops.xla_ops import assemble_counters
@@ -31,10 +33,18 @@ def main() -> int:
     x = jnp.asarray(x_host)
     ref = flagstat_numpy(x_host).astype(np.int64)
 
-    roofs = roofline_bytes_per_s(2 * n)
-    roof = max(roofs.values())
-    print("rooflines: " + ", ".join(f"{k}={v/1e9:.1f}GB/s" for k, v in roofs.items()),
-          flush=True)
+    roof = defended_roofline(2 * n)
+    print(f"roofline (agreed): {roof/1e9:.1f} GB/s", flush=True)
+
+    def timed(body):
+        """Defended sample: retry until the gates accept (see bench.py)."""
+        for _ in range(5):
+            fit = kernel_time_fit(body, x,
+                                  salt_base=(time.time_ns() >> 10) & 0x3FFF)
+            bps = 2.0 * n / fit.slope_s
+            if fit.ok and fit.dispersion < 0.30 and bps <= roof * 1.05:
+                return fit.slope_s
+        return fit.slope_s  # last sample, gates never satisfied
 
     for report in (True, False):
         for nblk in (8, 16):
@@ -51,7 +61,7 @@ def main() -> int:
                    + [16 + k for k in [0, 2, 6, 7, 8, 10, 11, 12, 13, 14]]
                    + [25]) if report else list(range(32))
             ok = (got[idx] == ref[idx]).all()
-            t = kernel_time(body, x)
+            t = timed(body)
             gbs = 2.0 * n / t / 1e9
             print(f"mode={'report' if report else 'full'} nblk={nblk}: "
                   f"{t*1e3:.3f} ms, {gbs:.1f} GB/s, {gbs*1e9/roof:.3f}x roofline, "
