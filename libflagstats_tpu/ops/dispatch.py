@@ -40,10 +40,39 @@ POSPOPCNT_IMPLS = {
     "pallas": "bit-sliced transpose + Harley-Seal CSA VMEM kernel",
 }
 
-# one Pallas grid step is nblk * GROUP_WORDS words; anything below ~2 steps
-# is better served by the fused XLA path.
+# Measured dispatch crossovers (tools/crossover_sweep.py, 2026-08-17;
+# reference analogue: the measured size tiers of STORM_pospopcnt_u16,
+# libalgebra.h:3519-3543, and FLAGSTATS_u16, libflagstats.h:2999-3021).
+#
+# TPU (via this environment's tunnel, ~60-80 ms dispatch RTT — wall
+# clock of ONE call, which is what dispatch decides over):
+#   words    numpy_ms  xla_wall  pallas_wall   [pallas kern @64Mi 0.14ms]
+#   262144     32.9      82.1       -
+#   1048576   297.4      71.6      64.1   <- device wins from here
+# Dispatch-free device kernel time: pallas beats the fused-XLA tier at
+# every size where it is legal (>= 1 grid step; 3.6-14x at 1-64Mi), so
+# on TPU the auto path goes straight numpy -> pallas. On a co-located
+# TPU (no tunnel) the crossover would sit far lower; re-run the sweep
+# tool to re-derive.
+#
+# CPU backend (same host, forced-cpu jit):
+#   words    numpy_ms  xla_wall
+#   16384      0.56      0.59
+#   32768      1.26      0.61   <- XLA wins from here
+DEVICE_MIN_TPU = 1 << 20     # measured single-call crossover via tunnel
+XLA_MIN_CPU = 1 << 15        # measured numpy -> CPU-XLA crossover
+# one Pallas grid step is nblk * GROUP_WORDS words; measured: pallas is
+# the fastest device tier from its very first legal size
 PALLAS_MIN = 2 * 8 * pallas_kernels.GROUP_WORDS   # 1,048,576 words
+# shape-bucketing floor for device calls (bounds the compile set; not a
+# performance crossover)
 XLA_MIN = 1 << 14
+
+
+def device_min() -> int:
+    """Single-call words threshold below which the host oracle wins
+    wall-clock (includes the dispatch round trip)."""
+    return DEVICE_MIN_TPU if backend() == "tpu" else XLA_MIN_CPU
 
 
 @functools.cache
@@ -76,7 +105,7 @@ def get_function(n_len: int, impl: str | None = None):
     for streams of length ``n_len`` (reference: FLAGSTATS_get_function,
     libflagstats.h:2977)."""
     if impl is None:
-        if n_len < XLA_MIN:
+        if n_len < device_min():
             impl = "numpy"
         elif n_len >= PALLAS_MIN and backend() == "tpu":
             impl = "pallas"
@@ -167,12 +196,12 @@ def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
     (reference: STORM_pospopcnt_u16, libalgebra.h:3497)."""
     arr = _validate_u16(array)
     if impl is None:
-        if arr.size >= PALLAS_MIN and backend() == "tpu":
-            impl = "pallas"
-        elif arr.size >= XLA_MIN:
-            impl = "xla"
-        else:
+        if arr.size < device_min():
             impl = "numpy"
+        elif arr.size >= PALLAS_MIN and backend() == "tpu":
+            impl = "pallas"
+        else:
+            impl = "xla"
     if impl == "numpy":
         x = arr.astype(np.uint32)
         return np.array(

@@ -40,7 +40,11 @@ def main() -> int:
 
     enable_compilation_cache()
     backend = jax.default_backend()
-    sizes = [1 << k for k in range(10, 27)]  # 1Ki .. 64Mi words
+    # 4x-stepped grid bounds the remote-compile count (each size is a
+    # fresh executable per body per K); fine-grained refinement around a
+    # crossover can be a follow-up run with an explicit list
+    sizes = ([int(s) for s in sys.argv[1:]] if len(sys.argv) > 1
+             else [1 << k for k in range(10, 27, 2)])  # 1Ki..64Mi, 4x steps
     pallas_min_words = 8 * PK.GROUP_WORDS
 
     print(f"# backend={backend}")
