@@ -161,10 +161,19 @@ def worker_main() -> int:
 
 def _run_worker(idx: int) -> dict:
     env = dict(os.environ)
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker"],
-        capture_output=True, text=True, env=env, timeout=5400,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            capture_output=True, text=True, env=env, timeout=5400,
+        )
+    except subprocess.TimeoutExpired as e:
+        # a cold worker can sit in remote compiles for a long time; the
+        # contract is one JSON line no matter what, so fold the timeout
+        # into the normal error path
+        if e.stderr:
+            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
+                             else e.stderr.decode(errors="replace"))
+        return {"error": f"worker {idx} timed out after {e.timeout:.0f}s"}
     sys.stderr.write(proc.stderr)
     for line in proc.stdout.splitlines():
         if line.startswith("WORKER_RESULT "):
@@ -182,14 +191,16 @@ def main() -> int:
             print(f"[bench] worker {i}: {r['error']}", file=sys.stderr)
             continue
         results.append(r)
-        # find an agreeing pair among all good results so far
-        for a in range(len(results)):
-            for b in range(a + 1, len(results)):
-                va, vb = results[a]["words_per_s"], results[b]["words_per_s"]
-                spread = 200.0 * abs(va - vb) / (va + vb)
-                if spread <= AGREE_PCT:
-                    final = (results[a], results[b], spread)
-        if final:
+        # find an agreeing pair among all good results so far (shared
+        # reproduction rule: libflagstats_tpu.bench.harness.agreeing_pair)
+        from libflagstats_tpu.bench.harness import agreeing_pair
+
+        pair = agreeing_pair(results, AGREE_PCT,
+                             key=lambda s: s["words_per_s"])
+        if pair is not None:
+            ra, rb = results[pair[0]], results[pair[1]]
+            va, vb = ra["words_per_s"], rb["words_per_s"]
+            final = (ra, rb, 200.0 * abs(va - vb) / (va + vb))
             break
     if final is None:
         print(json.dumps({

@@ -4,9 +4,14 @@
 Generates a random FLAG column, computes flagstat three ways (binding
 dict, counter vector + report, streaming blocks), and prints them.
 """
+import sys
+from pathlib import Path
+
 import numpy as np
 
-import libflagstats_tpu as lfs
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import libflagstats_tpu as lfs  # noqa: E402
 from libflagstats_tpu import flags as F
 from libflagstats_tpu.report import counters_to_report
 

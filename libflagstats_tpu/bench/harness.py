@@ -180,6 +180,23 @@ def kernel_time_fit(body_fn, x, ks=(4, 64, 260), iters: int = 4,
                      points=points, rel_residual=rel_res, dispersion=disp)
 
 
+def wall_time_min(fn, x, iters: int = 5, warmup: int = 2) -> float:
+    """Min single-dispatch WALL time of fn(x) — includes the dispatch
+    round trip (what a one-shot caller pays). Every call, warmups
+    included, runs on a fresh salted buffer so the remote execution
+    cache cannot serve repeats and fake the minimum."""
+    base = time.time_ns() & 0x3FFF
+    for i in range(warmup):
+        _sync(fn(_fresh_input(x, base + 7919 * (i + 1))))
+    best = float("inf")
+    for i in range(iters):
+        xt = _fresh_input(x, base + 104729 * (i + 1))
+        t0 = time.perf_counter()
+        _sync(fn(xt))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def measure_min(fn, args, iters: int = 7, warmup: int = 2, name: str = "") -> BenchResult:
     """Plain wall-clock timing (includes dispatch latency — use for
     end-to-end pipeline numbers, not kernel numbers)."""
@@ -195,24 +212,33 @@ def measure_min(fn, args, iters: int = 7, warmup: int = 2, name: str = "") -> Be
                        min_s=min(times), avg_s=sum(times) / len(times))
 
 
+#: HBM speed-of-light candidate kernels (pure read traffic), shared by
+#: every roofline measurement path
+ROOF_CANDIDATES = {
+    "read_sum": lambda a: jnp.sum(a)[None],
+    "read_xor": lambda a: jax.lax.reduce(
+        a, jnp.int32(0), jax.lax.bitwise_xor, (0,))[None],
+}
+
+
+def agreeing_pair(samples: list, pct: float, key=lambda s: s):
+    """First (a, b) index pair whose key values agree within pct, else
+    None — the shared cross-sample reproduction rule."""
+    for a in range(len(samples)):
+        for b in range(a + 1, len(samples)):
+            va, vb = key(samples[a]), key(samples[b])
+            if va + vb > 0 and 200.0 * abs(va - vb) / (va + vb) <= pct:
+                return a, b
+    return None
+
+
 def roofline_bytes_per_s(n_bytes: int, iters: int = 5) -> dict[str, float]:
     """Measured HBM speed-of-light candidates over n_bytes of device data,
-    timed with the same dispatch-free method as the kernels.
-
-    - read_sum: one-pass int32 sum-reduce (pure read traffic)
-    - read_xor: one-pass int32 xor-reduce
-    """
+    timed with the same dispatch-free method as the kernels."""
     n32 = n_bytes // 4
     x = jax.block_until_ready(jnp.arange(n32, dtype=jnp.int32))
-
-    candidates = {
-        "read_sum": lambda a: jnp.sum(a)[None],
-        "read_xor": lambda a: jax.lax.reduce(
-            a, jnp.int32(0), jax.lax.bitwise_xor, (0,)
-        )[None],
-    }
     out = {}
-    for name, fn in candidates.items():
+    for name, fn in ROOF_CANDIDATES.items():
         try:
             t = kernel_time(fn, x, iters=iters)
         except Exception:
@@ -228,11 +254,7 @@ def roofline_fit(n_bytes: int, ks=(4, 64, 260), iters: int = 4) -> dict:
     n32 = n_bytes // 4
     x = jax.block_until_ready(jnp.arange(n32, dtype=jnp.int32))
     out = {}
-    for name, fn in (
-        ("read_sum", lambda a: jnp.sum(a)[None]),
-        ("read_xor", lambda a: jax.lax.reduce(
-            a, jnp.int32(0), jax.lax.bitwise_xor, (0,))[None]),
-    ):
+    for name, fn in ROOF_CANDIDATES.items():
         try:
             r = kernel_time_fit(fn, x, ks=ks, iters=iters)
         except Exception:
@@ -259,11 +281,9 @@ def defended_roofline(n_bytes: int, ks=(4, 64, 260),
         if not good:
             continue
         samples.append(max(good))
-        for a in range(len(samples)):
-            for b in range(a + 1, len(samples)):
-                sa, sb = samples[a], samples[b]
-                if 200.0 * abs(sa - sb) / (sa + sb) <= agree_pct:
-                    return 0.5 * (sa + sb)
+        pair = agreeing_pair(samples, agree_pct)
+        if pair is not None:
+            return 0.5 * (samples[pair[0]] + samples[pair[1]])
     if not samples:
         return float("nan")
     samples.sort()

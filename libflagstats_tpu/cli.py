@@ -189,7 +189,8 @@ def _cmd_codec_sweep(args):
 
     arr = samio.read_binary(args.input)
     configs = (
-        [("lz4", lv, f"HC_c{lv}" if lv > 1 else "fast_a1")
+        [("lz4", lv,
+          f"HC_c{lv}" if lv > 1 else f"fast_a{1 - C._lz4_effort(lv)}")
          for lv in args.lz4_levels]
         # LZ4-fast acceleration a maps to level 1-a (codec._lz4_effort;
         # reference knob: flagstats.cpp:110)

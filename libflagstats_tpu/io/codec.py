@@ -357,8 +357,9 @@ def shard_block_ranges(n_blocks: int, n_shards: int) -> list[tuple[int, int]]:
 
 def codec_filename(base: str, codec: str, level: int) -> str:
     """Reference output naming (benchmark/flagstats.cpp:114,151,196);
-    lz4 level <= 1 is the LZ4-fast family with acceleration 1 - (level-1)
-    (level 1 -> a1, level 0 -> a2, level -8 -> a10)."""
+    lz4 level <= 1 is the LZ4-fast family with acceleration
+    1 - _lz4_effort(level): levels 1 and 0 -> a1, level -1 -> a2,
+    level -9 -> a10."""
     if codec == "lz4":
         if level > 1:
             return f"{base}_HC_c{level}.lz4"

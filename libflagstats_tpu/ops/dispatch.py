@@ -3,11 +3,13 @@
 TPU equivalent of FLAGSTATS_get_function / FLAGSTATS_u16
 (reference: libflagstats.h:2977-3070) and of the size-tiered
 STORM_pospopcnt_u16 (libalgebra.h:3497-3551): the CPUID/XCR0 probe
-becomes a backend capability check, and the ISA tiers become
+becomes a backend capability check, and the ISA tiers become (measured
+crossovers — see the citation block at DEVICE_MIN_TPU below)
 
-  n <  XLA_MIN     -> host NumPy oracle (device launch not worth it)
-  n <  PALLAS_MIN  -> plain-XLA fused formulation
-  else             -> bit-sliced Pallas kernel (TPU) / XLA (other backends)
+  n <  device_min()  -> host NumPy oracle (one dispatch RTT costs more)
+  else, TPU          -> bit-sliced Pallas kernel (fastest at every
+                        legal size; device_min == PALLAS_MIN there)
+  else               -> plain-XLA fused formulation
 """
 from __future__ import annotations
 

@@ -20,12 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.pallas_kernels import (
-    GROUP_WORDS,
-    WORDS_STEP,
-    _run_words_kernel,
-    stream_sums_pallas,
-)
+from ..ops import pallas_kernels as PK
+from ..ops.pallas_kernels import GROUP_WORDS, WORDS_STEP, stream_sums_pallas
 from ..ops.xla_ops import assemble_counters, stream_sums_xla
 
 AXIS = "data"
@@ -43,7 +39,18 @@ def _local_sums(xs: jax.Array, impl: str, nblk: int, interpret: bool,
         return stream_sums_pallas(xs, nblk=nblk, interpret=interpret,
                                   report=report)
     if impl == "pallas_words":
-        return _run_words_kernel(xs.reshape(-1, 512, 128), interpret)
+        # chunk at the packed-half accumulator capacity, like the
+        # single-device flagstat_pallas_words loop — a >_WORDS_MAX_STEPS
+        # shard would otherwise hit the kernel's trace-time cap
+        xt = xs.reshape(-1, 512, 128)
+        total = jnp.zeros(16, jnp.int32)
+        fail = jnp.zeros(16, jnp.int32)
+        for start in range(0, xt.shape[0], PK._WORDS_MAX_STEPS):
+            t, f = PK._run_words_kernel(
+                xt[start:start + PK._WORDS_MAX_STEPS], interpret)
+            total = total + t
+            fail = fail + f
+        return total, fail
     return stream_sums_xla(xs)
 
 

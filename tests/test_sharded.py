@@ -45,6 +45,24 @@ def test_sharded_pallas_words_mesh(mesh):
     assert_counters_equal(flagstat_numpy(x), got)
 
 
+def test_sharded_pallas_words_chunked(mesh, monkeypatch):
+    """Per-device shards above the words-kernel step cap must chunk
+    inside shard_map (code-review finding: the sharded path previously
+    hit the kernel's trace-time cap on >_WORDS_MAX_STEPS shards)."""
+    from libflagstats_tpu.ops import pallas_kernels as PK
+
+    monkeypatch.setattr(PK, "_WORDS_MAX_STEPS", 1)
+    nd = min(2, mesh.size)
+    from libflagstats_tpu.parallel.sharded import data_mesh
+
+    small = data_mesh(jax.devices()[:nd])
+    n = nd * 2 * PK.WORDS_STEP - 33   # 2 grid steps per device
+    x = generate_flags(n, seed=66, full_range=True)
+    got = flagstat_sharded(x, mesh=small, impl="pallas_words",
+                           interpret=True)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
 def test_sharded_report_mode(mesh):
     """report=True through the sharded path (round-1 verdict weak #6)."""
     from libflagstats_tpu import flags as F

@@ -32,7 +32,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from libflagstats_tpu.bench.harness import kernel_time_fit, measure_min
+    from libflagstats_tpu.bench.harness import kernel_time_fit, wall_time_min
     from libflagstats_tpu.config import enable_compilation_cache
     from libflagstats_tpu.ops import pallas_kernels as PK
     from libflagstats_tpu.ops.xla_ops import stream_sums_xla
@@ -68,8 +68,7 @@ def main() -> int:
             return jnp.concatenate([t, f])
 
         jit_xla = jax.jit(xla_body)
-        w = measure_min(jit_xla, (xj,), iters=5, warmup=2)
-        t_xla_wall = w.min_s
+        t_xla_wall = wall_time_min(jit_xla, xj, iters=5, warmup=2)
         t_xla_kern = kernel_time_fit(
             xla_body, xj, ks=(2, 8, 24) if n >= (1 << 22) else (4, 32, 96),
             iters=3).slope_s
@@ -81,8 +80,7 @@ def main() -> int:
                 return jnp.concatenate([t, f])
 
             jit_p = jax.jit(p_body)
-            w = measure_min(jit_p, (xj,), iters=5, warmup=2)
-            t_p_wall = w.min_s
+            t_p_wall = wall_time_min(jit_p, xj, iters=5, warmup=2)
             t_p_kern = kernel_time_fit(
                 p_body, xj, ks=(2, 8, 24) if n >= (1 << 22) else (4, 32, 96),
                 iters=3).slope_s
