@@ -263,6 +263,26 @@ def roofline_fit(n_bytes: int, ks=(4, 64, 260), iters: int = 4) -> dict:
     return out
 
 
+#: nominal HBM bandwidth per device kind (bytes/s) — the physical cap a
+#: measured READ roofline cannot exceed; used to discard caching
+#: artifacts that reproduce consistently enough to pass agreement
+#: (observed: two 'agreeing' 1078 GB/s samples on an 819 GB/s part)
+HBM_NOMINAL = {
+    "TPU v5 lite": 819e9,
+    "TPU v5e": 819e9,
+    "TPU v5": 1228e9,       # v5p
+    "TPU v4": 1228e9,
+    "TPU v6 lite": 1640e9,  # v6e / Trillium
+}
+
+
+def hbm_nominal_bytes_per_s() -> float | None:
+    try:
+        return HBM_NOMINAL.get(jax.devices()[0].device_kind)
+    except Exception:
+        return None
+
+
 def defended_roofline(n_bytes: int, ks=(4, 64, 260),
                       attempts: int = 5, agree_pct: float = 5.0) -> float:
     """Roofline with its own agreement protocol.
@@ -272,12 +292,18 @@ def defended_roofline(n_bytes: int, ks=(4, 64, 260),
     disables the kernel-side reject-above-roofline gate). Collect
     fit-gated samples until two agree within ``agree_pct`` and return
     the mean of the agreeing pair; fall back to the MEDIAN of whatever
-    was collected (never the max)."""
+    was collected (never the max). Samples above the device's nominal
+    HBM bandwidth (physically impossible for a read kernel) are
+    discarded outright — artifacts have been observed to reproduce
+    consistently enough to 'agree' with each other."""
+    spec = hbm_nominal_bytes_per_s()
+    cap = spec * 1.02 if spec else None
     samples: list[float] = []
     for _ in range(attempts):
         roofs = roofline_fit(n_bytes, ks=ks)
         good = [v["bytes_per_s"] for v in roofs.values()
-                if v["fit"].ok and v["fit"].dispersion < 0.30]
+                if v["fit"].ok and v["fit"].dispersion < 0.30
+                and (cap is None or v["bytes_per_s"] <= cap)]
         if not good:
             continue
         samples.append(max(good))

@@ -22,7 +22,7 @@ import numpy as np
 
 
 from ..oracle import flagstat_numpy, generate_flags
-from .harness import roofline_bytes_per_s
+from .harness import defended_roofline
 
 
 @dataclass
@@ -83,8 +83,8 @@ def run_all(n: int = 1 << 20, iters: int = 5, with_roofline: bool = True,
 
     roof = None
     if with_roofline and jax.default_backend() != "cpu":
-        roofs = roofline_bytes_per_s(2 * n)
-        roof = max(roofs.values()) if roofs else None
+        r = defended_roofline(2 * n)
+        roof = r if r == r else None
 
     lines = [HEADER]
     for name in variants:
