@@ -88,8 +88,26 @@ def _measure_worker() -> dict:
 
     x = jax.block_until_ready(jnp.asarray(x_host))
 
-    # correctness gate: bit-exact vs host oracle
-    ref = flagstat_numpy(x_host).astype(np.int64)
+    # correctness gate: bit-exact vs host oracle. The input is a pure
+    # function of (n_words, seed=0, full_range), so the oracle counters
+    # are disk-cached — recomputing them costs every worker 20-150 s of
+    # host time on this shared 4-core box.
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".jax_cache", f"bench_oracle_{n_words}_s0.npy")
+    ref = None
+    try:
+        ref = np.load(cache_path)
+        if ref.shape != (32,):
+            ref = None
+    except Exception:
+        ref = None
+    if ref is None:
+        ref = flagstat_numpy(x_host).astype(np.int64)
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            np.save(cache_path, ref)
+        except OSError:
+            pass
     got = np.asarray(full(x), dtype=np.int64)
     ok = (got[check_idx] == ref[check_idx]).all()
     if ok and full_parity is not None:
