@@ -201,6 +201,8 @@ def _run_worker(idx: int) -> dict:
 
 
 def main() -> int:
+    from libflagstats_tpu.bench.harness import agreeing_pair
+
     results: list[dict] = []
     final = None
     for i in range(MAX_WORKERS):
@@ -210,9 +212,7 @@ def main() -> int:
             continue
         results.append(r)
         # find an agreeing pair among all good results so far (shared
-        # reproduction rule: libflagstats_tpu.bench.harness.agreeing_pair)
-        from libflagstats_tpu.bench.harness import agreeing_pair
-
+        # reproduction rule)
         pair = agreeing_pair(results, AGREE_PCT,
                              key=lambda s: s["words_per_s"])
         if pair is not None:

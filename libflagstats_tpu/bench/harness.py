@@ -121,23 +121,18 @@ class FitResult:
         return self.slope_s > 0 and self.rel_residual < 0.15
 
 
-_fresh_cache: dict = {}
+@jax.jit
+def _xor_salt(a, s):
+    return jax.lax.bitwise_xor(a, jnp.broadcast_to(s.astype(a.dtype), a.shape))
 
 
 def _fresh_input(x, salt: int):
-    """A new device buffer with contents x ^ salt (same dtype/shape).
+    """A new device buffer with contents x ^ salt (same dtype/shape;
+    jit caches the mutation per shape/dtype automatically).
 
     Completion is forced with a tiny tail fetch, so the buffer exists
     before the timed region starts."""
-    key = (x.shape, str(x.dtype))
-    fn = _fresh_cache.get(key)
-    if fn is None:
-        def mut(a, s):
-            return jax.lax.bitwise_xor(a, jnp.broadcast_to(
-                s.astype(a.dtype), a.shape))
-        fn = jax.jit(mut)
-        _fresh_cache[key] = fn
-    y = fn(x, jnp.uint32(salt & 0xFFFF))
+    y = _xor_salt(x, jnp.uint32(salt & 0xFFFF))
     np.asarray(y.ravel()[-1])   # tiny sync fetch — awaits execution
     return y
 

@@ -102,17 +102,23 @@ def _bucket_pad(arr: np.ndarray, minimum: int) -> np.ndarray:
     return np.concatenate([arr, np.zeros(target - arr.size, dtype=arr.dtype)])
 
 
+def auto_impl(n_len: int) -> str:
+    """The measured-fastest tier for a single call of ``n_len`` words
+    (the size-tier selection of FLAGSTATS_u16, libflagstats.h:3047-3069,
+    with the crossovers measured above)."""
+    if n_len < device_min():
+        return "numpy"
+    if n_len >= PALLAS_MIN and backend() == "tpu":
+        return "pallas"
+    return "xla"
+
+
 def get_function(n_len: int, impl: str | None = None):
     """Return a callable (np.uint16 array) -> (32,) np.ndarray of counts
     for streams of length ``n_len`` (reference: FLAGSTATS_get_function,
     libflagstats.h:2977)."""
     if impl is None:
-        if n_len < device_min():
-            impl = "numpy"
-        elif n_len >= PALLAS_MIN and backend() == "tpu":
-            impl = "pallas"
-        else:
-            impl = "xla"
+        impl = auto_impl(n_len)
 
     if impl == "numpy":
         return lambda arr: flagstat_numpy(arr)
@@ -198,12 +204,7 @@ def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
     (reference: STORM_pospopcnt_u16, libalgebra.h:3497)."""
     arr = _validate_u16(array)
     if impl is None:
-        if arr.size < device_min():
-            impl = "numpy"
-        elif arr.size >= PALLAS_MIN and backend() == "tpu":
-            impl = "pallas"
-        else:
-            impl = "xla"
+        impl = auto_impl(arr.size)
     if impl == "numpy":
         x = arr.astype(np.uint32)
         return np.array(

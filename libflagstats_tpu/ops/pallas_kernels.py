@@ -542,24 +542,29 @@ def _run_words_kernel(xt: jax.Array, interpret: bool) -> tuple[jax.Array, jax.Ar
     return p + f, f
 
 
-def flagstat_pallas_words(x: jax.Array, n=None, interpret: bool = False) -> jax.Array:
-    """Word-space Pallas flagstat (small-trace variant; reference
-    analogue: the base FLAGSTAT_avx512 dual-tree kernel).
-
-    Chunks calls at the packed-half accumulator capacity (~100M words)."""
-    if n is None:
-        n = x.size
+def stream_sums_words(x: jax.Array, interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """(C[k], F[k]) stream sums via the word-space kernel; pads to the
+    grid step and chunks calls at the packed-half accumulator capacity
+    (~100M words per pallas_call)."""
     padded = ((x.size + WORDS_STEP - 1) // WORDS_STEP) * WORDS_STEP
     if padded != x.size:
         x = jnp.pad(x.ravel(), (0, padded - x.size))
     xt = x.reshape(-1, 512, LANE)
-    chunk = _WORDS_MAX_STEPS
     total = jnp.zeros(F.N_BITS, jnp.int32)
     fail = jnp.zeros(F.N_BITS, jnp.int32)
-    for start in range(0, xt.shape[0], chunk):
-        t, f = _run_words_kernel(xt[start:start + chunk], interpret)
+    for start in range(0, xt.shape[0], _WORDS_MAX_STEPS):
+        t, f = _run_words_kernel(xt[start:start + _WORDS_MAX_STEPS], interpret)
         total = total + t
         fail = fail + f
+    return total, fail
+
+
+def flagstat_pallas_words(x: jax.Array, n=None, interpret: bool = False) -> jax.Array:
+    """Word-space Pallas flagstat (small-trace variant; reference
+    analogue: the base FLAGSTAT_avx512 dual-tree kernel)."""
+    if n is None:
+        n = x.size
+    total, fail = stream_sums_words(x, interpret)
     return assemble_counters(total, fail, n)
 
 

@@ -20,8 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import pallas_kernels as PK
-from ..ops.pallas_kernels import GROUP_WORDS, WORDS_STEP, stream_sums_pallas
+from ..ops.pallas_kernels import (
+    GROUP_WORDS,
+    WORDS_STEP,
+    stream_sums_pallas,
+    stream_sums_words,
+)
 from ..ops.xla_ops import assemble_counters, stream_sums_xla
 
 AXIS = "data"
@@ -39,18 +43,7 @@ def _local_sums(xs: jax.Array, impl: str, nblk: int, interpret: bool,
         return stream_sums_pallas(xs, nblk=nblk, interpret=interpret,
                                   report=report)
     if impl == "pallas_words":
-        # chunk at the packed-half accumulator capacity, like the
-        # single-device flagstat_pallas_words loop — a >_WORDS_MAX_STEPS
-        # shard would otherwise hit the kernel's trace-time cap
-        xt = xs.reshape(-1, 512, 128)
-        total = jnp.zeros(16, jnp.int32)
-        fail = jnp.zeros(16, jnp.int32)
-        for start in range(0, xt.shape[0], PK._WORDS_MAX_STEPS):
-            t, f = PK._run_words_kernel(
-                xt[start:start + PK._WORDS_MAX_STEPS], interpret)
-            total = total + t
-            fail = fail + f
-        return total, fail
+        return stream_sums_words(xs, interpret)
     return stream_sums_xla(xs)
 
 

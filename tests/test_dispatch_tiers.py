@@ -10,21 +10,13 @@ from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
 from conftest import assert_counters_equal
 
 
-def _chosen_impl(n_len: int) -> str:
-    if n_len < D.device_min():
-        return "numpy"
-    if n_len >= D.PALLAS_MIN and D.backend() == "tpu":
-        return "pallas"
-    return "xla"
-
-
 def test_cpu_tier_choices(monkeypatch):
     monkeypatch.setattr(D, "backend", lambda: "cpu")
     # measured: numpy wins single-call wall below 32Ki on this host
-    assert _chosen_impl(1_000) == "numpy"
-    assert _chosen_impl(16_384) == "numpy"
-    assert _chosen_impl(32_768) == "xla"
-    assert _chosen_impl(64 << 20) == "xla"
+    assert D.auto_impl(1_000) == "numpy"
+    assert D.auto_impl(16_384) == "numpy"
+    assert D.auto_impl(32_768) == "xla"
+    assert D.auto_impl(64 << 20) == "xla"
 
 
 def test_tpu_tier_choices(monkeypatch):
@@ -33,9 +25,9 @@ def test_tpu_tier_choices(monkeypatch):
     # oracle wins wall-clock until ~1Mi words; from the first legal
     # Pallas size the Pallas kernel beats the fused-XLA tier at every
     # measured size, so the auto path is numpy -> pallas
-    assert _chosen_impl(262_144) == "numpy"
-    assert _chosen_impl(1 << 20) == "pallas"
-    assert _chosen_impl(64 << 20) == "pallas"
+    assert D.auto_impl(262_144) == "numpy"
+    assert D.auto_impl(1 << 20) == "pallas"
+    assert D.auto_impl(64 << 20) == "pallas"
 
 
 def test_auto_dispatch_correct_across_tiers():
