@@ -201,7 +201,14 @@ def flagstats_u16(array, out=None, impl: str | None = None) -> np.ndarray:
 
 def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
     """Positional popcount of a uint16 array -> (16,) counts
-    (reference: STORM_pospopcnt_u16, libalgebra.h:3497)."""
+    (reference: STORM_pospopcnt_u16, libalgebra.h:3497).
+
+    Shares ``auto_impl``'s measured flagstat crossovers: both entry
+    points are memory-bound over the same uint16 stream and pay the
+    same dispatch RTT, and pospopcnt does strictly less arithmetic, so
+    the device-wins threshold can only be <= flagstat's. Verify with
+    ``tools/crossover_sweep.py --pospopcnt`` (measured table in
+    docs/BENCHMARKS.md)."""
     arr = _validate_u16(array)
     if impl is None:
         impl = auto_impl(arr.size)

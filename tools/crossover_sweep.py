@@ -15,6 +15,12 @@ equivalent measurements for this stack:
 Prints a TSV plus suggested XLA_MIN / PALLAS_MIN values for both
 decision regimes. Run on TPU (idle) — results are recorded in
 docs/BENCHMARKS.md and encoded in ops/dispatch.py.
+
+``--pospopcnt`` sweeps the pure positional-popcount tiers instead
+(the STORM_pospopcnt_u16 analogue): host per-bit count vs fused-XLA
+shift-mask-reduce vs bit-sliced Pallas. pospopcnt shares flagstat's
+dispatch thresholds (ops/dispatch.auto_impl) — this mode exists to
+verify that sharing is justified by measurement, not assumption.
 """
 from __future__ import annotations
 
@@ -26,6 +32,63 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import time
 
 import numpy as np
+
+
+def pospopcnt_sweep(sizes) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from libflagstats_tpu.bench.harness import kernel_time_fit, wall_time_min
+    from libflagstats_tpu.config import enable_compilation_cache
+    from libflagstats_tpu.ops import pallas_kernels as PK
+    from libflagstats_tpu.ops.xla_ops import pospopcnt_u16_matmul, pospopcnt_u16_xla
+    from libflagstats_tpu.oracle import generate_flags
+
+    enable_compilation_cache()
+    backend = jax.default_backend()
+    pallas_min_words = 8 * PK.GROUP_WORDS
+
+    print(f"# backend={backend} mode=pospopcnt")
+    print("words\tnumpy_ms\txla_wall_ms\txla_kern_ms\t"
+          "matmul_kern_ms\tpallas_wall_ms\tpallas_kern_ms")
+    rows = []
+    for n in sizes:
+        x = generate_flags(n, seed=n & 0xFFFF, full_range=True)
+
+        t_numpy = float("inf")
+        for _ in range(2):
+            x32 = x.astype(np.uint32)
+            t0 = time.perf_counter()
+            np.array([int(np.count_nonzero((x32 >> k) & 1))
+                      for k in range(16)])
+            t_numpy = min(t_numpy, time.perf_counter() - t0)
+
+        xj = jax.block_until_ready(jnp.asarray(x))
+        ks = (2, 8, 24) if n >= (1 << 22) else (4, 32, 96)
+
+        t_xla_wall = wall_time_min(jax.jit(pospopcnt_u16_xla), xj,
+                                   iters=5, warmup=2)
+        t_xla_kern = kernel_time_fit(pospopcnt_u16_xla, xj,
+                                     ks=ks, iters=3).slope_s
+        t_mm_kern = kernel_time_fit(pospopcnt_u16_matmul, xj,
+                                    ks=ks, iters=3).slope_s
+
+        t_p_wall = t_p_kern = float("nan")
+        if backend == "tpu" and n >= pallas_min_words:
+            p_body = PK.pospopcnt_u16_pallas
+            t_p_wall = wall_time_min(jax.jit(p_body), xj, iters=5, warmup=2)
+            t_p_kern = kernel_time_fit(p_body, xj, ks=ks, iters=3).slope_s
+
+        rows.append((n, t_numpy, t_xla_wall, t_xla_kern, t_p_wall, t_p_kern))
+        print(f"{n}\t{t_numpy*1e3:.3f}\t{t_xla_wall*1e3:.3f}\t"
+              f"{t_xla_kern*1e3:.4f}\t{t_mm_kern*1e3:.4f}\t"
+              f"{t_p_wall*1e3:.3f}\t{t_p_kern*1e3:.4f}")
+
+    dev_min = next((r[0] for r in rows if min(r[2], r[4]) < r[1]), None)
+    print(f"# suggested pospopcnt device_min (single-call wall): {dev_min}")
+    print("# compare against flagstat sweep: dispatch shares one "
+          "device_min for both entry points")
+    return 0
 
 
 def main() -> int:
@@ -43,8 +106,11 @@ def main() -> int:
     # 4x-stepped grid bounds the remote-compile count (each size is a
     # fresh executable per body per K); fine-grained refinement around a
     # crossover can be a follow-up run with an explicit list
-    sizes = ([int(s) for s in sys.argv[1:]] if len(sys.argv) > 1
+    argv = [a for a in sys.argv[1:] if a != "--pospopcnt"]
+    sizes = ([int(s) for s in argv] if argv
              else [1 << k for k in range(10, 27, 2)])  # 1Ki..64Mi, 4x steps
+    if "--pospopcnt" in sys.argv[1:]:
+        return pospopcnt_sweep(sizes)
     pallas_min_words = 8 * PK.GROUP_WORDS
 
     print(f"# backend={backend}")
