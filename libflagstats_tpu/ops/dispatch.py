@@ -63,6 +63,15 @@ POSPOPCNT_IMPLS = {
 #   32768      1.26      0.61   <- XLA wins from here
 DEVICE_MIN_TPU = 1 << 20     # measured single-call crossover via tunnel
 XLA_MIN_CPU = 1 << 15        # measured numpy -> CPU-XLA crossover
+# pospopcnt's host path skips the mask-select transform, so it is far
+# cheaper than flagstat's and its device-wins threshold sits HIGHER.
+# Measured (tools/crossover_sweep.py --pospopcnt, 2026-08-17):
+#   TPU via tunnel: numpy 17.8ms @1Mi / 61.5ms @4Mi vs ~62ms device
+#     wall -> crossover ~4Mi
+#   CPU backend: numpy 0.53ms @64Ki (wins) vs XLA wall 1.31ms @256Ki
+#     (loses) -> crossover ~128Ki
+POSPOPCNT_DEVICE_MIN_TPU = 1 << 22
+POSPOPCNT_XLA_MIN_CPU = 1 << 17
 # one Pallas grid step is nblk * GROUP_WORDS words; measured: pallas is
 # the fastest device tier from its very first legal size
 PALLAS_MIN = 2 * 8 * pallas_kernels.GROUP_WORDS   # 1,048,576 words
@@ -111,6 +120,18 @@ def auto_impl(n_len: int) -> str:
     if n_len >= PALLAS_MIN and backend() == "tpu":
         return "pallas"
     return "xla"
+
+
+def pospopcnt_auto_impl(n_len: int) -> str:
+    """Measured-fastest tier for one pospopcnt_u16 call of ``n_len``
+    words (the size-tier selection of STORM_pospopcnt_u16,
+    libalgebra.h:3519-3543, re-measured for this stack — see the
+    POSPOPCNT_* threshold citations above)."""
+    if backend() == "tpu":
+        if n_len < POSPOPCNT_DEVICE_MIN_TPU:
+            return "numpy"
+        return "pallas" if n_len >= PALLAS_MIN else "xla"
+    return "numpy" if n_len < POSPOPCNT_XLA_MIN_CPU else "xla"
 
 
 def get_function(n_len: int, impl: str | None = None):
@@ -203,15 +224,16 @@ def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
     """Positional popcount of a uint16 array -> (16,) counts
     (reference: STORM_pospopcnt_u16, libalgebra.h:3497).
 
-    Shares ``auto_impl``'s measured flagstat crossovers: both entry
-    points are memory-bound over the same uint16 stream and pay the
-    same dispatch RTT, and pospopcnt does strictly less arithmetic, so
-    the device-wins threshold can only be <= flagstat's. Verify with
-    ``tools/crossover_sweep.py --pospopcnt`` (measured table in
-    docs/BENCHMARKS.md)."""
+    Uses its own measured size tiers (``POSPOPCNT_*`` above), not
+    flagstat's: the host pospopcnt skips the mask-select transform and
+    is ~17x cheaper than the flagstat oracle, so numpy stays the
+    fastest single-call tier up to ~4Mi words via the tunnel (~128Ki
+    on the CPU backend). Measured by
+    ``tools/crossover_sweep.py --pospopcnt``; table in
+    docs/BENCHMARKS.md."""
     arr = _validate_u16(array)
     if impl is None:
-        impl = auto_impl(arr.size)
+        impl = pospopcnt_auto_impl(arr.size)
     if impl == "numpy":
         x = arr.astype(np.uint32)
         return np.array(

@@ -30,6 +30,21 @@ def test_tpu_tier_choices(monkeypatch):
     assert D.auto_impl(64 << 20) == "pallas"
 
 
+def test_pospopcnt_tier_choices(monkeypatch):
+    """pospopcnt has its own (higher) device threshold: its host path
+    skips the mask-select transform and stays the fastest single-call
+    tier well past flagstat's crossover (measured
+    tools/crossover_sweep.py --pospopcnt: numpy 17.8 ms @1Mi vs ~62 ms
+    device wall via tunnel)."""
+    monkeypatch.setattr(D, "backend", lambda: "tpu")
+    assert D.pospopcnt_auto_impl(1 << 20) == "numpy"
+    assert D.pospopcnt_auto_impl(1 << 22) == "pallas"
+    assert D.pospopcnt_auto_impl(64 << 20) == "pallas"
+    monkeypatch.setattr(D, "backend", lambda: "cpu")
+    assert D.pospopcnt_auto_impl(1 << 16) == "numpy"
+    assert D.pospopcnt_auto_impl(1 << 17) == "xla"
+
+
 def test_auto_dispatch_correct_across_tiers():
     """Whatever tier auto-dispatch picks, the counters are exact."""
     for n in (1_000, 40_000, 1 << 17):

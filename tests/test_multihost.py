@@ -36,22 +36,32 @@ def test_scaling_sweep_sane():
     )
 
     n = 1 << 21
-    res = scaling_sweep(n_words=n, impl="xla",
-                        device_counts=[1, len(jax.devices())], iters=2)
-    assert [r["devices"] for r in res] == [1, len(jax.devices())]
+    # the shared 4-core host jitters wildly under concurrent load
+    # (observed 14x slowdowns); re-measure both sides a few times and
+    # pass if ANY attempt shows agreement — the round-1 bug this guards
+    # against (timing a no-op) fails every attempt by ~100x
+    last = None
+    for _ in range(3):
+        res = scaling_sweep(n_words=n, impl="xla",
+                            device_counts=[1, len(jax.devices())], iters=2)
+        assert [r["devices"] for r in res] == [1, len(jax.devices())]
 
-    # (a) cross-check the 1-device point against a direct measurement
-    mesh = data_mesh(jax.devices()[:1])
-    fn = make_sharded_counter_fn(mesh, impl="xla")
-    x = generate_flags(n, seed=0, full_range=True)
-    padded = pad_for_mesh(x, 1, shard_granule("xla"))
-    y = jax.device_put(padded)
-    direct = kernel_time(lambda a: fn(a, jnp.int32(n)), y, iters=2)
-    ratio = res[0]["min_s"] / direct
-    assert 1 / 3 < ratio < 3, (res[0]["min_s"], direct)
-
-    # (b) aggregate throughput must not collapse when sharded wide
-    assert res[-1]["words_per_s"] > 0.3 * res[0]["words_per_s"]
+        # (a) cross-check the 1-device point against a direct measurement
+        mesh = data_mesh(jax.devices()[:1])
+        fn = make_sharded_counter_fn(mesh, impl="xla")
+        x = generate_flags(n, seed=0, full_range=True)
+        padded = pad_for_mesh(x, 1, shard_granule("xla"))
+        y = jax.device_put(padded)
+        direct = kernel_time(lambda a: fn(a, jnp.int32(n)), y, iters=2)
+        ratio = res[0]["min_s"] / direct
+        ok_a = 1 / 3 < ratio < 3
+        # (b) aggregate throughput must not collapse when sharded wide
+        ok_b = res[-1]["words_per_s"] > 0.3 * res[0]["words_per_s"]
+        if ok_a and ok_b:
+            return
+        last = (res[0]["min_s"], direct, ratio,
+                res[0]["words_per_s"], res[-1]["words_per_s"])
+    raise AssertionError(f"no agreeing attempt in 3: {last}")
 
 
 def test_multihost_file_single_process(tmp_path):
