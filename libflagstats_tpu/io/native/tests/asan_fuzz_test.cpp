@@ -12,6 +12,13 @@ extern "C" {
 int64_t lfs_lz4_compress(const uint8_t*, int64_t, uint8_t*, int64_t, int);
 int64_t lfs_lz4_bound(int64_t);
 int64_t lfs_lz4_decompress(const uint8_t*, int64_t, uint8_t*, int64_t);
+int64_t lfs_decode_stream(const uint8_t*, int64_t, uint8_t*, int64_t,
+                          int codec, int n_threads);
+}
+
+static void put32(std::vector<uint8_t>& v, uint32_t x) {
+    v.push_back(x & 0xFF); v.push_back((x >> 8) & 0xFF);
+    v.push_back((x >> 16) & 0xFF); v.push_back((x >> 24) & 0xFF);
 }
 
 int main() {
@@ -87,6 +94,70 @@ int main() {
             ++rounds;
         }
     }
-    printf("ASan fuzz OK: %d corrupted decodes\n", rounds);
+    // Frame-stream level: lfs_decode_stream parses untrusted
+    // [u32 raw_len][u32 comp_len][payload]* headers (the format of
+    // benchmark/flagstats.cpp:136-138). Valid multi-block streams must
+    // round-trip on the thread pool; header-corrupted / truncated
+    // variants must error or stay inside the exact-capacity output.
+    int frame_rounds = 0;
+    for (int trial = 0; trial < 60; ++trial) {
+        const int n_blocks = 1 + rng() % 5;
+        const int codec = trial % 2;  // 0 = stored, 1 = lz4
+        std::vector<uint8_t> raw, stream;
+        for (int b = 0; b < n_blocks; ++b) {
+            const int64_t n = 1 + rng() % 8000;
+            std::vector<uint8_t> blk(n);
+            for (auto& x : blk) x = rng() & 0x0F;
+            raw.insert(raw.end(), blk.begin(), blk.end());
+            std::vector<uint8_t> comp;
+            if (codec == 0) {
+                comp = blk;
+            } else {
+                comp.resize(lfs_lz4_bound(n));
+                const int64_t c = lfs_lz4_compress(blk.data(), n, comp.data(),
+                                                   comp.size(), 0);
+                if (c < 0) { printf("frame compress fail\n"); return 1; }
+                comp.resize(c);
+            }
+            put32(stream, static_cast<uint32_t>(n));
+            put32(stream, static_cast<uint32_t>(comp.size()));
+            stream.insert(stream.end(), comp.begin(), comp.end());
+        }
+        std::vector<uint8_t> out(raw.size());
+        const int64_t r = lfs_decode_stream(stream.data(), stream.size(),
+                                            out.data(), out.size(),
+                                            codec, 1 + trial % 4);
+        if (r != static_cast<int64_t>(raw.size()) ||
+            memcmp(out.data(), raw.data(), raw.size())) {
+            printf("frame roundtrip fail trial %d\n", trial);
+            return 1;
+        }
+        for (int k = 0; k < 30; ++k) {
+            std::vector<uint8_t> bad(stream);
+            switch (k % 3) {
+                case 0:  // header field flips (raw_len/comp_len lies)
+                    bad[rng() % (bad.size() < 8 ? bad.size() : 8)] ^=
+                        1 << (rng() % 8);
+                    break;
+                case 1:  // any-byte flip
+                    bad[rng() % bad.size()] ^= 1 << (rng() % 8);
+                    break;
+                case 2:  // truncation (mid-header / mid-payload)
+                    bad.resize(rng() % (bad.size() + 1));
+                    break;
+            }
+            std::fill(out.begin(), out.end(), 0);
+            const int64_t rr = lfs_decode_stream(bad.data(), bad.size(),
+                                                 out.data(), out.size(),
+                                                 codec, 1 + k % 4);
+            if (rr > static_cast<int64_t>(out.size())) {
+                printf("frame overrun report trial %d\n", trial);
+                return 1;
+            }
+            ++frame_rounds;
+        }
+    }
+    printf("ASan fuzz OK: %d corrupted decodes, %d corrupted frame streams\n",
+           rounds, frame_rounds);
     return 0;
 }
