@@ -12,6 +12,8 @@ Public API:
                            (libflagstats.h:3025)
   pospopcnt_u16(arr)       16-bin positional popcount (libalgebra.h:3497)
   counters_to_report(c)    samtools flagstat report object
+  popcnt / intersect_count / union_count / diff_count
+                           set-algebra bitmap counts (libalgebra.h:500-3398)
 """
 from __future__ import annotations
 
@@ -24,6 +26,9 @@ from .flags import (  # noqa: F401
     BIT12, BIT13, BIT14,
 )
 from .ops.dispatch import flagstats_u16, pospopcnt_u16, get_function  # noqa: F401
+from .ops.setalgebra import (  # noqa: F401
+    diff_count, intersect_count, popcnt, union_count,
+)
 from .report import FlagstatReport, counters_to_dict, counters_to_report  # noqa: F401
 
 
