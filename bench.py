@@ -38,6 +38,10 @@ ROOF_MARGIN = 1.05        # reject kernel samples > 1.05x same-process roofline
 AGREE_PCT = 5.0           # cross-process reproduction tolerance
 MAX_ATTEMPTS = 4          # in-process remeasure attempts
 MAX_WORKERS = 4           # worker launches before giving up
+WALL_BUDGET_S = 3600.0    # stop launching new workers past this; a
+                          # worker series of tunnel hangs must still
+                          # emit the final line within the driver's
+                          # patience, not after 4x5400s of timeouts
 
 
 def _measure_worker() -> dict:
@@ -184,12 +188,12 @@ def worker_main() -> int:
     return 0 if "error" not in res else 1
 
 
-def _run_worker(idx: int) -> dict:
+def _run_worker(idx: int, timeout_s: float = 5400.0) -> dict:
     env = dict(os.environ)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker"],
-            capture_output=True, text=True, env=env, timeout=5400,
+            capture_output=True, text=True, env=env, timeout=timeout_s,
         )
     except subprocess.TimeoutExpired as e:
         # a cold worker can sit in remote compiles for a long time; the
@@ -255,8 +259,16 @@ def assemble_final(results: list[dict], agree_pct: float = AGREE_PCT):
 
 def main() -> int:
     results: list[dict] = []
+    t_start = time.monotonic()
     for i in range(MAX_WORKERS):
-        r = _run_worker(i)
+        elapsed = time.monotonic() - t_start
+        if i and elapsed > WALL_BUDGET_S:
+            print(f"[bench] wall budget ({WALL_BUDGET_S:.0f}s) exhausted "
+                  f"after {i} workers", file=sys.stderr)
+            break
+        # a cold first worker may legitimately sit in remote compiles;
+        # later workers only get the remaining budget (600s floor)
+        r = _run_worker(i, timeout_s=max(600.0, WALL_BUDGET_S - elapsed))
         if "error" in r:
             print(f"[bench] worker {i}: {r['error']}", file=sys.stderr)
             if "exception" in r["error"] or "no result" in r["error"]:

@@ -52,3 +52,29 @@ def test_agreement_found_after_disagreeing_first_pair():
 def test_no_results_is_an_error():
     line, rc = bench.assemble_final([], agree_pct=5.0)
     assert line is None and rc == 1
+
+
+def test_wall_budget_stops_worker_launches(monkeypatch, capsys):
+    """A series of hung/erroring workers must not run past the wall
+    budget: after the budget is spent, main() stops launching and falls
+    through to the degraded assembly path."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    launches = []
+
+    def fake_worker(idx, timeout_s=5400.0):
+        launches.append((idx, timeout_s))
+        clock["t"] += bench.WALL_BUDGET_S * 0.75  # each worker burns 75%
+        return {"error": f"worker {idx} timed out"}
+
+    monkeypatch.setattr(bench, "_run_worker", fake_worker)
+    rc = bench.main()
+    assert rc == 1
+    # worker 0 launches; worker 1 launches at 75% budget with only the
+    # remaining budget as its timeout; worker 2 never launches
+    assert [i for i, _ in launches] == [0, 1]
+    assert launches[0][1] == bench.WALL_BUDGET_S
+    assert launches[1][1] <= max(600.0, bench.WALL_BUDGET_S * 0.25) + 1e-6
+    out = capsys.readouterr().out
+    assert '"error"' in out
