@@ -145,6 +145,21 @@ def _measure_worker() -> dict:
             rejected += 1
             continue
         if bps > roof * ROOF_MARGIN:
+            # Either the kernel sample is a caching artifact, OR the
+            # roofline itself was measured in a congested window. The
+            # defended roofline can only be biased LOW (its own
+            # agreement protocol + nominal-HBM clamp bound it above),
+            # so re-measure and keep the max before condemning a
+            # plausible kernel sample (observed live: a congested
+            # roofline of 718 GB/s rejecting honest 752 GB/s samples
+            # while the quiet-window roofline reads 820+).
+            roof2 = defended_roofline(2 * n_words, ks=ks)
+            if roof2 == roof2 and roof2 > roof:
+                print(f"[bench] roofline re-measured: "
+                      f"{roof/1e9:.1f} -> {roof2/1e9:.1f} GB/s",
+                      file=sys.stderr)
+                roof = roof2
+        if bps > roof * ROOF_MARGIN:
             # physically impossible: the kernel reads the same bytes the
             # roofline does — caching artifact, remeasure
             rejected += 1
@@ -235,10 +250,15 @@ def assemble_final(results: list[dict], agree_pct: float = AGREE_PCT):
     within agree_pct (reproduction rule). Degraded: if workers are
     exhausted without an agreeing pair but >= 1 result passed every
     in-process plausibility gate (oracle bit-exactness, fit dispersion,
-    reject-above-roofline), report the SLOWEST such result, labeled
-    agreement="unconfirmed" — an honest lower bound beats a 0.0 artifact
-    when the shared chip is turbulent. Returns (line_dict, exit_code);
-    line_dict is None when there is nothing plausible to report.
+    reject-above-roofline), report the MEDIAN such result labeled
+    agreement="unconfirmed", with every worker's value published.
+    Median, not min or max: on this shared chip a gate-passing sample
+    can still be congestion-slowed (observed 389 GB/s during a busy
+    window vs 740-777 quiet) or sit just under the roofline margin on
+    the high side; the median is robust to one outlier in either
+    direction, and an honest estimate beats a 0.0 artifact. Returns
+    (line_dict, exit_code); line_dict is None when there is nothing
+    plausible to report.
     """
     from libflagstats_tpu.bench.harness import agreeing_pair
 
@@ -250,9 +270,13 @@ def assemble_final(results: list[dict], agree_pct: float = AGREE_PCT):
         return _final_line(slow, 200.0 * abs(va - vb) / (va + vb),
                            "cross_process"), 0
     if results:
-        slow = min(results, key=lambda s: s["words_per_s"])
-        line = _final_line(slow, None, "unconfirmed")
+        ranked = sorted(results, key=lambda s: s["words_per_s"])
+        med = ranked[(len(ranked) - 1) // 2]   # lower median: conservative
+        line = _final_line(med, None, "unconfirmed")
         line["n_valid_workers"] = len(results)
+        line["worker_gbytes_per_s"] = [
+            round(s["bytes_per_s"] / 1e9, 1) for s in results
+        ]
         return line, 0
     return None, 1
 

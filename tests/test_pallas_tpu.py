@@ -71,6 +71,24 @@ def test_sharded_pallas_composition():
     assert_counters_equal(flagstat_numpy(x), got)
 
 
+def test_every_flagstat_impl_string_via_dispatch():
+    """Every registry string drives the public entry on hardware
+    (round-1 verdict item 7; tools/stress.py soaks the same surface at
+    randomized sizes). Uses a PALLAS_MIN-bucket size so the executables
+    are shared with the soak/sweep cache."""
+    from libflagstats_tpu import flags as F
+    from libflagstats_tpu.ops.dispatch import FLAGSTAT_IMPLS, flagstats_u16
+
+    n = 1_000_000  # bucket-pads to PALLAS_MIN (1Mi)
+    x = generate_flags(n, seed=7, full_range=True)
+    ref = flagstat_numpy(x).astype(np.int64)
+    for impl in FLAGSTAT_IMPLS:
+        got = np.asarray(flagstats_u16(x, impl=impl), dtype=np.int64)
+        idx = (list(F.REPORT_COUNTERS) if impl == "pallas_report"
+               else list(range(32)))
+        assert (got[idx] == ref[idx]).all(), impl
+
+
 def test_pretransposed_kernel_tpu():
     """Pre-mode kernel (no in-VMEM transpose) over host-AVX2-transposed
     plane tiles — bit-exact vs the oracle."""
