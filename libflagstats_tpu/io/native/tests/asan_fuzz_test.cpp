@@ -12,6 +12,7 @@ extern "C" {
 int64_t lfs_lz4_compress(const uint8_t*, int64_t, uint8_t*, int64_t, int);
 int64_t lfs_lz4_bound(int64_t);
 int64_t lfs_lz4_decompress(const uint8_t*, int64_t, uint8_t*, int64_t);
+int64_t lfs_lz4_decompress_own(const uint8_t*, int64_t, uint8_t*, int64_t);
 int64_t lfs_decode_stream(const uint8_t*, int64_t, uint8_t*, int64_t,
                           int codec, int n_threads);
 }
@@ -39,7 +40,7 @@ int main() {
         if (c < 33) { printf("setup fail: payload too small\n"); return 1; }
         for (int64_t cap = 0; cap < 32; ++cap) {
             std::vector<uint8_t> tiny(cap ? cap : 1);
-            const int64_t r = lfs_lz4_decompress(comp.data(), c,
+            const int64_t r = lfs_lz4_decompress_own(comp.data(), c,
                                                  tiny.data(), cap);
             if (r > cap) { printf("tiny-dst overrun report\n"); return 1; }
         }
@@ -50,7 +51,7 @@ int main() {
         for (int i = 0; i < 40; ++i) lits.push_back(0x5A);
         for (int64_t cap = 0; cap < 20; ++cap) {
             std::vector<uint8_t> tiny(cap ? cap : 1);
-            const int64_t r = lfs_lz4_decompress(lits.data(), lits.size(),
+            const int64_t r = lfs_lz4_decompress_own(lits.data(), lits.size(),
                                                  tiny.data(), cap);
             if (r >= 0) { printf("tiny-dst literal accept\n"); return 1; }
         }
@@ -75,7 +76,7 @@ int main() {
 
         std::vector<uint8_t> out(n);  // exact capacity: ASan sees any overrun
         // valid stream must round-trip
-        int64_t r = lfs_lz4_decompress(comp.data(), c, out.data(), n);
+        int64_t r = lfs_lz4_decompress_own(comp.data(), c, out.data(), n);
         if (r != n || memcmp(out.data(), raw.data(), n)) {
             printf("roundtrip fail trial %d\n", trial);
             return 1;
@@ -90,6 +91,7 @@ int main() {
                 bad.resize(rng() % (bad.size() + 1));
             }
             std::fill(out.begin(), out.end(), 0);
+            (void)lfs_lz4_decompress_own(bad.data(), bad.size(), out.data(), n);
             (void)lfs_lz4_decompress(bad.data(), bad.size(), out.data(), n);
             ++rounds;
         }

@@ -54,6 +54,10 @@ def load():
     lib.lfs_lz4_set_own_only.argtypes = [i32]
     lib.lfs_lz4_decompress.restype = i64
     lib.lfs_lz4_decompress.argtypes = [u8p, i64, ctypes.c_void_p, i64]
+    lib.lfs_lz4_decompress_own.restype = i64
+    lib.lfs_lz4_decompress_own.argtypes = [u8p, i64, ctypes.c_void_p, i64]
+    lib.lfs_lz4_set_sys_decode.restype = None
+    lib.lfs_lz4_set_sys_decode.argtypes = [i32]
     lib.lfs_lz4_bound.restype = i64
     lib.lfs_lz4_bound.argtypes = [i64]
     lib.lfs_zstd_compress.restype = i64

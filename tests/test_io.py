@@ -139,19 +139,31 @@ def test_lz4_system_and_own_encoders(native):
     dst = ctypes.create_string_buffer(bound)
     out = ctypes.create_string_buffer(len(raw))
     for own_only in (0, 1):
-        native.lfs_lz4_set_own_only(own_only)
-        try:
-            for effort in (-9, 0, 4, 9):
-                r = native.lfs_lz4_compress(
-                    raw, len(raw), ctypes.cast(dst, ctypes.c_void_p),
-                    bound, effort)
-                assert r > 0
-                d = native.lfs_lz4_decompress(
-                    dst.raw[:r], r, ctypes.cast(out, ctypes.c_void_p),
-                    len(raw))
-                assert d == len(raw) and out.raw == raw, (own_only, effort)
-        finally:
-            native.lfs_lz4_set_own_only(0)
+        for sys_decode in (0, 1):
+            native.lfs_lz4_set_own_only(own_only)
+            native.lfs_lz4_set_sys_decode(sys_decode)
+            try:
+                for effort in (-9, 0, 4, 9):
+                    r = native.lfs_lz4_compress(
+                        raw, len(raw), ctypes.cast(dst, ctypes.c_void_p),
+                        bound, effort)
+                    assert r > 0
+                    d = native.lfs_lz4_decompress(
+                        dst.raw[:r], r, ctypes.cast(out, ctypes.c_void_p),
+                        len(raw))
+                    assert d == len(raw) and out.raw == raw, \
+                        (own_only, sys_decode, effort)
+                    # the clean-room decoder must agree with whatever
+                    # the dispatcher picked
+                    out2 = ctypes.create_string_buffer(len(raw))
+                    d2 = native.lfs_lz4_decompress_own(
+                        dst.raw[:r], r, ctypes.cast(out2, ctypes.c_void_p),
+                        len(raw))
+                    assert d2 == len(raw) and out2.raw == raw, \
+                        (own_only, sys_decode, effort)
+            finally:
+                native.lfs_lz4_set_own_only(0)
+                native.lfs_lz4_set_sys_decode(0)
 
 
 def test_lz4_fast_acceleration_levels(tmp_path):
