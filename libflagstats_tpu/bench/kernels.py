@@ -31,7 +31,14 @@ def _bodies(n_words: int):
             bodies["pallas_bitsliced"] = lambda a: jnp.concatenate(
                 PK.stream_sums_pallas(a)
             )
+            bodies["pallas_report"] = lambda a: jnp.concatenate(
+                PK.stream_sums_pallas(a, report=True)
+            )
             bodies["pospopcnt_bitsliced"] = lambda a: PK.pospopcnt_u16_pallas(a)
+        if n_words % (16 * PK.GROUP_WORDS) == 0:
+            bodies["pallas_nblk16"] = lambda a: jnp.concatenate(
+                PK.stream_sums_pallas(a, nblk=16)
+            )
         if n_words % PK.WORDS_STEP == 0:
             def words_body(a):
                 padded = a.reshape(-1, 512, 128)
@@ -71,7 +78,13 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
                                       jnp.int32(n_words)),
                     dtype=np.int64,
                 )
-                ok = (counters == ref).all()
+                if name == "pallas_report":
+                    from .. import flags as F
+
+                    idx = list(F.REPORT_COUNTERS)
+                    ok = (counters[idx] == ref[idx]).all()
+                else:
+                    ok = (counters == ref).all()
             if not ok:
                 lines.append(f"{name}\t{n_words}\tMISMATCH")
                 continue
