@@ -15,6 +15,8 @@ int64_t lfs_lz4_decompress(const uint8_t*, int64_t, uint8_t*, int64_t);
 int64_t lfs_lz4_decompress_own(const uint8_t*, int64_t, uint8_t*, int64_t);
 int64_t lfs_decode_stream(const uint8_t*, int64_t, uint8_t*, int64_t,
                           int codec, int n_threads);
+int64_t lfs_zstd_compress(const uint8_t*, int64_t, uint8_t*, int64_t, int);
+int64_t lfs_zstd_bound(int64_t);
 }
 
 static void put32(std::vector<uint8_t>& v, uint32_t x) {
@@ -102,9 +104,9 @@ int main() {
     // round-trip on the thread pool; header-corrupted / truncated
     // variants must error or stay inside the exact-capacity output.
     int frame_rounds = 0;
-    for (int trial = 0; trial < 60; ++trial) {
+    for (int trial = 0; trial < 90; ++trial) {
         const int n_blocks = 1 + rng() % 5;
-        const int codec = trial % 2;  // 0 = stored, 1 = lz4
+        const int codec = trial % 3;  // 0 = stored, 1 = lz4, 2 = zstd
         std::vector<uint8_t> raw, stream;
         for (int b = 0; b < n_blocks; ++b) {
             const int64_t n = 1 + rng() % 8000;
@@ -114,11 +116,17 @@ int main() {
             std::vector<uint8_t> comp;
             if (codec == 0) {
                 comp = blk;
-            } else {
+            } else if (codec == 1) {
                 comp.resize(lfs_lz4_bound(n));
                 const int64_t c = lfs_lz4_compress(blk.data(), n, comp.data(),
                                                    comp.size(), 0);
                 if (c < 0) { printf("frame compress fail\n"); return 1; }
+                comp.resize(c);
+            } else {
+                comp.resize(lfs_zstd_bound(n));
+                const int64_t c = lfs_zstd_compress(blk.data(), n, comp.data(),
+                                                    comp.size(), 1);
+                if (c < 0) { printf("frame zstd compress fail\n"); return 1; }
                 comp.resize(c);
             }
             put32(stream, static_cast<uint32_t>(n));
