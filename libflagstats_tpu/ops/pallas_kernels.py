@@ -398,6 +398,61 @@ def pospopcnt_u16_pallas(x: jax.Array, nblk: int = 8, interpret: bool = False) -
 
 
 # ---------------------------------------------------------------------------
+# Streaming-read roofline kernel: xor-fold the whole stream with one VPU
+# op per 2048 words. This is the Pallas "how fast can this chip actually
+# READ the bytes" candidate for the bench roofline — XLA's reduce
+# (read_sum/read_xor in bench/harness.ROOF_CANDIDATES) has been measured
+# streaming ~3-5% below what the hand-tiled grid DMA sustains, which
+# made an honest kernel sample look 1.03x "above roofline". The
+# reference's counterpart is the memcpy speed-of-light baseline
+# (linux/instrumented_benchmark.cpp:456-544).
+# ---------------------------------------------------------------------------
+
+
+def _make_roof_kernel(nblk: int):
+    def kernel(x_ref, out_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        acc = pltpu.bitcast(x_ref[0, 0], _U32)
+        for g in range(nblk):
+            for k in range(REGS):
+                if g or k:
+                    acc = acc ^ pltpu.bitcast(x_ref[g, k], _U32)
+        out_ref[...] = out_ref[...] ^ acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def read_xor_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Xor-fold of a uint16 stream -> uint32[1] (order-free digest).
+
+    Pure streaming read over the same (groups, 32, 16, 128) tiling the
+    flagstat kernels use; the only compute is one xor per register tile,
+    so its measured time IS the achievable HBM read time for that
+    layout."""
+    nblk = 8
+    xg = _pack_stream(x, nblk)
+    out = pl.pallas_call(
+        _make_roof_kernel(nblk),
+        grid=(xg.shape[0] // nblk,),
+        in_specs=[
+            pl.BlockSpec((nblk, REGS, SUB16, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((SUB, LANE), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SUB, LANE), _U32),
+        interpret=interpret,
+    )(xg)
+    return jax.lax.reduce(out.ravel(), _u32(0), jax.lax.bitwise_xor, (0,))[None]
+
+
+# ---------------------------------------------------------------------------
 # Word-space kernel variant ("flagstat_words"): no bit transpose — the
 # mask-select transform runs on packed words (SWAR on two 16-bit fields
 # per int32 lane) and two Harley-Seal trees (pass/fail strata) count the

@@ -123,3 +123,18 @@ def test_words_kernel_chunk_loop(monkeypatch):
         dtype=np.int64,
     )
     assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_read_xor_pallas_digest():
+    """The bench roofline's streaming-read kernel must actually read
+    every word: its uint32 xor digest, folded low^high, equals the xor
+    of all input words regardless of how the tiling pairs them."""
+    from libflagstats_tpu.ops.pallas_kernels import read_xor_pallas
+
+    n = 16 * GROUP_WORDS  # two grid steps: exercises the step-0 init
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 16, size=n, dtype=np.uint16)
+    got = int(np.asarray(read_xor_pallas(jnp.asarray(x), interpret=True))[0])
+    folded = (got & 0xFFFF) ^ (got >> 16)
+    want = int(np.bitwise_xor.reduce(x))
+    assert folded == want

@@ -100,3 +100,16 @@ def test_pretransposed_kernel_tpu():
     planes = pretranspose_host(x)
     got = np.asarray(flagstat_pallas_pre(jnp.asarray(planes), n=n), dtype=np.int64)
     assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_read_xor_pallas_tpu():
+    """Streaming-read roofline kernel on hardware: pairing-invariant
+    xor digest over 2 grid steps."""
+    from libflagstats_tpu.ops.pallas_kernels import read_xor_pallas
+
+    n = 16 * GROUP_WORDS
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 1 << 16, size=n, dtype=np.uint16)
+    got = int(np.asarray(read_xor_pallas(jnp.asarray(x)))[0])
+    folded = (got & 0xFFFF) ^ (got >> 16)
+    assert folded == int(np.bitwise_xor.reduce(x))

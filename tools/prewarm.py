@@ -58,6 +58,18 @@ def main() -> int:
     t0 = time.time()
     jax.block_until_ready(flagstat_pallas_words(x))
     print(f"[prewarm] words kernel: {time.time()-t0:.1f}s", flush=True)
+
+    # bench roofline candidate at the headline size (64Mi words) and the
+    # TPU-test size (2 steps) — read_xor_pallas compiles per grid length
+    from libflagstats_tpu.ops.pallas_kernels import read_xor_pallas
+
+    for name, n in (("bench 64Mi", 64 * 1024 * 1024),
+                    ("two steps", 16 * GROUP_WORDS)):
+        x = jnp.asarray(generate_flags(n, seed=0))
+        t0 = time.time()
+        jax.block_until_ready(read_xor_pallas(x))
+        print(f"[prewarm] read_xor_pallas {name}: {time.time()-t0:.1f}s",
+              flush=True)
     return 0
 
 
