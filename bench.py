@@ -124,10 +124,9 @@ def _measure_worker() -> dict:
     # same-process roofline with its own agreement protocol (a single
     # roofline sample can be a caching artifact that would disable the
     # kernel-side reject-above-roofline gate)
-    roof = defended_roofline(2 * n_words, ks=ks)
+    roof, roof_name = defended_roofline(2 * n_words, ks=ks, with_kind=True)
     if roof != roof:
         return {"error": "roofline measurement failed"}
-    roof_name = "read_reduce_agreed"
 
     rejected = 0
     last = None
@@ -153,12 +152,13 @@ def _measure_worker() -> dict:
             # plausible kernel sample (observed live: a congested
             # roofline of 718 GB/s rejecting honest 752 GB/s samples
             # while the quiet-window roofline reads 820+).
-            roof2 = defended_roofline(2 * n_words, ks=ks)
+            roof2, roof2_name = defended_roofline(2 * n_words, ks=ks,
+                                                  with_kind=True)
             if roof2 == roof2 and roof2 > roof:
                 print(f"[bench] roofline re-measured: "
                       f"{roof/1e9:.1f} -> {roof2/1e9:.1f} GB/s",
                       file=sys.stderr)
-                roof = roof2
+                roof, roof_name = roof2, roof2_name
         if bps > roof * ROOF_MARGIN:
             # physically impossible: the kernel reads the same bytes the
             # roofline does — caching artifact, remeasure
@@ -235,6 +235,7 @@ def _final_line(slow: dict, spread, agreement: str) -> dict:
         "kernel_ms": round(slow["kernel_ms"], 4),
         "gbytes_per_s": round(slow["bytes_per_s"] / 1e9, 1),
         "roofline_gbs": round(slow["roofline_gbs"], 1),
+        "roofline_kind": slow.get("roofline_kind", "?"),
         "cross_process_spread_pct": (None if spread is None
                                      else round(spread, 2)),
         "fit_residual": round(slow["fit_residual"], 4),

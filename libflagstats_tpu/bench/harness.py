@@ -229,8 +229,16 @@ def _roof_candidates(n32: int) -> dict:
     kernel from a bitcast int32 buffer was measured at 34.8 GB/s — the
     per-call 16-bit relayout copy, not the read."""
 
+    shared = {}
+
     def i32_input():
-        return jax.block_until_ready(jnp.arange(n32, dtype=jnp.int32))
+        # one buffer shared by both XLA candidates (and across re-calls
+        # within one roofline measurement) — the allocation is untimed
+        # but each costs a 128 MiB device write + tunnel round trip
+        if "x32" not in shared:
+            shared["x32"] = jax.block_until_ready(
+                jnp.arange(n32, dtype=jnp.int32))
+        return shared["x32"]
 
     cands = {name: (i32_input, fn) for name, fn in ROOF_CANDIDATES.items()}
     try:
@@ -247,8 +255,12 @@ def _roof_candidates(n32: int) -> dict:
                     u16_input,
                     lambda a: read_xor_pallas(a).astype(jnp.int32),
                 )
-    except Exception:
-        pass
+    except Exception as exc:
+        # losing this candidate silently would revert the roofline to
+        # the understated XLA reduces and resurrect >1.0x headlines
+        import sys
+        print(f"[roofline] read_xor_pallas candidate unavailable: {exc!r}",
+              file=sys.stderr)
     return cands
 
 
@@ -313,7 +325,8 @@ def hbm_nominal_bytes_per_s() -> float | None:
 
 
 def defended_roofline(n_bytes: int, ks=(4, 64, 260),
-                      attempts: int = 5, agree_pct: float = 5.0) -> float:
+                      attempts: int = 5, agree_pct: float = 5.0,
+                      with_kind: bool = False):
     """Roofline with its own agreement protocol.
 
     A single roofline sample can itself be a caching artifact (observed:
@@ -324,22 +337,34 @@ def defended_roofline(n_bytes: int, ks=(4, 64, 260),
     was collected (never the max). Samples above the device's nominal
     HBM bandwidth (physically impossible for a read kernel) are
     discarded outright — artifacts have been observed to reproduce
-    consistently enough to 'agree' with each other."""
+    consistently enough to 'agree' with each other.
+
+    With ``with_kind=True`` returns (bytes_per_s, kind) where kind names
+    the winning candidate(s) — e.g. "read_xor_pallas" or
+    "read_sum+read_xor_pallas" when the agreeing pair came from two
+    different candidates."""
     spec = hbm_nominal_bytes_per_s()
     cap = spec * 1.02 if spec else None
-    samples: list[float] = []
+    samples: list[tuple[float, str]] = []
+
+    def done(value: float, names):
+        kind = "+".join(sorted(set(names))) if names else "none"
+        return (value, kind) if with_kind else value
+
     for _ in range(attempts):
         roofs = roofline_fit(n_bytes, ks=ks)
-        good = [v["bytes_per_s"] for v in roofs.values()
+        good = [(v["bytes_per_s"], name) for name, v in roofs.items()
                 if v["fit"].ok and v["fit"].dispersion < 0.30
                 and (cap is None or v["bytes_per_s"] <= cap)]
         if not good:
             continue
         samples.append(max(good))
-        pair = agreeing_pair(samples, agree_pct)
+        pair = agreeing_pair(samples, agree_pct, key=lambda s: s[0])
         if pair is not None:
-            return 0.5 * (samples[pair[0]] + samples[pair[1]])
+            a, b = samples[pair[0]], samples[pair[1]]
+            return done(0.5 * (a[0] + b[0]), [a[1], b[1]])
     if not samples:
-        return float("nan")
-    samples.sort()
-    return samples[len(samples) // 2]
+        return done(float("nan"), [])
+    samples.sort(key=lambda s: s[0])
+    med = samples[len(samples) // 2]
+    return done(med[0], [med[1]])

@@ -402,9 +402,11 @@ def pospopcnt_u16_pallas(x: jax.Array, nblk: int = 8, interpret: bool = False) -
 # op per 2048 words. This is the Pallas "how fast can this chip actually
 # READ the bytes" candidate for the bench roofline — XLA's reduce
 # (read_sum/read_xor in bench/harness.ROOF_CANDIDATES) has been measured
-# streaming ~3-5% below what the hand-tiled grid DMA sustains, which
-# made an honest kernel sample look 1.03x "above roofline". The
-# reference's counterpart is the memcpy speed-of-light baseline
+# streaming below what the hand-tiled grid DMA sustains (equal in quiet
+# windows, ~11% under in one measured window: 697-736 vs ~786 GB/s),
+# which understated the roofline enough to make an honest kernel sample
+# look 1.03x "above roofline". The reference's counterpart is the
+# memcpy speed-of-light baseline
 # (linux/instrumented_benchmark.cpp:456-544).
 # ---------------------------------------------------------------------------
 
@@ -435,6 +437,10 @@ def read_xor_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     flagstat kernels use; the only compute is one xor per register tile,
     so its measured time IS the achievable HBM read time for that
     layout."""
+    if x.size == 0:
+        # a 0-step grid would never run the step-0 init, leaving the
+        # output buffer uninitialized
+        return jnp.zeros((1,), _U32)
     nblk = 8
     xg = _pack_stream(x, nblk)
     out = pl.pallas_call(

@@ -7,6 +7,7 @@ emit an honest estimate — never a 0.0 artifact — when the shared
 chip denies cross-process agreement.
 """
 import bench
+import pytest
 
 
 def _res(wps: float) -> dict:
@@ -91,3 +92,17 @@ def test_wall_budget_stops_worker_launches(monkeypatch, capsys):
     assert launches[1][1] <= max(600.0, bench.WALL_BUDGET_S * 0.25) + 1e-6
     out = capsys.readouterr().out
     assert '"error"' in out
+
+
+def test_defended_roofline_with_kind_cpu():
+    """with_kind=True names the winning candidate(s) so the bench JSON
+    can report which read formulation set the denominator."""
+    from libflagstats_tpu.bench.harness import defended_roofline
+
+    value, kind = defended_roofline(1 << 20, ks=(2, 8), attempts=4,
+                                    with_kind=True)
+    if value != value:  # host-load flake: every sample failed a gate
+        pytest.skip("no roofline sample passed gates (loaded host)")
+    assert value > 0
+    assert kind and all(part in ("read_sum", "read_xor", "read_xor_pallas")
+                        for part in kind.split("+"))

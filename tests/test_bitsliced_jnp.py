@@ -138,3 +138,12 @@ def test_read_xor_pallas_digest():
     folded = (got & 0xFFFF) ^ (got >> 16)
     want = int(np.bitwise_xor.reduce(x))
     assert folded == want
+
+
+def test_read_xor_pallas_empty():
+    """0-step grid guard: an empty stream must yield digest 0, not an
+    uninitialized output buffer."""
+    from libflagstats_tpu.ops.pallas_kernels import read_xor_pallas
+
+    got = np.asarray(read_xor_pallas(jnp.zeros(0, jnp.uint16), interpret=True))
+    assert got.shape == (1,) and got[0] == 0
