@@ -95,9 +95,22 @@ def _measure_worker() -> dict:
     # correctness gate: bit-exact vs host oracle. The input is a pure
     # function of (n_words, seed=0, full_range), so the oracle counters
     # are disk-cached — recomputing them costs every worker 20-150 s of
-    # host time on this shared 4-core box.
+    # host time on this shared 4-core box. The cache key includes a hash
+    # of the oracle + flag-model SOURCE: without it, any edit to
+    # generate_flags/flagstat_numpy would leave stale counters on disk
+    # and fail every future run's correctness gate with no hint why
+    # (and CLAUDE.md tells operators never to delete .jax_cache).
+    import hashlib
+    import inspect
+
+    from libflagstats_tpu import flags as _flags_mod
+    from libflagstats_tpu import oracle as _oracle_mod
+    tag = hashlib.sha256((inspect.getsource(_oracle_mod)
+                          + inspect.getsource(_flags_mod)).encode()
+                         ).hexdigest()[:10]
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".jax_cache", f"bench_oracle_{n_words}_s0.npy")
+                              ".jax_cache",
+                              f"bench_oracle_{n_words}_s0_{tag}.npy")
     ref = None
     try:
         ref = np.load(cache_path)
@@ -291,9 +304,13 @@ def main() -> int:
             print(f"[bench] wall budget ({WALL_BUDGET_S:.0f}s) exhausted "
                   f"after {i} workers", file=sys.stderr)
             break
-        # a cold first worker may legitimately sit in remote compiles;
-        # later workers only get the remaining budget (600s floor)
-        r = _run_worker(i, timeout_s=max(600.0, WALL_BUDGET_S - elapsed))
+        # a cold first worker may legitimately sit in remote compiles
+        # (~15 distinct executables at seconds-to-minutes each on the
+        # shared compile service), so it keeps the full 5400 s default;
+        # later workers only get the remaining budget (600 s floor) —
+        # they reuse the persistent compile cache the first one filled
+        r = _run_worker(i, timeout_s=(5400.0 if i == 0 else
+                                      max(600.0, WALL_BUDGET_S - elapsed)))
         if "error" in r:
             print(f"[bench] worker {i}: {r['error']}", file=sys.stderr)
             if "exception" in r["error"] or "no result" in r["error"]:

@@ -110,15 +110,21 @@ def kernel_time(body_fn, x, k_small: int = 4, k_big: int = 260,
 
 @dataclass
 class FitResult:
-    slope_s: float          # per-invocation kernel time
+    slope_s: float          # per-invocation kernel time (clamped > 0)
     intercept_s: float      # fixed dispatch + loop overhead per call
     points: list            # (k, median_s, min_s)
     rel_residual: float     # max |t - fit| / fit over the points
     dispersion: float       # max (median - min) / median over the points
+    raw_slope_s: float | None = None  # unclamped LSQ slope — negative when
+    #                                   caching makes time FALL with K
 
     @property
     def ok(self) -> bool:
-        return self.slope_s > 0 and self.rel_residual < 0.15
+        # gate on the RAW slope: slope_s is clamped to 1e-12 for safe
+        # division, so testing it would let a negative-slope (cache-
+        # poisoned) fit through as "ok" with an absurd implied throughput
+        slope = self.slope_s if self.raw_slope_s is None else self.raw_slope_s
+        return slope > 0 and self.rel_residual < 0.15
 
 
 @jax.jit
@@ -172,7 +178,8 @@ def kernel_time_fit(body_fn, x, ks=(4, 64, 260), iters: int = 4,
     rel_res = float(np.max(np.abs(tarr - fit) / np.maximum(fit, 1e-12)))
     disp = max((p[1] - p[2]) / p[1] if p[1] > 0 else 0.0 for p in points)
     return FitResult(slope_s=max(slope, 1e-12), intercept_s=intercept,
-                     points=points, rel_residual=rel_res, dispersion=disp)
+                     points=points, rel_residual=rel_res, dispersion=disp,
+                     raw_slope_s=slope)
 
 
 def wall_time_min(fn, x, iters: int = 5, warmup: int = 2) -> float:
@@ -216,6 +223,23 @@ ROOF_CANDIDATES = {
 }
 
 
+#: single-size cache of roofline input buffers, shared across candidates
+#: and across the up-to-5 roofline_fit attempts one defended_roofline
+#: makes — each rebuild is untimed but costs a 128 MiB device write plus
+#: a tunnel round trip. Keyed by size and EVICTED on size change so a
+#: crossover sweep over many sizes cannot accumulate buffers in HBM.
+_ROOF_INPUTS: dict = {"n32": None}
+
+
+def _roof_input(n32: int, layout: str, build):
+    if _ROOF_INPUTS["n32"] != n32:
+        _ROOF_INPUTS.clear()
+        _ROOF_INPUTS["n32"] = n32
+    if layout not in _ROOF_INPUTS:
+        _ROOF_INPUTS[layout] = jax.block_until_ready(build())
+    return _ROOF_INPUTS[layout]
+
+
 def _roof_candidates(n32: int) -> dict:
     """name -> (make_input, body_fn) roofline candidates over 4*n32 bytes.
 
@@ -229,16 +253,9 @@ def _roof_candidates(n32: int) -> dict:
     kernel from a bitcast int32 buffer was measured at 34.8 GB/s — the
     per-call 16-bit relayout copy, not the read."""
 
-    shared = {}
-
     def i32_input():
-        # one buffer shared by both XLA candidates (and across re-calls
-        # within one roofline measurement) — the allocation is untimed
-        # but each costs a 128 MiB device write + tunnel round trip
-        if "x32" not in shared:
-            shared["x32"] = jax.block_until_ready(
-                jnp.arange(n32, dtype=jnp.int32))
-        return shared["x32"]
+        return _roof_input(n32, "i32",
+                           lambda: jnp.arange(n32, dtype=jnp.int32))
 
     cands = {name: (i32_input, fn) for name, fn in ROOF_CANDIDATES.items()}
     try:
@@ -248,8 +265,9 @@ def _roof_candidates(n32: int) -> dict:
             if (2 * n32) % (8 * GROUP_WORDS) == 0 and n32 > 0:
 
                 def u16_input():
-                    return jax.block_until_ready(
-                        jnp.arange(2 * n32, dtype=jnp.uint16))
+                    return _roof_input(
+                        n32, "u16",
+                        lambda: jnp.arange(2 * n32, dtype=jnp.uint16))
 
                 cands["read_xor_pallas"] = (
                     u16_input,
@@ -366,5 +384,9 @@ def defended_roofline(n_bytes: int, ks=(4, 64, 260),
     if not samples:
         return done(float("nan"), [])
     samples.sort(key=lambda s: s[0])
-    med = samples[len(samples) // 2]
+    # LOWER median: with an even count (e.g. exactly 2 disagreeing
+    # samples) the upper median IS the max, and an inflated roofline
+    # relaxes the caller's reject-above-roofline gate — prefer the
+    # conservative side, matching bench.assemble_final's degraded pick
+    med = samples[(len(samples) - 1) // 2]
     return done(med[0], [med[1]])

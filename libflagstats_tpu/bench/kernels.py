@@ -15,7 +15,7 @@ import numpy as np
 
 from ..oracle import flagstat_numpy, generate_flags
 from ..ops.xla_ops import stream_sums_xla
-from .harness import kernel_time, roofline_bytes_per_s
+from .harness import defended_roofline, kernel_time
 
 HEADER = "kernel\twords\ttime_us\tMwords/s\tGB/s\tvs_roofline"
 
@@ -59,8 +59,13 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
         dtype=np.int64,
     )
 
-    roofs = roofline_bytes_per_s(2 * n_words, iters=iters)
-    roof = max(roofs.values()) if roofs else None
+    # defended roofline (fit gates + nominal-HBM cap + 2-sample
+    # agreement) — a single max-of-candidates sample can be a caching
+    # artifact (observed live: 1112 GB/s on an 819 GB/s part), which
+    # would silently skew every row's vs_roofline column
+    roof, roof_kind = defended_roofline(2 * n_words, with_kind=True)
+    if roof != roof:  # NaN: no sample passed the gates
+        roof = None
 
     lines = [HEADER]
     for name, body in _bodies(n_words).items():
@@ -95,7 +100,7 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
             f"{name}\t{n_words}\t{t*1e6:.1f}\t{n_words/t/1e6:.0f}\t"
             f"{gbs:.1f}\t{frac}"
         )
-    if roofs:
-        for rname, v in roofs.items():
-            lines.append(f"[roofline:{rname}]\t{n_words}\t-\t-\t{v/1e9:.1f}\t1.000")
+    if roof:
+        lines.append(
+            f"[roofline:{roof_kind}]\t{n_words}\t-\t-\t{roof/1e9:.1f}\t1.000")
     return lines

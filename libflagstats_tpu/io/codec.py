@@ -234,6 +234,11 @@ def iter_framed(path) -> Iterator[tuple[int, bytes]]:
             raw_len, comp_len = struct.unpack("<ii", header)
             if raw_len < 0 or comp_len < 0:
                 raise ValueError("corrupt frame header (negative length)")
+            if raw_len % 2:
+                # uint16 payloads only — keep all three parsers of this
+                # untrusted header (read_framed / scan_frames / here)
+                # rejecting identical inputs identically
+                raise ValueError("corrupt frame header (odd raw length)")
             payload = f.read(comp_len)
             if len(payload) != comp_len:
                 raise ValueError("truncated frame payload")

@@ -85,13 +85,56 @@ def test_wall_budget_stops_worker_launches(monkeypatch, capsys):
     monkeypatch.setattr(bench, "_run_worker", fake_worker)
     rc = bench.main()
     assert rc == 1
-    # worker 0 launches; worker 1 launches at 75% budget with only the
-    # remaining budget as its timeout; worker 2 never launches
+    # worker 0 launches with the full cold-compile timeout; worker 1
+    # launches at 75% budget with only the remaining budget as its
+    # timeout; worker 2 never launches
     assert [i for i, _ in launches] == [0, 1]
-    assert launches[0][1] == bench.WALL_BUDGET_S
+    assert launches[0][1] == 5400.0
     assert launches[1][1] <= max(600.0, bench.WALL_BUDGET_S * 0.25) + 1e-6
     out = capsys.readouterr().out
     assert '"error"' in out
+
+
+def test_fit_negative_slope_not_ok():
+    """A cache-poisoned fit (total time FALLING with repetition count)
+    must fail .ok — the clamped slope_s used for safe division would
+    otherwise pass the 'slope_s > 0' test with an absurd implied
+    throughput, and tools/crossover_sweep.py consumes .slope_s with no
+    downstream roofline gate."""
+    from libflagstats_tpu.bench.harness import FitResult
+
+    poisoned = FitResult(slope_s=1e-12, intercept_s=0.05,
+                         points=[(4, 0.05, 0.05), (64, 0.04, 0.04)],
+                         rel_residual=0.01, dispersion=0.01,
+                         raw_slope_s=-3e-4)
+    assert not poisoned.ok
+    honest = FitResult(slope_s=2e-4, intercept_s=0.05,
+                       points=[(4, 0.05, 0.05), (64, 0.06, 0.06)],
+                       rel_residual=0.01, dispersion=0.01,
+                       raw_slope_s=2e-4)
+    assert honest.ok
+
+
+def test_defended_roofline_fallback_takes_lower_median(monkeypatch):
+    """With exactly two gate-passing but DISAGREEING samples, the
+    fallback must return the lower one — the upper median of two is the
+    max, and an inflated roofline (e.g. a sub-nominal-cap caching
+    artifact) would relax the caller's reject-above-roofline gate."""
+    from libflagstats_tpu.bench import harness
+
+    class _Fit:
+        ok = True
+        dispersion = 0.05
+
+    vals = iter([830e9, 750e9])
+
+    def fake_fit(n_bytes, ks=(4, 64, 260), iters=4):
+        return {"read_sum": {"bytes_per_s": next(vals), "fit": _Fit()}}
+
+    monkeypatch.setattr(harness, "roofline_fit", fake_fit)
+    monkeypatch.setattr(harness, "hbm_nominal_bytes_per_s", lambda: 819e9)
+    got = harness.defended_roofline(1 << 20, attempts=2)
+    assert got == 750e9
 
 
 def test_defended_roofline_with_kind_cpu():

@@ -264,3 +264,7 @@ def test_corrupt_odd_raw_len_rejected(tmp_path):
         C.read_framed(bad, "raw")
     with pytest.raises(ValueError, match="odd raw length"):
         C.scan_frames(bad)
+    # the streaming parser must reject the identical input identically —
+    # not surface it later as an np.frombuffer size error
+    with pytest.raises(ValueError, match="odd raw length"):
+        list(C.iter_framed(bad))
