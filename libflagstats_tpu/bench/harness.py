@@ -182,6 +182,29 @@ def kernel_time_fit(body_fn, x, ks=(4, 64, 260), iters: int = 4,
                      raw_slope_s=slope)
 
 
+def gated_kernel_time_fit(body_fn, x, roof_bytes_per_s: float | None = None,
+                          n_bytes: int | None = None, ks=(4, 64, 260),
+                          iters: int = 4, attempts: int = 5) -> FitResult:
+    """kernel_time_fit with the headline benchmark's acceptance gates:
+    retry until the fit is ok, dispersion < 0.30, and — when a roofline
+    and byte count are given — the implied read throughput does not
+    exceed 1.05x the roofline (a kernel that must read the bytes cannot
+    beat a bare read). Returns the accepted FitResult, or the last
+    attempt when the gates were never satisfied (callers can inspect
+    .ok / .dispersion to flag the row)."""
+    fit = None
+    for _ in range(attempts):
+        fit = kernel_time_fit(body_fn, x, ks=ks, iters=iters,
+                              salt_base=(time.time_ns() >> 10) & 0x3FFF)
+        if not fit.ok or fit.dispersion >= 0.30:
+            continue
+        if (roof_bytes_per_s and n_bytes
+                and n_bytes / fit.slope_s > roof_bytes_per_s * 1.05):
+            continue
+        return fit
+    return fit
+
+
 def wall_time_min(fn, x, iters: int = 5, warmup: int = 2) -> float:
     """Min single-dispatch WALL time of fn(x) — includes the dispatch
     round trip (what a one-shot caller pays). Every call, warmups

@@ -2,9 +2,11 @@
 
 The TPU analogue of the reference's per-variant cycles/word table
 (linux/instrumented_benchmark.cpp -t): every device kernel variant timed
-with in-jit repetition (bench/harness.kernel_time) over the same data,
-reported as words/s, GB/s, and fraction of the measured HBM read
-roofline. Correctness is asserted against the host oracle before timing.
+with the headline's gated multi-K fit (bench/harness.gated_kernel_time_fit)
+over the same data, reported as words/s, GB/s, and fraction of the
+DEFENDED HBM read roofline. Correctness is asserted against the host
+oracle before timing. Rows whose sample never passed the gates are
+marked with a trailing '!'.
 """
 from __future__ import annotations
 
@@ -15,7 +17,7 @@ import numpy as np
 
 from ..oracle import flagstat_numpy, generate_flags
 from ..ops.xla_ops import stream_sums_xla
-from .harness import defended_roofline, kernel_time
+from .harness import defended_roofline, gated_kernel_time_fit
 
 HEADER = "kernel\twords\ttime_us\tMwords/s\tGB/s\tvs_roofline"
 
@@ -93,12 +95,16 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
             if not ok:
                 lines.append(f"{name}\t{n_words}\tMISMATCH")
                 continue
-        t = kernel_time(body, x, iters=iters)
+        fit = gated_kernel_time_fit(body, x, roof_bytes_per_s=roof,
+                                    n_bytes=2 * n_words, iters=iters)
+        t = fit.slope_s
+        gated_ok = fit.ok and fit.dispersion < 0.30 and (
+            roof is None or 2.0 * n_words / t <= roof * 1.05)
         gbs = 2.0 * n_words / t / 1e9
         frac = f"{2.0 * n_words / t / roof:.3f}" if roof else "n/a"
         lines.append(
             f"{name}\t{n_words}\t{t*1e6:.1f}\t{n_words/t/1e6:.0f}\t"
-            f"{gbs:.1f}\t{frac}"
+            f"{gbs:.1f}\t{frac}{'' if gated_ok else '!'}"
         )
     if roof:
         lines.append(

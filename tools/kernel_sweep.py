@@ -21,9 +21,10 @@ def main() -> int:
     from libflagstats_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()
-    import time
-
-    from libflagstats_tpu.bench.harness import defended_roofline, kernel_time_fit
+    from libflagstats_tpu.bench.harness import (
+        defended_roofline,
+        gated_kernel_time_fit,
+    )
     from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
     from libflagstats_tpu.ops import pallas_kernels as PK
     from libflagstats_tpu.ops.xla_ops import assemble_counters
@@ -38,13 +39,8 @@ def main() -> int:
 
     def timed(body):
         """Defended sample: retry until the gates accept (see bench.py)."""
-        for _ in range(5):
-            fit = kernel_time_fit(body, x,
-                                  salt_base=(time.time_ns() >> 10) & 0x3FFF)
-            bps = 2.0 * n / fit.slope_s
-            if fit.ok and fit.dispersion < 0.30 and bps <= roof * 1.05:
-                return fit.slope_s
-        return fit.slope_s  # last sample, gates never satisfied
+        return gated_kernel_time_fit(body, x, roof_bytes_per_s=roof,
+                                     n_bytes=2 * n).slope_s
 
     for report in (True, False):
         for nblk in (8, 16):
