@@ -51,7 +51,7 @@ def _measure_worker() -> dict:
 
     from libflagstats_tpu.bench.harness import defended_roofline, kernel_time_fit
     from libflagstats_tpu.config import enable_compilation_cache
-    from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+    from libflagstats_tpu.oracle import generate_flags
 
     enable_compilation_cache()
     backend = jax.default_backend()
@@ -92,39 +92,11 @@ def _measure_worker() -> dict:
 
     x = jax.block_until_ready(jnp.asarray(x_host))
 
-    # correctness gate: bit-exact vs host oracle. The input is a pure
-    # function of (n_words, seed=0, full_range), so the oracle counters
-    # are disk-cached — recomputing them costs every worker 20-150 s of
-    # host time on this shared 4-core box. The cache key includes a hash
-    # of the oracle + flag-model SOURCE: without it, any edit to
-    # generate_flags/flagstat_numpy would leave stale counters on disk
-    # and fail every future run's correctness gate with no hint why
-    # (and CLAUDE.md tells operators never to delete .jax_cache).
-    import hashlib
-    import inspect
+    # correctness gate: bit-exact vs host oracle, disk-cached with a
+    # source-hash key (see bench/refcache.py for why)
+    from libflagstats_tpu.bench.refcache import oracle_counters
 
-    from libflagstats_tpu import flags as _flags_mod
-    from libflagstats_tpu import oracle as _oracle_mod
-    tag = hashlib.sha256((inspect.getsource(_oracle_mod)
-                          + inspect.getsource(_flags_mod)).encode()
-                         ).hexdigest()[:10]
-    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              ".jax_cache",
-                              f"bench_oracle_{n_words}_s0_{tag}.npy")
-    ref = None
-    try:
-        ref = np.load(cache_path)
-        if ref.shape != (32,):
-            ref = None
-    except Exception:
-        ref = None
-    if ref is None:
-        ref = flagstat_numpy(x_host).astype(np.int64)
-        try:
-            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-            np.save(cache_path, ref)
-        except OSError:
-            pass
+    ref = oracle_counters(x_host, n_words, seed=0, full_range=True)
     got = np.asarray(full(x), dtype=np.int64)
     ok = (got[check_idx] == ref[check_idx]).all()
     if ok and full_parity is not None:

@@ -15,9 +15,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-from ..oracle import flagstat_numpy, generate_flags
+from ..oracle import generate_flags
 from ..ops.xla_ops import stream_sums_xla
 from .harness import defended_roofline, gated_kernel_time_fit
+from .refcache import oracle_counters, pospopcnt_counters
 
 HEADER = "kernel\twords\ttime_us\tMwords/s\tGB/s\tvs_roofline"
 
@@ -55,11 +56,10 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
         check: bool = True) -> list[str]:
     x_host = generate_flags(n_words, seed=0, full_range=True)
     x = jax.block_until_ready(jnp.asarray(x_host))
-    ref = flagstat_numpy(x_host).astype(np.int64)
-    pp_ref = np.array(
-        [np.count_nonzero((x_host.astype(np.uint32) >> k) & 1) for k in range(16)],
-        dtype=np.int64,
-    )
+    # host references are disk-cached (minutes of host time at 64Mi
+    # words otherwise, every run — see bench/refcache.py)
+    ref = oracle_counters(x_host, n_words, seed=0, full_range=True)
+    pp_ref = pospopcnt_counters(x_host, n_words, seed=0, full_range=True)
 
     # defended roofline (fit gates + nominal-HBM cap + 2-sample
     # agreement) — a single max-of-candidates sample can be a caching
