@@ -42,6 +42,10 @@ WALL_BUDGET_S = 3600.0    # stop launching new workers past this; a
                           # worker series of tunnel hangs must still
                           # emit the final line within the driver's
                           # patience, not after 4x5400s of timeouts
+PROBE_TIMEOUT_S = 180.0   # backend preflight subprocess deadline
+PROBE_RETRY_S = 120.0     # wait between preflight attempts during an outage
+PROBE_RESERVE_S = 900.0   # stop probing and just try a worker when less
+                          # than this much wall budget remains
 
 
 def _measure_worker() -> dict:
@@ -188,6 +192,28 @@ def worker_main() -> int:
     return 0 if "error" not in res else 1
 
 
+def _backend_ready(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
+    """Cheap tunnel-health preflight in a short-deadline subprocess.
+
+    A dead axon tunnel hangs JAX backend init for 25+ minutes before
+    raising UNAVAILABLE (observed live 2026-08-18); discovering that
+    with a full worker burns wall budget the workers need once the
+    tunnel recovers. The probe must fetch a result to host — on this
+    backend dispatch success alone proves nothing (CLAUDE.md timing
+    trap).
+    """
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "np.asarray(jnp.arange(8).sum());"
+            "print('BACKEND', jax.default_backend())")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True,
+                              timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False
+    return proc.returncode == 0 and "BACKEND" in proc.stdout
+
+
 def _run_worker(idx: int, timeout_s: float = 5400.0) -> dict:
     env = dict(os.environ)
     try:
@@ -276,13 +302,29 @@ def main() -> int:
             print(f"[bench] wall budget ({WALL_BUDGET_S:.0f}s) exhausted "
                   f"after {i} workers", file=sys.stderr)
             break
+        # wait out a tunnel outage on cheap probes instead of a hung
+        # worker; give up probing (and try a worker anyway) once the
+        # remaining budget is down to one honest attempt
+        while not _backend_ready():
+            elapsed = time.monotonic() - t_start
+            if elapsed > WALL_BUDGET_S - PROBE_RESERVE_S:
+                print("[bench] backend probe still failing with "
+                      f"{WALL_BUDGET_S - elapsed:.0f}s budget left; "
+                      "attempting a worker anyway", file=sys.stderr)
+                break
+            print("[bench] backend probe failed (tunnel outage?); "
+                  f"retrying in {PROBE_RETRY_S:.0f}s", file=sys.stderr)
+            time.sleep(PROBE_RETRY_S)
         # a cold first worker may legitimately sit in remote compiles
         # (~15 distinct executables at seconds-to-minutes each on the
-        # shared compile service), so it keeps the full 5400 s default;
-        # later workers only get the remaining budget (600 s floor) —
-        # they reuse the persistent compile cache the first one filled
-        r = _run_worker(i, timeout_s=(5400.0 if i == 0 else
-                                      max(600.0, WALL_BUDGET_S - elapsed)))
+        # shared compile service), so it gets up to 5400 s — minus any
+        # time already spent probing out an outage, so the overall
+        # envelope stays ~5400 s; later workers only get the remaining
+        # budget (600 s floor) — they reuse the persistent compile
+        # cache the first one filled
+        elapsed = time.monotonic() - t_start
+        r = _run_worker(i, timeout_s=max(
+            600.0, (5400.0 if i == 0 else WALL_BUDGET_S) - elapsed))
         if "error" in r:
             print(f"[bench] worker {i}: {r['error']}", file=sys.stderr)
             if "exception" in r["error"] or "no result" in r["error"]:

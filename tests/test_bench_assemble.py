@@ -75,6 +75,7 @@ def test_wall_budget_stops_worker_launches(monkeypatch, capsys):
     clock = {"t": 0.0}
     monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setattr(bench, "_backend_ready", lambda timeout_s=0.0: True)
     launches = []
 
     def fake_worker(idx, timeout_s=5400.0):
@@ -93,6 +94,77 @@ def test_wall_budget_stops_worker_launches(monkeypatch, capsys):
     assert launches[1][1] <= max(600.0, bench.WALL_BUDGET_S * 0.25) + 1e-6
     out = capsys.readouterr().out
     assert '"error"' in out
+
+
+def test_outage_probe_defers_worker_launch(monkeypatch, capsys):
+    """During a tunnel outage the cheap preflight must absorb the wait
+    (probe+sleep cycles), and the worker only launches once the probe
+    passes — not burn its 5400 s timeout discovering the outage."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock["t"] += s
+
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    probes = iter([False, False, True, True])
+    monkeypatch.setattr(bench, "_backend_ready",
+                        lambda timeout_s=0.0: next(probes, True))
+    launches = []
+
+    def fake_worker(idx, timeout_s=5400.0):
+        launches.append((idx, timeout_s))
+        clock["t"] += 300.0
+        return _res(360e9 + idx * 1e9)
+
+    monkeypatch.setattr(bench, "_run_worker", fake_worker)
+    rc = bench.main()
+    assert rc == 0
+    # two failed probes -> two retry sleeps before worker 0
+    assert sleeps[:2] == [bench.PROBE_RETRY_S] * 2
+    assert [i for i, _ in launches] == [0, 1]
+    # worker 0's timeout is reduced by the probing time already spent
+    assert launches[0][1] == pytest.approx(5400.0 - 2 * bench.PROBE_RETRY_S)
+    out = capsys.readouterr().out
+    assert '"agreement": "cross_process"' in out
+
+
+def test_outage_probe_gives_up_near_budget(monkeypatch, capsys):
+    """A probe that never passes must not starve the run: once the
+    remaining budget is down to the reserve, a worker is attempted
+    anyway (the probe could itself be wrong)."""
+    clock = {"t": 0.0}
+    monkeypatch.setattr(bench.time, "monotonic", lambda: clock["t"])
+    monkeypatch.setattr(bench.time, "sleep",
+                        lambda s: clock.__setitem__("t", clock["t"] + s))
+    probe_calls = {"n": 0}
+
+    def dead_probe(timeout_s=0.0):
+        probe_calls["n"] += 1
+        clock["t"] += bench.PROBE_TIMEOUT_S
+        return False
+
+    monkeypatch.setattr(bench, "_backend_ready", dead_probe)
+    launches = []
+
+    def fake_worker(idx, timeout_s=5400.0):
+        launches.append((idx, timeout_s))
+        clock["t"] += timeout_s
+        return {"error": f"worker {idx} timed out"}
+
+    monkeypatch.setattr(bench, "_run_worker", fake_worker)
+    rc = bench.main()
+    assert rc == 1
+    assert launches, "a worker must still be attempted during an outage"
+    # probing stopped before eating the reserve, so worker 0 had a
+    # meaningful timeout left
+    assert launches[0][1] >= 600.0
+    # and the total simulated wall stayed within one worker envelope +
+    # budget (no 4x5400 pathological series)
+    assert clock["t"] <= bench.WALL_BUDGET_S + 5400.0 + 600.0
+    assert '"error"' in capsys.readouterr().out
 
 
 def test_fit_negative_slope_not_ok():
