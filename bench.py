@@ -34,7 +34,6 @@ import sys
 import time
 
 N_WORDS = 64 * 1024 * 1024
-ROOF_MARGIN = 1.05        # reject kernel samples > 1.05x same-process roofline
 AGREE_PCT = 5.0           # cross-process reproduction tolerance
 MAX_ATTEMPTS = 4          # in-process remeasure attempts
 MAX_WORKERS = 4           # worker launches before giving up
@@ -53,7 +52,12 @@ def _measure_worker() -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from libflagstats_tpu.bench.harness import defended_roofline, kernel_time_fit
+    from libflagstats_tpu.bench.harness import (
+        DISPERSION_MAX,
+        ROOF_MARGIN,
+        defended_roofline,
+        kernel_time_fit,
+    )
     from libflagstats_tpu.config import enable_compilation_cache
     from libflagstats_tpu.oracle import generate_flags
 
@@ -129,7 +133,7 @@ def _measure_worker() -> dict:
               f"({bps/1e9:.1f} GB/s) intercept={fit.intercept_s*1e3:.1f}ms "
               f"residual={fit.rel_residual:.3f} dispersion={fit.dispersion:.3f}",
               file=sys.stderr)
-        if not fit.ok or fit.dispersion > 0.30:
+        if not fit.ok or fit.dispersion >= DISPERSION_MAX:
             rejected += 1
             continue
         if bps > roof * ROOF_MARGIN:
@@ -201,17 +205,28 @@ def _backend_ready(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
     tunnel recovers. The probe must fetch a result to host — on this
     backend dispatch success alone proves nothing (CLAUDE.md timing
     trap).
+
+    A box with a TPU plugin installed whose init fails FAST can come up
+    on the CPU fallback instead of raising; that is still an outage
+    (two agreeing CPU workers would print a cpu-backend headline while
+    the TPU is down), so a 'cpu' default backend counts as not-ready
+    whenever a TPU plugin module is importable.
     """
-    code = ("import jax, jax.numpy as jnp, numpy as np;"
+    code = ("import importlib.util as iu;"
+            "import jax, jax.numpy as jnp, numpy as np;"
             "np.asarray(jnp.arange(8).sum());"
-            "print('BACKEND', jax.default_backend())")
+            "be = jax.default_backend();"
+            "plug = any(iu.find_spec(m) for m in ('axon', 'libtpu'));"
+            "print('BACKEND', be,"
+            " 'FALLBACK' if (plug and be == 'cpu') else 'NATIVE')")
     try:
         proc = subprocess.run([sys.executable, "-c", code],
                               capture_output=True, text=True,
                               timeout=timeout_s)
     except subprocess.TimeoutExpired:
         return False
-    return proc.returncode == 0 and "BACKEND" in proc.stdout
+    return (proc.returncode == 0 and "BACKEND" in proc.stdout
+            and "FALLBACK" not in proc.stdout)
 
 
 def _run_worker(idx: int, timeout_s: float = 5400.0) -> dict:

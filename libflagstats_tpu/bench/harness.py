@@ -108,6 +108,13 @@ def kernel_time(body_fn, x, k_small: int = 4, k_big: int = 260,
 # ---------------------------------------------------------------------------
 
 
+#: acceptance-gate thresholds shared by every consumer (bench.py worker
+#: loop, gated_kernel_time_fit, the kernel roster) — one definition so
+#: the gates cannot drift between the headline and the roster
+DISPERSION_MAX = 0.30     # reject fits whose median-vs-min spread exceeds this
+ROOF_MARGIN = 1.05        # reject samples implying > margin x roofline reads
+
+
 @dataclass
 class FitResult:
     slope_s: float          # per-invocation kernel time (clamped > 0)
@@ -117,6 +124,9 @@ class FitResult:
     dispersion: float       # max (median - min) / median over the points
     raw_slope_s: float | None = None  # unclamped LSQ slope — negative when
     #                                   caching makes time FALL with K
+    gate_passed: bool | None = None   # set by gated_kernel_time_fit: did
+    #                                   this sample pass every acceptance
+    #                                   gate (None = gates never applied)
 
     @property
     def ok(self) -> bool:
@@ -196,12 +206,15 @@ def gated_kernel_time_fit(body_fn, x, roof_bytes_per_s: float | None = None,
     for _ in range(attempts):
         fit = kernel_time_fit(body_fn, x, ks=ks, iters=iters,
                               salt_base=(time.time_ns() >> 10) & 0x3FFF)
-        if not fit.ok or fit.dispersion >= 0.30:
+        if not fit.ok or fit.dispersion >= DISPERSION_MAX:
             continue
         if (roof_bytes_per_s and n_bytes
-                and n_bytes / fit.slope_s > roof_bytes_per_s * 1.05):
+                and n_bytes / fit.slope_s > roof_bytes_per_s * ROOF_MARGIN):
             continue
+        fit.gate_passed = True
         return fit
+    if fit is not None:
+        fit.gate_passed = False
     return fit
 
 
@@ -395,7 +408,7 @@ def defended_roofline(n_bytes: int, ks=(4, 64, 260),
     for _ in range(attempts):
         roofs = roofline_fit(n_bytes, ks=ks)
         good = [(v["bytes_per_s"], name) for name, v in roofs.items()
-                if v["fit"].ok and v["fit"].dispersion < 0.30
+                if v["fit"].ok and v["fit"].dispersion < DISPERSION_MAX
                 and (cap is None or v["bytes_per_s"] <= cap)]
         if not good:
             continue

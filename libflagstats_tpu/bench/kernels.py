@@ -53,13 +53,15 @@ def _bodies(n_words: int):
 
 
 def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
-        check: bool = True) -> list[str]:
+        check: bool = True, cache_dir: str | None = None) -> list[str]:
     x_host = generate_flags(n_words, seed=0, full_range=True)
     x = jax.block_until_ready(jnp.asarray(x_host))
     # host references are disk-cached (minutes of host time at 64Mi
     # words otherwise, every run — see bench/refcache.py)
-    ref = oracle_counters(x_host, n_words, seed=0, full_range=True)
-    pp_ref = pospopcnt_counters(x_host, n_words, seed=0, full_range=True)
+    ref = oracle_counters(x_host, n_words, seed=0, full_range=True,
+                          cache_dir=cache_dir)
+    pp_ref = pospopcnt_counters(x_host, n_words, seed=0, full_range=True,
+                                cache_dir=cache_dir)
 
     # defended roofline (fit gates + nominal-HBM cap + 2-sample
     # agreement) — a single max-of-candidates sample can be a caching
@@ -98,8 +100,7 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
         fit = gated_kernel_time_fit(body, x, roof_bytes_per_s=roof,
                                     n_bytes=2 * n_words, iters=iters)
         t = fit.slope_s
-        gated_ok = fit.ok and fit.dispersion < 0.30 and (
-            roof is None or 2.0 * n_words / t <= roof * 1.05)
+        gated_ok = bool(fit.gate_passed)   # verdict set by the shared gate
         gbs = 2.0 * n_words / t / 1e9
         frac = f"{2.0 * n_words / t / roof:.3f}" if roof else "n/a"
         lines.append(

@@ -16,12 +16,13 @@ from __future__ import annotations
 import hashlib
 import inspect
 import os
+import sys
 
 import numpy as np
 
 from .. import flags as _flags_mod
 from .. import oracle as _oracle_mod
-from ..oracle import flagstat_numpy, generate_flags
+from ..oracle import flagstat_numpy
 
 _CACHE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -30,9 +31,21 @@ _CACHE_DIR = os.path.join(
 
 
 def _source_tag() -> str:
+    # include THIS module too: the pospop reference is computed inline
+    # below, so an edit here must invalidate cached counters as well
     return hashlib.sha256(
-        (inspect.getsource(_oracle_mod) + inspect.getsource(_flags_mod)).encode()
+        (inspect.getsource(_oracle_mod) + inspect.getsource(_flags_mod)
+         + inspect.getsource(sys.modules[__name__])).encode()
     ).hexdigest()[:10]
+
+
+def _data_tag(x: np.ndarray) -> str:
+    """Content digest of the input array — binds the cache key to the
+    DATA, not just the (n_words, seed, full_range) metadata, so a caller
+    passing a mismatched array cannot poison the shared cache entry.
+    ~0.4 s for 128 MiB vs the 20-150 s oracle it amortizes."""
+    buf = x if x.flags["C_CONTIGUOUS"] else np.ascontiguousarray(x)
+    return hashlib.sha256(buf).hexdigest()[:12]
 
 
 def _load(path: str, shape: tuple) -> np.ndarray | None:
@@ -54,12 +67,13 @@ def _store(path: str, ref: np.ndarray) -> None:
 def oracle_counters(x_host: np.ndarray, n_words: int, seed: int = 0,
                     full_range: bool = True, cache_dir: str | None = None
                     ) -> np.ndarray:
-    """int64[32] flagstat counters for generate_flags(n_words, seed,
-    full_range), disk-cached. ``x_host`` must BE that array — callers
-    already hold it, so it is passed in rather than regenerated."""
+    """int64[32] flagstat counters for ``x_host``, disk-cached. The
+    (n_words, seed, full_range) metadata makes the filename readable;
+    the content digest makes it correct."""
     path = os.path.join(
         cache_dir or _CACHE_DIR,
-        f"bench_oracle_{n_words}_s{seed}_fr{int(full_range)}_{_source_tag()}.npy",
+        f"bench_oracle_{n_words}_s{seed}_fr{int(full_range)}"
+        f"_{_source_tag()}_{_data_tag(x_host)}.npy",
     )
     ref = _load(path, (32,))
     if ref is None:
@@ -74,7 +88,8 @@ def pospopcnt_counters(x_host: np.ndarray, n_words: int, seed: int = 0,
     """int64[16] positional popcounts for the same input, disk-cached."""
     path = os.path.join(
         cache_dir or _CACHE_DIR,
-        f"bench_pospop_{n_words}_s{seed}_fr{int(full_range)}_{_source_tag()}.npy",
+        f"bench_pospop_{n_words}_s{seed}_fr{int(full_range)}"
+        f"_{_source_tag()}_{_data_tag(x_host)}.npy",
     )
     ref = _load(path, (16,))
     if ref is None:

@@ -120,19 +120,55 @@ def test_refcache_key_depends_on_semantics_source(tmp_path, monkeypatch):
     assert len(list(tmp_path.glob("bench_oracle_*.npy"))) == 2
 
 
-def test_kernels_roster_runs_on_cpu():
+def test_kernels_roster_runs_on_cpu(tmp_path):
     """`cli kernels` row assembly end-to-end on the CPU backend: header,
     one gate-annotated xla row (the only CPU body), correctness check
     against the cached oracle, and the roofline footer when the defended
     roofline produced a number. Gate outcome itself is host-load
-    dependent, so only the row STRUCTURE is asserted."""
+    dependent, so only the row STRUCTURE is asserted. cache_dir keeps
+    the test's reference files out of the repo's load-bearing
+    .jax_cache."""
     from libflagstats_tpu.bench import kernels
 
-    lines = kernels.run(n_words=65536, iters=2)
+    lines = kernels.run(n_words=65536, iters=2, cache_dir=str(tmp_path))
     assert lines[0] == kernels.HEADER
     rows = [l for l in lines[1:] if not l.startswith("[roofline")]
     assert len(rows) == 1 and rows[0].startswith("xla\t65536\t")
     cols = rows[0].split("\t")
     assert len(cols) == 6 and "MISMATCH" not in rows[0]
     float(cols[2])                      # time_us parses
-    assert cols[5] == "n/a" or float(cols[5].rstrip("!")) > 0
+    # the vs_roofline column may be any of: '0.123', '0.123!' (gate
+    # failed), 'n/a' (no roofline), 'n/a!' (no roofline AND gate failed)
+    vs = cols[5].rstrip("!")
+    assert vs == "n/a" or float(vs) > 0
+    assert len(list(tmp_path.glob("bench_*.npy"))) == 2
+
+
+def test_gated_fit_sets_gate_verdict(monkeypatch):
+    """gate_passed is the single source of truth consumers use to mark
+    rows — it must be True on an accepted sample and False when the
+    gates were never satisfied."""
+    good = _fit(1e-4)
+    _patch_fits(monkeypatch, [good])
+    assert harness.gated_kernel_time_fit(None, None).gate_passed is True
+    bad = [_fit(1e-4, dispersion=0.9) for _ in range(3)]
+    _patch_fits(monkeypatch, bad)
+    got = harness.gated_kernel_time_fit(None, None, attempts=3)
+    assert got.gate_passed is False
+
+
+def test_refcache_key_binds_to_data(tmp_path):
+    """Two different arrays with identical metadata must not share a
+    cache entry — a mismatched caller would otherwise poison the entry
+    for every later caller of the true key."""
+    a = np.arange(16, dtype=np.uint16)
+    b = np.arange(16, dtype=np.uint16)[::-1].copy()
+    ra = refcache.oracle_counters(a, 16, seed=0, cache_dir=str(tmp_path))
+    rb = refcache.oracle_counters(b, 16, seed=0, cache_dir=str(tmp_path))
+    assert len(list(tmp_path.glob("bench_oracle_*.npy"))) == 2
+    assert (ra == refcache.flagstat_numpy(a).astype(np.int64)).all()
+    assert (rb == refcache.flagstat_numpy(b).astype(np.int64)).all()
+    # non-contiguous input hashes its contiguous copy, same result
+    c = np.arange(32, dtype=np.uint16)[::2]
+    rc = refcache.oracle_counters(c, 16, seed=1, cache_dir=str(tmp_path))
+    assert (rc == refcache.flagstat_numpy(c.copy()).astype(np.int64)).all()
