@@ -38,7 +38,7 @@ def pospopcnt_sweep(sizes) -> int:
     import jax
     import jax.numpy as jnp
 
-    from libflagstats_tpu.bench.harness import kernel_time_fit, wall_time_min
+    from libflagstats_tpu.bench.harness import gated_kernel_time_fit, wall_time_min
     from libflagstats_tpu.config import enable_compilation_cache
     from libflagstats_tpu.ops import pallas_kernels as PK
     from libflagstats_tpu.ops.xla_ops import pospopcnt_u16_matmul, pospopcnt_u16_xla
@@ -68,16 +68,17 @@ def pospopcnt_sweep(sizes) -> int:
 
         t_xla_wall = wall_time_min(jax.jit(pospopcnt_u16_xla), xj,
                                    iters=5, warmup=2)
-        t_xla_kern = kernel_time_fit(pospopcnt_u16_xla, xj,
-                                     ks=ks, iters=3).slope_s
-        t_mm_kern = kernel_time_fit(pospopcnt_u16_matmul, xj,
-                                    ks=ks, iters=3).slope_s
+        t_xla_kern = gated_kernel_time_fit(pospopcnt_u16_xla, xj,
+                                           ks=ks, iters=3, attempts=3).slope_s
+        t_mm_kern = gated_kernel_time_fit(pospopcnt_u16_matmul, xj,
+                                          ks=ks, iters=3, attempts=3).slope_s
 
         t_p_wall = t_p_kern = float("nan")
         if backend == "tpu" and n >= pallas_min_words:
             p_body = PK.pospopcnt_u16_pallas
             t_p_wall = wall_time_min(jax.jit(p_body), xj, iters=5, warmup=2)
-            t_p_kern = kernel_time_fit(p_body, xj, ks=ks, iters=3).slope_s
+            t_p_kern = gated_kernel_time_fit(p_body, xj, ks=ks, iters=3,
+                                           attempts=3).slope_s
 
         rows.append((n, t_numpy, t_xla_wall, t_xla_kern, t_p_wall, t_p_kern))
         print(f"{n}\t{t_numpy*1e3:.3f}\t{t_xla_wall*1e3:.3f}\t"
@@ -95,7 +96,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from libflagstats_tpu.bench.harness import kernel_time_fit, wall_time_min
+    from libflagstats_tpu.bench.harness import gated_kernel_time_fit, wall_time_min
     from libflagstats_tpu.config import enable_compilation_cache
     from libflagstats_tpu.ops import pallas_kernels as PK
     from libflagstats_tpu.ops.xla_ops import stream_sums_xla
@@ -135,9 +136,9 @@ def main() -> int:
 
         jit_xla = jax.jit(xla_body)
         t_xla_wall = wall_time_min(jit_xla, xj, iters=5, warmup=2)
-        t_xla_kern = kernel_time_fit(
+        t_xla_kern = gated_kernel_time_fit(
             xla_body, xj, ks=(2, 8, 24) if n >= (1 << 22) else (4, 32, 96),
-            iters=3).slope_s
+            iters=3, attempts=3).slope_s
 
         t_p_wall = t_p_kern = float("nan")
         if backend == "tpu" and n >= pallas_min_words:
@@ -147,9 +148,9 @@ def main() -> int:
 
             jit_p = jax.jit(p_body)
             t_p_wall = wall_time_min(jit_p, xj, iters=5, warmup=2)
-            t_p_kern = kernel_time_fit(
+            t_p_kern = gated_kernel_time_fit(
                 p_body, xj, ks=(2, 8, 24) if n >= (1 << 22) else (4, 32, 96),
-                iters=3).slope_s
+                iters=3, attempts=3).slope_s
 
         rows.append((n, t_numpy, t_xla_wall, t_xla_kern, t_p_wall, t_p_kern))
         print(f"{n}\t{t_numpy*1e3:.3f}\t{t_xla_wall*1e3:.3f}\t"
