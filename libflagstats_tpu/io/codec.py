@@ -46,33 +46,39 @@ def _codec_id(codec: str | int) -> int:
 def _lz4_decompress_py(src: bytes, dst_len: int) -> bytes:
     out = bytearray()
     i, n = 0, len(src)
-    while i < n:
-        token = src[i]; i += 1
-        lit = token >> 4
-        if lit == 15:
-            while True:
-                b = src[i]; i += 1
-                lit += b
-                if b != 255:
-                    break
-        out += src[i:i + lit]
-        i += lit
-        if i >= n:
-            break
-        offset = src[i] | (src[i + 1] << 8)
-        i += 2
-        mlen = (token & 0x0F) + 4
-        if (token & 0x0F) == 15:
-            while True:
-                b = src[i]; i += 1
-                mlen += b
-                if b != 255:
-                    break
-        start = len(out) - offset
-        if start < 0:
-            raise ValueError("corrupt LZ4 block: bad offset")
-        for k in range(mlen):  # may overlap: copy byte-wise
-            out.append(out[start + k])
+    try:
+        while i < n:
+            token = src[i]; i += 1
+            lit = token >> 4
+            if lit == 15:
+                while True:
+                    b = src[i]; i += 1
+                    lit += b
+                    if b != 255:
+                        break
+            out += src[i:i + lit]
+            i += lit
+            if i >= n:
+                break
+            offset = src[i] | (src[i + 1] << 8)
+            i += 2
+            mlen = (token & 0x0F) + 4
+            if (token & 0x0F) == 15:
+                while True:
+                    b = src[i]; i += 1
+                    mlen += b
+                    if b != 255:
+                        break
+            start = len(out) - offset
+            if start < 0:
+                raise ValueError("corrupt LZ4 block: bad offset")
+            for k in range(mlen):  # may overlap: copy byte-wise
+                out.append(out[start + k])
+    except IndexError as exc:
+        # truncation inside a length/offset field — same ValueError
+        # contract as every other corrupt-input path (the native decoder
+        # signals the identical condition with -1)
+        raise ValueError("corrupt LZ4 block: truncated sequence") from exc
     if len(out) != dst_len:
         raise ValueError(f"corrupt LZ4 block: got {len(out)}, want {dst_len}")
     return bytes(out)
@@ -167,6 +173,11 @@ def compress_block(data: bytes, codec: str | int, level: int = 1) -> bytes:
 def decompress_block(data: bytes, raw_len: int, codec: str | int) -> bytes:
     cid = _codec_id(codec)
     if cid == CODEC_RAW:
+        if len(data) != raw_len:
+            # match the native decoder (src_len != raw_len -> reject):
+            # a truncated raw frame must not silently yield short counts
+            raise ValueError(
+                f"corrupt raw block: got {len(data)} bytes, want {raw_len}")
         return data
     lib = native_lib.load()
     if cid == CODEC_LZ4:
@@ -235,9 +246,9 @@ def iter_framed(path) -> Iterator[tuple[int, bytes]]:
             if raw_len < 0 or comp_len < 0:
                 raise ValueError("corrupt frame header (negative length)")
             if raw_len % 2:
-                # uint16 payloads only — keep all three parsers of this
-                # untrusted header (read_framed / scan_frames / here)
-                # rejecting identical inputs identically
+                # uint16 payloads only — keep both parsers of this
+                # untrusted header (scan_frames / here) rejecting
+                # identical inputs identically
                 raise ValueError("corrupt frame header (odd raw length)")
             payload = f.read(comp_len)
             if len(payload) != comp_len:
@@ -254,20 +265,12 @@ def read_framed(path, codec: str | int, n_threads: int = 0) -> np.ndarray:
     data = Path(path).read_bytes()
     lib = native_lib.load()
     if lib is not None:
-        # sum of raw_len headers
-        raw_total = 0
-        off = 0
-        while off + 8 <= len(data):
-            raw_len, comp_len = struct.unpack_from("<ii", data, off)
-            if raw_len < 0 or comp_len < 0:
-                raise ValueError("corrupt frame header (negative length)")
-            if raw_len % 2:
-                # uint16 payloads only; an odd raw_len would make the
-                # native decoder write raw_total bytes into a
-                # raw_total//2-word buffer (advisor finding, round 1)
-                raise ValueError("corrupt frame header (odd raw length)")
-            raw_total += raw_len
-            off += 8 + comp_len
+        # one validated header walk for all callers: scan_frames enforces
+        # the negative/odd-raw_len rejections (odd raw_len would make the
+        # native decoder write raw_total bytes into a raw_total//2-word
+        # buffer — advisor finding, round 1) AND rejects trailing
+        # garbage, which the previous inline walk silently skipped
+        raw_total = sum(r for _, r, _ in scan_frames(path))
         out = np.empty(raw_total // 2, dtype=np.uint16)
         r = lib.lfs_decode_stream(
             data, len(data), out.ctypes.data_as(ctypes.c_void_p), raw_total,

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import functools
+import os
+import zipfile
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +149,14 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
         with timer.section("dispatch"):
             total, fail = step(jnp.asarray(tail), total, fail)
 
+    if n_words > 0x7FFFFFFF:
+        # the on-device accumulators and the derived pass-total are
+        # int32 by design (the psum payload stays 128 bytes); past 2^31
+        # words they would wrap SILENTLY inside jit — fail loudly
+        # instead (shard the stream across processes/files first)
+        raise OverflowError(
+            f"stream has {n_words} words; the int32 counter design caps a "
+            "single accumulation at 2^31-1 words — split the stream")
     counters = _jit_assemble()(total, fail, jnp.int32(n_words))
     return np.asarray(counters, dtype=np.int64).astype(np.uint64)
 
@@ -172,7 +182,11 @@ class StreamCheckpoint:
                 self.n_words = int(z["n_words"])
                 self.total = z["total"]
                 self.fail = z["fail"]
-        except (FileNotFoundError, OSError, KeyError):
+        except (OSError, KeyError, ValueError, EOFError,
+                zipfile.BadZipFile):
+            # missing file OR a checkpoint truncated by a crash mid-save
+            # (the exact interruption checkpointing exists for) — both
+            # mean "start from zero", never a crash on resume
             pass
 
     def maybe_save(self, block_index, total, fail, n_words, force=False):
@@ -182,5 +196,11 @@ class StreamCheckpoint:
         self.n_words = n_words
         self.total = np.asarray(total)
         self.fail = np.asarray(fail)
-        np.savez(self.path, block_index=block_index, n_words=n_words,
-                 total=self.total, fail=self.fail)
+        # write via a file handle (np.savez appends '.npz' to bare PATHS,
+        # which _load would never find) and publish atomically — a crash
+        # mid-save must leave the previous checkpoint intact
+        tmp = self.path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, block_index=block_index, n_words=n_words,
+                     total=self.total, fail=self.fail)
+        os.replace(tmp, self.path)

@@ -27,12 +27,17 @@ from .sharded import (
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
-    """Initialize the multi-host runtime (no-op in single-process runs).
+               process_id: int | None = None,
+               auto: bool = False) -> None:
+    """Initialize the multi-host runtime.
 
-    On Cloud TPU pods the arguments are auto-detected from the metadata
-    server; elsewhere pass them explicitly."""
-    if num_processes is not None and num_processes > 1:
+    Pass the arguments explicitly for manual clusters, or ``auto=True``
+    on environments where JAX auto-detects them (Cloud TPU pods read
+    the metadata server when ``jax.distributed.initialize()`` is called
+    with no arguments — a call this function must actually MAKE, so
+    auto-detection needs the explicit opt-in). With neither, this is a
+    no-op (single-process run)."""
+    if auto or (num_processes is not None and num_processes > 1):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -57,14 +62,33 @@ def flagstat_multihost(local_flags: np.ndarray, total_words: int | None = None,
     granule = shard_granule(impl, nblk)
     local = np.ascontiguousarray(np.asarray(local_flags, dtype=np.uint16)).ravel()
 
-    if pad_to_words is not None and pad_to_words > local.size:
-        local = np.concatenate(
-            [local, np.zeros(pad_to_words - local.size, dtype=np.uint16)]
-        )
+    if total_words is None:
+        # the TRUE local size, before any padding: counter 9 is derived
+        # as total_words - n_fail, so pad words in the sum would inflate
+        # the pass-total silently (zero FLAG words are count-neutral in
+        # the per-bit sums, but not in the derived total)
+        total_words = _global_sum(local.size)
+    if pad_to_words is not None:
+        if pad_to_words < local.size:
+            raise ValueError(
+                f"pad_to_words={pad_to_words} < local shard size "
+                f"{local.size}; every process must pass a value >= the "
+                "largest shard or global shapes diverge across processes")
+        if pad_to_words > local.size:
+            local = np.concatenate(
+                [local, np.zeros(pad_to_words - local.size, dtype=np.uint16)]
+            )
     n_local_dev = jax.local_device_count()
     padded = pad_for_mesh(local, n_local_dev, granule)
-    if total_words is None:
-        total_words = _global_sum(local.size)
+
+    if total_words > 0x7FFFFFFF:
+        # int32 counter/psum design cap (the merge payload stays 128
+        # bytes); past 2^31 words the derived pass-total would wrap
+        # silently inside jit — fail loudly instead
+        raise OverflowError(
+            f"global stream has {total_words} words; the int32 counter "
+            "design caps one accumulation at 2^31-1 — split the stream "
+            "into multiple accumulations")
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -133,13 +157,34 @@ def scaling_sweep(n_words: int = 1 << 24, impl: str | None = None,
     x = generate_flags(n_words, seed=0, full_range=True)
     results = []
     for nd in device_counts:
-        mesh = data_mesh(devices[:nd])
+        mesh_devs = devices[:nd]
+        mesh = data_mesh(mesh_devs)
         fn = make_sharded_counter_fn(mesh, impl=impl)
         granule = shard_granule(impl)
         padded = pad_for_mesh(x, mesh.size, granule)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        y = jax.device_put(padded, NamedSharding(mesh, P(AXIS)))
+        sharding = NamedSharding(mesh, P(AXIS))
+        procs = sorted({d.process_index for d in mesh_devs})
+        if procs == [jax.process_index()]:
+            # every mesh device is addressable: plain placement works
+            y = jax.device_put(padded, sharding)
+        else:
+            # multi-host mesh: device_put of a host array onto a
+            # non-fully-addressable sharding raises — each process must
+            # contribute its local slice instead. Require every process
+            # to own part of the mesh (a subset mesh that excludes a
+            # process cannot be driven SPMD from that process at all).
+            if jax.process_index() not in procs:
+                raise NotImplementedError(
+                    f"device_counts={nd} spans processes {procs}, which "
+                    f"excludes process {jax.process_index()}; sweep "
+                    "device counts that cover every participating process")
+            chunk = padded.size // len(procs)
+            me = procs.index(jax.process_index())
+            y = jax.make_array_from_process_local_data(
+                sharding, padded[me * chunk:(me + 1) * chunk],
+                (padded.size,))
         n = jnp.int32(x.size)
         # sync-correct per-invocation timing: on this backend
         # block_until_ready does not await execution, so plain wall-clock

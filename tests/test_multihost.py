@@ -73,3 +73,18 @@ def test_multihost_file_single_process(tmp_path):
     C.write_framed(path, x, codec="lz4", level=1)
     got = flagstat_multihost_file(path, codec="lz4", impl="xla")
     assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_multihost_padded_derived_total(tmp_path):
+    """total_words must default to the TRUE pre-pad size: counter 9 is
+    derived as total - n_fail, so counting pad words would inflate the
+    pass-total (round-2 review). Single-process, uneven-pad analogue."""
+    x = generate_flags(100_003, seed=7, full_range=True)  # odd size
+    got = flagstat_multihost(x, impl="xla", pad_to_words=120_000)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_multihost_pad_smaller_than_shard_raises():
+    x = generate_flags(4096, seed=1)
+    with pytest.raises(ValueError, match="pad_to_words"):
+        flagstat_multihost(x, impl="xla", pad_to_words=1024)

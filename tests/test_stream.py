@@ -99,3 +99,28 @@ def test_checkpoint_resume(tmp_path):
     resumed = flagstat_stream(path, codec="lz4", impl="xla",
                               chunk_words=chunk_words, checkpoint=ck2)
     assert_counters_equal(flagstat_numpy(x), resumed)
+
+
+def test_checkpoint_bare_path_and_crash_resilience(tmp_path):
+    """Two latent failure modes (round-2 review): (a) np.savez appends
+    '.npz' to bare paths, so saves landed at a name _load never opened
+    — resume silently restarted from zero; (b) a checkpoint truncated
+    by a crash mid-save must restart from zero, not crash on load."""
+    import os
+
+    bare = tmp_path / "run.ck"          # no .npz suffix
+    ck = StreamCheckpoint(bare, every_blocks=1)
+    ck.maybe_save(5, np.arange(16, dtype=np.int32),
+                  np.arange(16, dtype=np.int32) * 2, 12345)
+    assert os.path.exists(bare)          # saved AT the given path
+    ck2 = StreamCheckpoint(bare)
+    assert ck2.block_index == 5 and ck2.n_words == 12345
+    assert (ck2.fail == np.arange(16, dtype=np.int32) * 2).all()
+    # no stray .tmp left behind (atomic publish)
+    assert not os.path.exists(str(bare) + ".tmp")
+
+    # truncated file (crash mid-save) -> clean restart from zero
+    data = bare.read_bytes()
+    bare.write_bytes(data[: len(data) // 2])
+    ck3 = StreamCheckpoint(bare)
+    assert ck3.block_index == 0 and ck3.n_words == 0
