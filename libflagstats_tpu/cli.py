@@ -30,14 +30,20 @@ def _cmd_generate(args):
         samio.generate_binary(args.n, args.binary, seed=args.seed,
                               full_range=args.full_range)
     else:
-        samio.generate_text(args.n, sys.stdout, seed=args.seed)
+        samio.generate_text(args.n, sys.stdout, seed=args.seed,
+                            full_range=args.full_range)
     return 0
 
 
 def _cmd_utility(args):
-    src = open(args.input, "r") if args.input else sys.stdin
-    dst = open(args.output, "wb") if args.output else sys.stdout.buffer
-    n = samio.text_to_binary(src, dst)
+    import contextlib
+
+    with contextlib.ExitStack() as stack:
+        src = (stack.enter_context(open(args.input, "r"))
+               if args.input else sys.stdin)
+        dst = (stack.enter_context(open(args.output, "wb"))
+               if args.output else sys.stdout.buffer)
+        n = samio.text_to_binary(src, dst)
     print(f"wrote {n} words", file=sys.stderr)
     return 0
 
@@ -119,7 +125,12 @@ def _cmd_decompress(args):
     if mode in ("d", "D"):
         counters = _flagstat_array(arr, args.impl)
     elif mode in ("s", "S"):
-        counters = (flagstat_loop(arr) if args.loop else _samtools_loop(arr))
+        # count_paired: the scalar mirror leaves counter 0 empty by
+        # default (reference fidelity), but the report printed below
+        # reads it for the paired-in-sequencing line and the
+        # properly-paired/singleton percentage denominators
+        counters = (flagstat_loop(arr, count_paired=True) if args.loop
+                    else _samtools_loop(arr))
     dt = time.perf_counter() - t0
     print(f"[{mode}] {arr.size} words: load {t_load*1e3:.1f} ms, "
           f"total {dt*1e3:.1f} ms "
@@ -198,7 +209,12 @@ def _cmd_codec_sweep(args):
         + [("zstd", lv, f"c{lv}") for lv in args.zstd_levels]
         + [("raw", 0, "-")]
     )
-    print("codec\tconfig\tcomp_MB\tratio\tcomp_ms\tdecode_ms\tflagstat_ms")
+    # warm the flagstat path once (jit compile + first-dispatch RTT can
+    # be seconds to minutes for device impls) so the first config row's
+    # flagstat column measures the same steady state as the rest
+    _flagstat_array(arr, args.impl)
+    print("codec\tconfig\tcomp_MB\tratio\tcomp_ms\tdecode_ms\t"
+          "flagstat_ms\tdecode+flag_ms")
     for codec, lv, label in configs:
         with tempfile.TemporaryDirectory() as td:
             path = Path(td) / "sweep.bin"
@@ -214,7 +230,7 @@ def _cmd_codec_sweep(args):
             ratio = info.raw_bytes / max(info.compressed_bytes, 1)
             print(f"{codec}\t{label}\t{info.compressed_bytes/1e6:.2f}\t"
                   f"{ratio:.2f}\t{t_comp*1e3:.1f}\t{t_dec*1e3:.1f}\t"
-                  f"{(t_dec+t_flag)*1e3:.1f}")
+                  f"{t_flag*1e3:.1f}\t{(t_dec+t_flag)*1e3:.1f}")
     return 0
 
 
@@ -256,7 +272,9 @@ def main(argv=None) -> int:
     c.add_argument("input")
     c.add_argument("--codec", choices=["raw", "lz4", "zstd"], default="lz4")
     c.add_argument("--level", type=int, default=1)
-    c.add_argument("--block-bytes", type=int, default=C.BLOCK_BYTES)
+    c.add_argument("--block-bytes", type=int, default=None,
+                   help="framed block size (default: CONFIG.block_bytes, "
+                        "the reference-compatible 1,024,000)")
     c.add_argument("--output", "-o")
     c.set_defaults(fn=_cmd_compress)
 

@@ -11,9 +11,16 @@ from pathlib import Path
 
 @dataclass
 class Config:
+    """Live tuning knobs — every field is READ at its point of use
+    (dispatch thresholds in ops/dispatch.py, block size in io/codec.py,
+    thread pool + nblk in io/stream.py / parallel/multihost.py), so
+    editing CONFIG at runtime takes effect on the next call."""
+
     # Pallas kernel geometry
     nblk: int = 8                      # register-groups per grid step (1 HS body)
-    # dispatch thresholds (words)
+    # dispatch thresholds (words): xla_min is the shape-bucketing floor
+    # for device calls; pallas_min the bit-sliced kernel's minimum
+    # (floored at one legal grid step by dispatch)
     xla_min: int = 1 << 14
     pallas_min: int = 1 << 20
     # io
@@ -43,5 +50,12 @@ def enable_compilation_cache() -> None:
         jax.config.update("jax_compilation_cache_dir", CONFIG.compilation_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         _cache_enabled = True
-    except Exception:
-        pass
+    except Exception as exc:
+        # the cache is load-bearing on this stack (remote compiles take
+        # minutes) — losing it silently would make every process start
+        # pay that cost with nothing to diagnose
+        import sys
+
+        print(f"[libflagstats_tpu] WARNING: persistent compile cache "
+              f"disabled ({type(exc).__name__}: {exc}); cold compiles "
+              f"will repeat every process", file=sys.stderr)

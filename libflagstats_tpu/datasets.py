@@ -102,8 +102,12 @@ def synth_na12878(scale_divisor: int = 1, seed: int = 0,
 
     Returns (flags_u16, expected_counters[32]) where the expectation is
     derived from the category construction (independent of any counting
-    implementation). REVERSE/MREVERSE bits are randomized on mapped
-    reads — they don't enter the report.
+    implementation). REVERSE/MREVERSE bits are randomized onto EVERY
+    word (mapped or not) — they don't enter the report, and because the
+    randomization makes the positional counts at positions 4/5 (and
+    their fail-stratum mirrors) data-dependent, expected[4]/expected[5]
+    are returned as 0 and must be excluded from (or recomputed for) any
+    full-32-counter comparison.
     """
     cats = na12878_categories(scale_divisor)
     parts = [np.full(c.count, c.flag, dtype=np.uint16) for c in cats]

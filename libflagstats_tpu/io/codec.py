@@ -215,9 +215,17 @@ class FramedStreamInfo:
 
 
 def write_framed(path, flags: np.ndarray, codec: str | int = "lz4",
-                 level: int = 1, block_bytes: int = BLOCK_BYTES) -> FramedStreamInfo:
+                 level: int = 1,
+                 block_bytes: int | None = None) -> FramedStreamInfo:
     """FLAG array -> framed compressed stream on disk
-    (reference: `bench compress`, benchmark/flagstats.cpp:738-826)."""
+    (reference: `bench compress`, benchmark/flagstats.cpp:738-826).
+
+    ``block_bytes`` defaults to CONFIG.block_bytes (reference-compatible
+    1,024,000)."""
+    if block_bytes is None:
+        from ..config import CONFIG
+
+        block_bytes = CONFIG.block_bytes
     flags = np.ascontiguousarray(np.asarray(flags, dtype=np.uint16))
     raw = flags.tobytes()
     n_blocks = 0

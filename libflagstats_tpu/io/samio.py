@@ -27,12 +27,15 @@ def text_to_binary(text_in, binary_out) -> int:
     return int(vals.size)
 
 
-def generate_text(n: int, out=None, seed: int | None = None) -> None:
-    """n uniform-random FLAG values in [0, 4096) as text lines
-    (byte-compatible with the reference generator's output shape)."""
+def generate_text(n: int, out=None, seed: int | None = None,
+                  full_range: bool = False) -> None:
+    """n uniform-random FLAG values as text lines — [0, 4096) by default
+    (byte-compatible with the reference generator's output shape),
+    [0, 65536) with ``full_range``."""
     out = out or sys.stdout
     rng = np.random.default_rng(seed)
-    vals = rng.integers(0, 4096, size=n, dtype=np.uint16)
+    vals = rng.integers(0, 0x10000 if full_range else 4096, size=n,
+                        dtype=np.uint16)
     out.write("\n".join(map(str, vals.tolist())))
     if n:
         out.write("\n")

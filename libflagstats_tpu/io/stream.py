@@ -28,10 +28,11 @@ from . import codec as C
 
 
 @functools.cache
-def _jit_chunk_sums(impl: str, chunk_words: int, report: bool = False):
+def _jit_chunk_sums(impl: str, chunk_words: int, report: bool = False,
+                    nblk: int = 8):
     if impl == "pallas":
         def fn(chunk, total, fail):
-            t, f = PK.stream_sums_pallas(chunk, report=report)
+            t, f = PK.stream_sums_pallas(chunk, report=report, nblk=nblk)
             return total + t, fail + f
     else:
         def fn(chunk, total, fail):
@@ -62,12 +63,16 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     decode / chunk-assembly / device-dispatch wall time so pipeline
     balance is observable (the reference is ~80% ingest-bound,
     README.md:27-29)."""
+    from ..config import CONFIG
+
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if chunk_words is None:
-        chunk_words = 8 * PK.GROUP_WORDS if impl == "pallas" else 1 << 20
+        chunk_words = (CONFIG.nblk * PK.GROUP_WORDS if impl == "pallas"
+                       else 1 << 20)
 
-    step = _jit_chunk_sums(impl, chunk_words, report and impl == "pallas")
+    step = _jit_chunk_sums(impl, chunk_words, report and impl == "pallas",
+                           nblk=CONFIG.nblk)
     total = jnp.zeros(F.N_BITS, jnp.int32)
     fail = jnp.zeros(F.N_BITS, jnp.int32)
     n_words = 0
@@ -78,7 +83,7 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
         n_words = checkpoint.n_words
         start_block = checkpoint.block_index
 
-    n_threads = threads or 8
+    n_threads = threads or CONFIG.decode_threads or 8
     if timer is None:
         from ..bench.profiling import SectionTimer
 

@@ -8,7 +8,7 @@ crossovers — see the citation block at DEVICE_MIN_TPU below)
 
   n <  device_min()  -> host NumPy oracle (one dispatch RTT costs more)
   else, TPU          -> bit-sliced Pallas kernel (fastest at every
-                        legal size; device_min == PALLAS_MIN there)
+                        legal size; device_min == pallas_min there)
   else               -> plain-XLA fused formulation
 """
 from __future__ import annotations
@@ -72,12 +72,25 @@ XLA_MIN_CPU = 1 << 15        # measured numpy -> CPU-XLA crossover
 #     (loses) -> crossover ~128Ki
 POSPOPCNT_DEVICE_MIN_TPU = 1 << 22
 POSPOPCNT_XLA_MIN_CPU = 1 << 17
-# one Pallas grid step is nblk * GROUP_WORDS words; measured: pallas is
-# the fastest device tier from its very first legal size
-PALLAS_MIN = 2 * 8 * pallas_kernels.GROUP_WORDS   # 1,048,576 words
-# shape-bucketing floor for device calls (bounds the compile set; not a
-# performance crossover)
-XLA_MIN = 1 << 14
+
+
+def pallas_min() -> int:
+    """Minimum words for the bit-sliced Pallas tier: CONFIG.pallas_min,
+    floored at one legal grid step (nblk * GROUP_WORDS). Measured:
+    pallas is the fastest device tier from its very first legal size;
+    the measured default (2 * 8 * GROUP_WORDS = 1,048,576) is
+    CONFIG.pallas_min's default."""
+    from ..config import CONFIG
+
+    return max(CONFIG.pallas_min, 8 * pallas_kernels.GROUP_WORDS)
+
+
+def xla_min() -> int:
+    """Shape-bucketing floor for device calls (bounds the compile set;
+    not a performance crossover). CONFIG.xla_min."""
+    from ..config import CONFIG
+
+    return CONFIG.xla_min
 
 
 def device_min() -> int:
@@ -96,7 +109,12 @@ def backend() -> str:
 
 @functools.cache
 def _jit_flagstat_xla():
-    return jax.jit(flagstat_xla, static_argnames=("n",))
+    # n is a TRACED scalar: it only feeds the derived pass-total
+    # arithmetic (assemble_counters), so two streams sharing a padded
+    # bucket but differing in true length share ONE executable — a
+    # static n would recompile per distinct length (minutes each on the
+    # remote compile service) and defeat _bucket_pad's purpose
+    return jax.jit(lambda x, n: flagstat_xla(x, n))
 
 
 def _bucket_pad(arr: np.ndarray, minimum: int) -> np.ndarray:
@@ -117,7 +135,7 @@ def auto_impl(n_len: int) -> str:
     with the crossovers measured above)."""
     if n_len < device_min():
         return "numpy"
-    if n_len >= PALLAS_MIN and backend() == "tpu":
+    if n_len >= pallas_min() and backend() == "tpu":
         return "pallas"
     return "xla"
 
@@ -128,9 +146,10 @@ def pospopcnt_auto_impl(n_len: int) -> str:
     libalgebra.h:3519-3543, re-measured for this stack — see the
     POSPOPCNT_* threshold citations above)."""
     if backend() == "tpu":
-        if n_len < POSPOPCNT_DEVICE_MIN_TPU:
-            return "numpy"
-        return "pallas" if n_len >= PALLAS_MIN else "xla"
+        # two tiers, not three: the device crossover (4Mi) sits above
+        # any pallas_min, and the pallas path bucket-pads to legality
+        # anyway, so an xla middle tier would be dead code here
+        return "numpy" if n_len < POSPOPCNT_DEVICE_MIN_TPU else "pallas"
     return "numpy" if n_len < POSPOPCNT_XLA_MIN_CPU else "xla"
 
 
@@ -146,13 +165,14 @@ def get_function(n_len: int, impl: str | None = None):
     if impl == "xla":
         fn = _jit_flagstat_xla()
         return lambda arr: np.asarray(
-            fn(jax.numpy.asarray(_bucket_pad(arr, XLA_MIN)), n=int(arr.size))
+            fn(jax.numpy.asarray(_bucket_pad(arr, xla_min())),
+               jax.numpy.int32(arr.size))
         )
     if impl == "pallas":
         interpret = backend() != "tpu"
         return lambda arr: np.asarray(
             pallas_kernels.flagstat_pallas(
-                jax.numpy.asarray(_bucket_pad(arr, PALLAS_MIN)),
+                jax.numpy.asarray(_bucket_pad(arr, pallas_min())),
                 n=int(arr.size), interpret=interpret,
             )
         )
@@ -160,7 +180,7 @@ def get_function(n_len: int, impl: str | None = None):
         interpret = backend() != "tpu"
         return lambda arr: np.asarray(
             pallas_kernels.flagstat_pallas(
-                jax.numpy.asarray(_bucket_pad(arr, PALLAS_MIN)),
+                jax.numpy.asarray(_bucket_pad(arr, pallas_min())),
                 n=int(arr.size), interpret=interpret, report=True,
             )
         )
@@ -170,7 +190,7 @@ def get_function(n_len: int, impl: str | None = None):
         interpret = backend() != "tpu"
 
         def run_pre(arr):
-            planes = pretranspose_host(_bucket_pad(arr, PALLAS_MIN))
+            planes = pretranspose_host(_bucket_pad(arr, pallas_min()))
             return np.asarray(
                 pallas_kernels.flagstat_pallas_pre(
                     jax.numpy.asarray(planes), n=int(arr.size),
@@ -183,7 +203,7 @@ def get_function(n_len: int, impl: str | None = None):
         interpret = backend() != "tpu"
         return lambda arr: np.asarray(
             pallas_kernels.flagstat_pallas_words(
-                jax.numpy.asarray(_bucket_pad(arr, XLA_MIN)),
+                jax.numpy.asarray(_bucket_pad(arr, xla_min())),
                 n=int(arr.size), interpret=interpret,
             )
         )
@@ -242,17 +262,17 @@ def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
         )
     if impl == "xla":
         return np.asarray(
-            _jit_pospopcnt_xla()(jax.numpy.asarray(_bucket_pad(arr, XLA_MIN)))
+            _jit_pospopcnt_xla()(jax.numpy.asarray(_bucket_pad(arr, xla_min())))
         )
     if impl == "xla_matmul":
         return np.asarray(
-            _jit_pospopcnt_matmul()(jax.numpy.asarray(_bucket_pad(arr, XLA_MIN)))
+            _jit_pospopcnt_matmul()(jax.numpy.asarray(_bucket_pad(arr, xla_min())))
         )
     if impl == "pallas":
         interpret = backend() != "tpu"
         return np.asarray(
             pallas_kernels.pospopcnt_u16_pallas(
-                jax.numpy.asarray(_bucket_pad(arr, PALLAS_MIN)), interpret=interpret
+                jax.numpy.asarray(_bucket_pad(arr, pallas_min())), interpret=interpret
             )
         )
     raise ValueError(f"unknown impl {impl!r}")

@@ -30,11 +30,19 @@ def _as_u16(array) -> np.ndarray:
     return np.ascontiguousarray(arr).ravel()
 
 
-def flagstat_loop(array, out=None, derive_pass_total: bool = True) -> np.ndarray:
+def flagstat_loop(array, out=None, derive_pass_total: bool = True,
+                  count_paired: bool = False) -> np.ndarray:
     """Per-word branchy oracle (reference: libflagstats.h:118-142).
 
     Accumulates into ``out`` if given (the reference kernels' streaming
     contract: callers may pass one counter vector across many blocks).
+
+    ``count_paired``: the reference scalar leaves samtools' n_pair_all
+    count commented out (libflagstats.h:131), so counter 0 stays 0 by
+    default for scalar-path fidelity; pass True to fill it like the
+    vector kernels (and samtools itself) do — required when the result
+    feeds a report, whose paired-in-sequencing line and percentage
+    denominators read counter 0.
     """
     arr = _as_u16(array)
     counters = np.zeros(F.N_COUNTERS, dtype=np.uint64) if out is None else out
@@ -49,6 +57,8 @@ def flagstat_loop(array, out=None, derive_pass_total: bool = True) -> np.ndarray
         elif val & F.FSUPPLEMENTARY:
             counters[f + F.FSUPPLEMENTARY_OFF] += 1
         elif val & F.FPAIRED:
+            if count_paired:
+                counters[f + F.FPAIRED_OFF] += 1
             if (val & F.FPROPER_PAIR) and not (val & F.FUNMAP):
                 counters[f + F.BIT12_OFF] += 1
             if val & F.FREAD1:

@@ -46,7 +46,7 @@ def initialize(coordinator_address: str | None = None,
 
 
 def flagstat_multihost(local_flags: np.ndarray, total_words: int | None = None,
-                       impl: str | None = None, nblk: int = 8,
+                       impl: str | None = None, nblk: int | None = None,
                        pad_to_words: int | None = None) -> np.ndarray:
     """Count a globally-sharded FLAG stream; every process passes its own
     host-local shard (e.g. its file shard) and receives the full global
@@ -58,6 +58,10 @@ def flagstat_multihost(local_flags: np.ndarray, total_words: int | None = None,
     array assembles; zero padding is count-neutral."""
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if nblk is None:
+        from ..config import CONFIG
+
+        nblk = CONFIG.nblk
     mesh = data_mesh()
     granule = shard_granule(impl, nblk)
     local = np.ascontiguousarray(np.asarray(local_flags, dtype=np.uint16)).ravel()

@@ -56,3 +56,43 @@ def test_auto_dispatch_correct_across_tiers():
             [np.count_nonzero((x.astype(np.uint32) >> k) & 1)
              for k in range(16)], dtype=np.uint64)
         np.testing.assert_array_equal(pp, ref)
+
+
+def test_xla_impl_shares_executable_across_true_lengths():
+    """n is a traced scalar: two streams in the same padded bucket but
+    with different true lengths must share one executable (a static n
+    recompiled per length — minutes each on the remote compile service)
+    — and both must stay exact."""
+    from libflagstats_tpu.ops import dispatch as D
+
+    a = generate_flags(100_000, seed=3, full_range=True)
+    b = generate_flags(100_001, seed=4, full_range=True)
+    fn = D.get_function(a.size, impl="xla")
+    ra = fn(a)
+    n_compiled = D._jit_flagstat_xla()._cache_size()
+    rb = D.get_function(b.size, impl="xla")(b)
+    assert D._jit_flagstat_xla()._cache_size() == n_compiled
+    assert (np.asarray(ra, dtype=np.int64)
+            == flagstat_numpy(a).astype(np.int64)).all()
+    assert (np.asarray(rb, dtype=np.int64)
+            == flagstat_numpy(b).astype(np.int64)).all()
+
+
+def test_config_thresholds_are_live():
+    """CONFIG.xla_min / CONFIG.pallas_min are read at the point of use —
+    editing them must change dispatch behavior (they were dead fields
+    until the round-2 review)."""
+    from libflagstats_tpu.config import CONFIG
+    from libflagstats_tpu.ops import dispatch as D
+    from libflagstats_tpu.ops.pallas_kernels import GROUP_WORDS
+
+    old_x, old_p = CONFIG.xla_min, CONFIG.pallas_min
+    try:
+        CONFIG.xla_min = 1 << 10
+        assert D.xla_min() == 1 << 10
+        CONFIG.pallas_min = 1           # floored at one legal grid step
+        assert D.pallas_min() == 8 * GROUP_WORDS
+        CONFIG.pallas_min = 1 << 24
+        assert D.pallas_min() == 1 << 24
+    finally:
+        CONFIG.xla_min, CONFIG.pallas_min = old_x, old_p

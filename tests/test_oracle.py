@@ -95,3 +95,20 @@ def test_scalar_semantics_no_derive():
     assert c[F.FQCFAIL_OFF] == 0
     c2 = flagstat_loop(x)
     assert int(c2[F.FQCFAIL_OFF]) == len(x) - n_fail
+
+
+def test_flagstat_loop_count_paired_matches_kernel_semantics():
+    """Counter 0 (paired in sequencing): the reference scalar leaves it
+    0 (libflagstats.h:131 commented out) and flagstat_loop mirrors that
+    by default; count_paired=True must fill it exactly like the vector
+    kernels (FPAIRED outside sec/supp) so reports built from the loop
+    print real paired counts and percentages."""
+    x = generate_flags(50_000, seed=11, full_range=True)
+    default = flagstat_loop(x)
+    assert default[0] == 0 and default[16] == 0   # scalar-path fidelity
+    withp = flagstat_loop(x, count_paired=True)
+    ref = flagstat_numpy(x)
+    assert withp[0] == ref[0] and withp[16] == ref[16]
+    # everything else identical between the two loop modes
+    others = [k for k in range(32) if k not in (0, 16)]
+    assert (default[others] == withp[others]).all()
