@@ -48,8 +48,9 @@ HEADER = "variant\twords\tmin_us\tavg_us\tMwords/s\tGB/s\tvs_roofline\tcheck"
 
 
 def run_variant(name: str, fn, n: int, iters: int, verbose: bool = False) -> VariantResult:
-    import jax
-
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters} (the first "
+                         "iteration is warmup-only and is never timed)")
     times = []
     correct = True
     for it in range(iters + 1):  # first iteration is warmup/compile
@@ -77,8 +78,10 @@ def run_all(n: int = 1 << 20, iters: int = 5, with_roofline: bool = True,
 
     variants = ["numpy", "xla"]
     if jax.default_backend() == "tpu":
+        from ..ops import pallas_kernels as PK
+
         variants.append("pallas_words")
-        if n >= 8 * 65536:
+        if n >= 8 * PK.GROUP_WORDS:   # one legal grid step
             variants.append("pallas")
 
     roof = None

@@ -98,7 +98,8 @@ def pruned_pairs(needed_rows=NEEDED_ROWS) -> dict[int, list[int]]:
 
     A pair (k, k+j) at a stage may be skipped iff neither output feeds a
     needed row downstream. Computed by backward reachability over the
-    5-stage network.
+    4-stage network (TRANSPOSE_STAGES — the j=16 stage is elided by the
+    row relabeling above and does not participate).
     """
     needed = set(needed_rows)
     stages: dict[int, list[int]] = {}

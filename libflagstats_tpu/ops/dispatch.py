@@ -212,6 +212,15 @@ def get_function(n_len: int, impl: str | None = None):
 
 def _validate_u16(array) -> np.ndarray:
     arr = np.asarray(array)
+    if arr.size > 0x7FFFFFFF:
+        # the derived pass-total and on-device accumulators are int32 by
+        # design (128-byte psum payload); past 2^31-1 words the length
+        # would die deep inside assemble_counters as an opaque
+        # jnp.int32 OverflowError — state the cap clearly instead
+        raise OverflowError(
+            f"stream has {arr.size} words; the int32 counter design caps "
+            "one accumulation at 2^31-1 words — split into multiple "
+            "accumulating flagstats_u16(out=...) calls")
     if arr.dtype != np.uint16:
         # allow lossless integer input; reject anything that would be a
         # silent value-mangling cast

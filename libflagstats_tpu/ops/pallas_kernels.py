@@ -336,6 +336,10 @@ def stream_sums_pallas(
     when called under shard_map (use _pack_stream/pad_length outside).
     ``report=True`` runs the faster 21-stream kernel that skips the four
     masked-positional counters the flagstat report never reads."""
+    if x.size == 0:
+        # a 0-step grid never runs the step-0 init, leaving the output
+        # buffer uninitialized on hardware (same guard as read_xor_pallas)
+        return jnp.zeros(F.N_BITS, jnp.int32), jnp.zeros(F.N_BITS, jnp.int32)
     mode = "flagstat_report" if report else "flagstat"
     sums = _run_kernel(_pack_stream(x, nblk), nblk, mode, interpret)
     return _sums_to_streams(sums, report)
@@ -377,6 +381,9 @@ def flagstat_pallas_pre(planes: jax.Array, n: int, nblk: int = 8,
     host cycles. ``planes``: (groups, 32, 8, 128) uint32."""
     if planes.ndim != 4 or planes.shape[1:] != (REGS, SUB, LANE):
         raise ValueError(f"expected (G, 32, 8, 128) plane tiles, got {planes.shape}")
+    if planes.shape[0] == 0:  # 0-step grid: output would stay uninitialized
+        zero = jnp.zeros(F.N_BITS, jnp.int32)
+        return assemble_counters(zero, zero, n)
     groups = planes.shape[0]
     if groups % nblk:
         pad = nblk - groups % nblk
@@ -394,6 +401,8 @@ def pospopcnt_u16_pallas(x: jax.Array, nblk: int = 8, interpret: bool = False) -
 
     TPU analogue of STORM_pospopcnt_u16_avx512bw_harvey_seal
     (libalgebra.h:2383)."""
+    if x.size == 0:  # 0-step grid: output would stay uninitialized
+        return jnp.zeros(F.N_BITS, jnp.int32)
     return _run_kernel(_pack_stream(x, nblk), nblk, "pospopcnt", interpret)
 
 

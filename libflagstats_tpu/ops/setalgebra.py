@@ -46,12 +46,39 @@ def _jit_binary(op: str):
     )
 
 
+# Per-call lane cap: 2^25 lanes x 32 set bits = 2^30 < int32 max, so one
+# device reduce can never wrap (with x64 disabled, jnp.sum of int32
+# stays int32 — an unchunked 2^31-set-bit bitmap returned a NEGATIVE
+# count). Chunks accumulate in Python ints (arbitrary precision), and
+# the tail is zero-padded so every call shares one compiled shape.
+_CHUNK_LANES = 1 << 25
+
+
+def _chunks(arrs: tuple[np.ndarray, ...]):
+    n = arrs[0].size
+    if n <= _CHUNK_LANES:
+        yield tuple(jnp.asarray(a) for a in arrs)
+        return
+    for off in range(0, n, _CHUNK_LANES):
+        part = tuple(a[off:off + _CHUNK_LANES] for a in arrs)
+        if part[0].size < _CHUNK_LANES:  # zero lanes are count-neutral
+            part = tuple(
+                np.concatenate([p, np.zeros(_CHUNK_LANES - p.size, np.uint32)])
+                for p in part
+            )
+        yield tuple(jnp.asarray(p) for p in part)
+
+
 def popcnt(bitmap) -> int:
-    """Total set bits (reference: STORM_popcnt, libalgebra.h)."""
+    """Total set bits (reference: STORM_popcnt, libalgebra.h).
+
+    Exact for any size: reduced in int32-safe chunks, accumulated in
+    Python ints."""
     a = _as_u32(bitmap)
     if a.size == 0:
         return 0
-    return int(_jit_unary()(jnp.asarray(a)))
+    fn = _jit_unary()
+    return sum(int(fn(c)) for (c,) in _chunks((a,)))
 
 
 def _binary_count(a, b, op: str) -> int:
@@ -60,7 +87,8 @@ def _binary_count(a, b, op: str) -> int:
         raise ValueError("bitmaps must have equal size")
     if av.size == 0:
         return 0
-    return int(_jit_binary(op)(jnp.asarray(av), jnp.asarray(bv)))
+    fn = _jit_binary(op)
+    return sum(int(fn(ca, cb)) for ca, cb in _chunks((av, bv)))
 
 
 def intersect_count(a, b) -> int:

@@ -44,6 +44,12 @@ def _local_sums(xs: jax.Array, impl: str, nblk: int, interpret: bool,
                                   report=report)
     if impl == "pallas_words":
         return stream_sums_words(xs, interpret)
+    if impl != "xla":
+        # counters would come back CORRECT via the xla fallthrough, so a
+        # typo'd impl would silently benchmark/validate the wrong kernel
+        raise ValueError(
+            f"unknown sharded impl {impl!r} (choose pallas, pallas_words, "
+            "or xla; report mode is the report= flag, not an impl name)")
     return stream_sums_xla(xs)
 
 
@@ -88,10 +94,19 @@ def pad_for_mesh(x: np.ndarray, mesh_size: int, granule: int) -> np.ndarray:
 
 
 @functools.cache
-def _cached_counter_fn(mesh_key, impl, nblk, interpret, report):
-    mesh = data_mesh()
+def _default_mesh(dev_ids) -> Mesh:
+    # dev_ids keys cache invalidation if the visible device set changes
+    return data_mesh()
+
+
+@functools.cache
+def _counter_fn_for(mesh: Mesh, impl, nblk, interpret, report):
+    """Cache keyed on the mesh itself (Mesh is hashable): the
+    explicit-mesh path must not rebuild shard_map + jit per call —
+    each rebuild is a fresh executable, and compiles are minutes on
+    this stack."""
     return make_sharded_counter_fn(mesh, impl=impl, nblk=nblk,
-                                   interpret=interpret, report=report), mesh
+                                   interpret=interpret, report=report)
 
 
 def flagstat_sharded(
@@ -108,16 +123,16 @@ def flagstat_sharded(
     Pallas path (only flags.REPORT_COUNTERS are guaranteed); the XLA
     tier computes all 32 counters either way.
     """
-    arr = np.ascontiguousarray(np.asarray(x, dtype=np.uint16)).ravel()
+    from ..ops.dispatch import _validate_u16
+
+    arr = _validate_u16(x)   # same lossless-cast + length rules as
+    #                          flagstats_u16 — silent uint16 wrapping
+    #                          would return plausible-looking garbage
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if mesh is None:
-        fn, mesh = _cached_counter_fn(
-            tuple(d.id for d in jax.devices()), impl, nblk, interpret, report
-        )
-    else:
-        fn = make_sharded_counter_fn(mesh, impl=impl, nblk=nblk,
-                                     interpret=interpret, report=report)
+        mesh = _default_mesh(tuple(d.id for d in jax.devices()))
+    fn = _counter_fn_for(mesh, impl, nblk, interpret, report)
     padded = pad_for_mesh(arr, mesh.size, shard_granule(impl, nblk))
     sharding = NamedSharding(mesh, P(AXIS))
     y = jax.device_put(padded, sharding)

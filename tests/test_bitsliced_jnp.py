@@ -147,3 +147,26 @@ def test_read_xor_pallas_empty():
 
     got = np.asarray(read_xor_pallas(jnp.zeros(0, jnp.uint16), interpret=True))
     assert got.shape == (1,) and got[0] == 0
+
+
+def test_empty_input_all_pallas_entries_interpret():
+    """A 0-step Pallas grid never runs the step-0 init, so on hardware
+    the output buffer would be uninitialized garbage (and interpret mode
+    raised a slice error). Every kernel entry must short-circuit empty
+    inputs to exact zeros (round-2 review)."""
+    import jax.numpy as jnp
+
+    from libflagstats_tpu.ops import pallas_kernels as PK
+
+    empty = jnp.zeros(0, jnp.uint16)
+    c = np.asarray(PK.flagstat_pallas(empty, interpret=True))
+    assert c.shape == (32,) and (c == 0).all()
+    t, f = PK.stream_sums_pallas(empty, interpret=True)
+    assert (np.asarray(t) == 0).all() and (np.asarray(f) == 0).all()
+    pp = np.asarray(PK.pospopcnt_u16_pallas(empty, interpret=True))
+    assert pp.shape == (16,) and (pp == 0).all()
+    planes = jnp.zeros((0, 32, 8, 128), jnp.uint32)
+    cp = np.asarray(PK.flagstat_pallas_pre(planes, n=0, interpret=True))
+    assert (cp == 0).all()
+    t, f = PK.stream_sums_words(empty, interpret=True)
+    assert (np.asarray(t) == 0).all() and (np.asarray(f) == 0).all()

@@ -42,3 +42,20 @@ def test_errors():
         popcnt(np.zeros(3, dtype=np.uint8))  # not multiple of 4 bytes
     with pytest.raises(ValueError):
         intersect_count(np.zeros(4, np.uint32), np.zeros(8, np.uint32))
+
+
+def test_chunked_reduction_matches_unchunked(monkeypatch):
+    """Counts must stay exact past the int32 reduce ceiling: the device
+    reduce is int32 (x64 off), so bitmaps are reduced in capped chunks
+    accumulated in Python ints. Shrink the cap to force multi-chunk
+    paths (with ragged zero-padded tails) and compare to numpy."""
+    from libflagstats_tpu.ops import setalgebra as S
+
+    monkeypatch.setattr(S, "_CHUNK_LANES", 1000)
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 1 << 32, size=3777, dtype=np.uint64).astype(np.uint32)
+    b = rng.integers(0, 1 << 32, size=3777, dtype=np.uint64).astype(np.uint32)
+    assert S.popcnt(a) == int(np.bitwise_count(a).sum())
+    assert S.intersect_count(a, b) == int(np.bitwise_count(a & b).sum())
+    assert S.union_count(a, b) == int(np.bitwise_count(a | b).sum())
+    assert S.diff_count(a, b) == int(np.bitwise_count(a & ~b).sum())

@@ -78,3 +78,26 @@ def test_dryrun_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(min(8, len(jax.devices())))
+
+
+def test_sharded_rejects_unknown_impl_and_lossy_cast():
+    """(a) an unknown impl must raise, not silently run the XLA tier
+    with correct-looking counters; (b) input validation matches
+    flagstats_u16 — no silent uint16 value-wrapping."""
+    x = generate_flags(4096, seed=2)
+    with pytest.raises(ValueError, match="unknown sharded impl"):
+        flagstat_sharded(x, impl="palas")
+    with pytest.raises(ValueError, match="uint16"):
+        flagstat_sharded(np.array([70000, -1], dtype=np.int64), impl="xla")
+
+
+def test_sharded_explicit_mesh_fn_is_cached():
+    """The explicit-mesh path must reuse one jitted fn per
+    (mesh, impl, ...) — rebuilding per call forces a recompile each
+    time (minutes on the remote compile service)."""
+    from libflagstats_tpu.parallel.sharded import _counter_fn_for, data_mesh
+
+    mesh = data_mesh(jax.devices()[:1])
+    f1 = _counter_fn_for(mesh, "xla", 8, False, False)
+    f2 = _counter_fn_for(data_mesh(jax.devices()[:1]), "xla", 8, False, False)
+    assert f1 is f2
