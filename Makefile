@@ -8,11 +8,11 @@ PY ?= python3
 
 all: native
 
-native: build/libflagstats_io.so
-
-build/libflagstats_io.so: libflagstats_tpu/io/native/flagstats_io.cpp
-	mkdir -p build
-	g++ -O3 -march=native -std=c++17 -shared -fPIC $< -o $@ -lzstd -pthread
+# the artifact name carries a per-host tag (-march=native binaries are
+# host-specific on shared checkouts), so delegate to the python builder
+# which owns the naming + atomic publish
+native:
+	$(PY) -c "from libflagstats_tpu.io import native_lib; print(native_lib._build())"
 
 test:
 	$(PY) -m pytest tests/ -q

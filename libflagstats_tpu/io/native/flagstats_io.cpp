@@ -63,17 +63,22 @@ int64_t lfs_lz4_decompress_own(const uint8_t* src, int64_t src_len,
                 lit += b;
             } while (b == 255);
         }
+        // bounds checks below use the subtraction form (len > end - p):
+        // ip <= iend and op <= oend are loop invariants, and the
+        // pointer-addition form (p + len > end) forms a far-out-of-
+        // bounds pointer first -- UB a compiler may fold away, and
+        // invisible to ASan since no access happens
         if (lit <= 16 && (iend - ip) >= 32 && (oend - op) >= 32) {
             std::memcpy(op, ip, 16);                  // wild copy
         } else {
-            if (ip + lit > iend || op + lit > oend) return -1;
+            if (lit > iend - ip || lit > oend - op) return -1;
             std::memcpy(op, ip, static_cast<size_t>(lit));
         }
         ip += lit;
         op += lit;
         if (ip >= iend) break;  // last sequence: literals only
 
-        if (ip + 2 > iend) return -1;
+        if (iend - ip < 2) return -1;
         const uint32_t offset = static_cast<uint32_t>(ip[0]) |
                                 (static_cast<uint32_t>(ip[1]) << 8);
         ip += 2;
@@ -87,7 +92,7 @@ int64_t lfs_lz4_decompress_own(const uint8_t* src, int64_t src_len,
                 mlen += b;
             } while (b == 255);
         }
-        if (op + mlen > oend) return -1;
+        if (mlen > oend - op) return -1;
         const uint8_t* match = op - offset;
         if (mlen <= 16 && offset >= 16 && (oend - op) >= 32) {
             std::memcpy(op, match, 16);               // wild copy
@@ -259,7 +264,7 @@ int64_t lfs_lz4_compress_own(const uint8_t* src, int64_t src_len,
                     uint32_t offset) -> bool {
         // token + extended literal length
         int64_t need = 1 + lit_len / 255 + 1 + lit_len + (mlen ? 2 + mlen / 255 + 1 : 0);
-        if (op + need > oend) return false;
+        if (need > oend - op) return false;
         uint8_t* token = op++;
         int64_t l = lit_len;
         if (l >= 15) {

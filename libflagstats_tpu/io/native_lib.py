@@ -7,12 +7,23 @@ codec (io/codec.py)."""
 from __future__ import annotations
 
 import ctypes
+import hashlib
+import os
+import platform
 import subprocess
+import tempfile
 from pathlib import Path
 
 _SRC = Path(__file__).parent / "native" / "flagstats_io.cpp"
 _BUILD_DIR = Path(__file__).resolve().parent.parent.parent / "build"
-_LIB_PATH = _BUILD_DIR / "libflagstats_io.so"
+# -march=native binaries are host-specific: on a shared checkout
+# (multi-host shard ranks) a lib built by an AVX-512 host must not be
+# dlopened by an older-ISA host (SIGILL), so the artifact name carries
+# a per-host tag
+_HOST_TAG = hashlib.md5(
+    f"{platform.node()}|{platform.machine()}".encode()
+).hexdigest()[:8]
+_LIB_PATH = _BUILD_DIR / f"libflagstats_io_{_HOST_TAG}.so"
 
 _lib = None
 _load_error: Exception | None = None
@@ -22,11 +33,25 @@ def _build() -> Path:
     _BUILD_DIR.mkdir(exist_ok=True)
     if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
         return _LIB_PATH
-    cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        str(_SRC), "-o", str(_LIB_PATH), "-lzstd", "-pthread",
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # compile to a private temp name and publish atomically: a second
+    # process's mtime check must never see (and dlopen) a half-written
+    # .so. Concurrent builders each write their own temp file; last
+    # replace wins with an identical artifact.
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_BUILD_DIR)
+    os.close(fd)
+    try:
+        cmd = [
+            "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            str(_SRC), "-o", tmp, "-lzstd", "-pthread",
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB_PATH)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return _LIB_PATH
 
 

@@ -14,17 +14,45 @@ import sys
 import numpy as np
 
 
-def text_to_binary(text_in, binary_out) -> int:
+def text_to_binary(text_in, binary_out, chunk_chars: int = 1 << 24) -> int:
     """Parse whitespace-separated FLAG integers -> uint16 binary stream.
 
-    Returns the number of words written."""
-    data = text_in.read()
-    if isinstance(data, bytes):
-        data = data.decode()
-    vals = np.array(data.split(), dtype=np.uint16) if data.split() else \
-        np.zeros(0, dtype=np.uint16)
-    binary_out.write(vals.astype("<u2").tobytes())
-    return int(vals.size)
+    Reads in bounded chunks: the reference path is GB-scale
+    (``samtools view | cut -f2 | utility``, README.md:56), so
+    materializing the whole stream as Python strings would cost tens of
+    GB at NA12878 scale. A token split across a chunk boundary is
+    carried into the next chunk. Returns the number of words written."""
+    total = 0
+    pending = ""
+
+    def flush(text: str) -> int:
+        toks = text.split()
+        if not toks:
+            return 0
+        vals = np.array(toks, dtype=np.uint16)
+        binary_out.write(vals.astype("<u2").tobytes())
+        return int(vals.size)
+
+    while True:
+        data = text_in.read(chunk_chars)
+        if isinstance(data, bytes):
+            data = data.decode()
+        if not data:
+            break
+        data = pending + data
+        if data[-1].isspace():
+            pending = ""
+        else:
+            # hold the possibly-incomplete trailing token
+            cut = max(data.rfind(c) for c in " \t\r\n")
+            if cut == -1:
+                pending = data
+                continue
+            pending = data[cut + 1:]
+            data = data[:cut + 1]
+        total += flush(data)
+    total += flush(pending)
+    return total
 
 
 def generate_text(n: int, out=None, seed: int | None = None,
@@ -43,9 +71,12 @@ def generate_text(n: int, out=None, seed: int | None = None,
 
 def generate_binary(n: int, path, seed: int | None = None,
                     full_range: bool = False) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    hi = 0x10000 if full_range else 0x1000
-    vals = rng.integers(0, hi, size=n, dtype=np.uint16)
+    """Write n synthetic FLAG words; the draw recipe is
+    oracle.generate_flags (one definition — file-based and in-memory
+    test paths must stay bit-identical for the same seed)."""
+    from ..oracle import generate_flags
+
+    vals = generate_flags(n, seed=seed, full_range=full_range)
     with open(path, "wb") as f:
         f.write(vals.astype("<u2").tobytes())
     return vals

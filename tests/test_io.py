@@ -312,3 +312,33 @@ def test_read_framed_trailing_garbage_rejected(tmp_path):
         f.write(b"\x01\x02\x03")        # 3 garbage bytes (not a header)
     with pytest.raises(ValueError):
         C.read_framed(path, "lz4")
+
+
+def test_text_to_binary_chunked_boundaries(tmp_path):
+    """The text parser reads in bounded chunks (GB-scale ingest path);
+    tokens split across chunk boundaries must reassemble exactly."""
+    import io as _io
+
+    vals = np.arange(0, 3000, 7, dtype=np.uint16) % 4096
+    text = " ".join(str(v) for v in vals.tolist())
+    for chunk in (1, 3, 16, 1 << 24):   # pathological to normal
+        out = _io.BytesIO()
+        n = samio.text_to_binary(_io.StringIO(text), out, chunk_chars=chunk)
+        got = np.frombuffer(out.getvalue(), dtype="<u2")
+        assert n == vals.size and (got == vals).all(), chunk
+    # bytes input + trailing whitespace + empty input
+    out = _io.BytesIO()
+    assert samio.text_to_binary(_io.BytesIO(b"7 11 13\n"), out, 4) == 3
+    out = _io.BytesIO()
+    assert samio.text_to_binary(_io.StringIO(""), out) == 0
+
+
+def test_generate_binary_matches_generate_flags(tmp_path):
+    """File-based and in-memory synthetic data share ONE draw recipe —
+    the two entry points must stay bit-identical per seed."""
+    from libflagstats_tpu.oracle import generate_flags
+
+    p = tmp_path / "g.bin"
+    written = samio.generate_binary(5000, p, seed=42, full_range=True)
+    assert (written == generate_flags(5000, seed=42, full_range=True)).all()
+    assert (samio.read_binary(p) == written).all()
