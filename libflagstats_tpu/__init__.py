@@ -54,6 +54,11 @@ def flagstats(values, impl: str | None = None) -> dict:
         raise ValueError("Values must be an numpy.ndarray")
     if values.dtype != np.uint16:
         raise ValueError('Values must have the dtype "uint16"')
+    if values.ndim != 1:
+        # the reference's uint16_t[::1] memoryview rejects non-1-D too;
+        # silently accepting would mix len(values) (first axis) into
+        # n_values/mapped while the counters cover values.size words
+        raise ValueError(f"Values must be 1-D, got shape {values.shape}")
     values = np.ascontiguousarray(values)
     counters = flagstats_u16(values, impl=impl)
     return counters_to_dict(counters, len(values))

@@ -15,11 +15,19 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo root
 
 if not os.environ.get("RUN_TPU_TESTS"):
+    import re
+
     flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
+    m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+    if m is None:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    elif m.group(1) != "8":
+        # a foreign count left in the shell (e.g. =1 from debugging)
+        # would silently stop the mesh/psum tests exercising 8 devices
+        os.environ["XLA_FLAGS"] = flags.replace(
+            m.group(0), "--xla_force_host_platform_device_count=8")
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -73,6 +73,11 @@ def test_binding_validation():
         lfs.flagstats([1, 2, 3])
     with pytest.raises(ValueError):
         lfs.flagstats(np.zeros(4, dtype=np.uint32))
+    # non-1-D rejected like the reference's uint16_t[::1] memoryview —
+    # accepting would mix len() (first axis) into n_values while the
+    # counters cover .size words
+    with pytest.raises(ValueError, match="1-D"):
+        lfs.flagstats(np.zeros((4, 100), dtype=np.uint16))
 
 
 def test_dispatch_input_validation():

@@ -57,8 +57,11 @@ def pospopcnt_sweep(sizes) -> int:
 
         t_numpy = float("inf")
         for _ in range(2):
-            x32 = x.astype(np.uint32)
+            # the astype belongs INSIDE the timed region: the real numpy
+            # tier (dispatch.pospopcnt_u16) pays it on every call, and
+            # excluding it biased the suggested device crossover upward
             t0 = time.perf_counter()
+            x32 = x.astype(np.uint32)
             np.array([int(np.count_nonzero((x32 >> k) & 1))
                       for k in range(16)])
             t_numpy = min(t_numpy, time.perf_counter() - t0)

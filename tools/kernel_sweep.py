@@ -49,28 +49,33 @@ def main() -> int:
         return gated_kernel_time_fit(body, x, roof_bytes_per_s=roof,
                                      n_bytes=2 * n).slope_s
 
+    from libflagstats_tpu import flags as FL
+
+    ok_all = True
     for report in (True, False):
         for nblk in (8, 16):
             def body(a, nblk=nblk, report=report):
                 t, f = PK.stream_sums_pallas(a, nblk=nblk, report=report)
                 return jnp.concatenate([t, f])
 
-            # correctness first
+            # correctness first; report mode validates exactly the
+            # counter set CLAUDE.md prescribes (flags.REPORT_COUNTERS),
+            # not a hand-expanded copy that could drift
             t_, f_ = PK.stream_sums_pallas(x, nblk=nblk, report=report)
             got = np.asarray(
                 assemble_counters(t_, f_, jnp.int32(n)), dtype=np.int64
             )
-            idx = ([0, 2, 6, 7, 8, 9, 10, 11, 12, 13, 14]
-                   + [16 + k for k in [0, 2, 6, 7, 8, 10, 11, 12, 13, 14]]
-                   + [25]) if report else list(range(32))
+            idx = list(FL.REPORT_COUNTERS) if report else list(range(32))
             ok = (got[idx] == ref[idx]).all()
+            ok_all &= bool(ok)
             t = timed(body)
             gbs = 2.0 * n / t / 1e9
             vs = f"{gbs*1e9/roof:.3f}x roofline" if roof else "n/a roofline"
             print(f"mode={'report' if report else 'full'} nblk={nblk}: "
                   f"{t*1e3:.3f} ms, {gbs:.1f} GB/s, {vs}, "
                   f"{'OK' if ok else 'MISMATCH'}", flush=True)
-    return 0
+    # a bit-exactness violation must fail the exit code, not just print
+    return 0 if ok_all else 1
 
 
 if __name__ == "__main__":

@@ -49,15 +49,22 @@ def main() -> int:
 
     wd = Path(args.workdir)
     wd.mkdir(parents=True, exist_ok=True)
-    stream_path = wd / f"na12878_s{args.scale}.{args.codec}"
+    # the cache name must carry every knob that changes the bytes —
+    # reusing a level-1 stream for a --level 19 run would silently
+    # record the wrong codec's timings
+    lvl = "" if args.codec == "raw" else f"_l{args.level}"
+    stream_path = wd / f"na12878_s{args.scale}{lvl}.{args.codec}"
 
-    t0 = time.perf_counter()
-    arr, _ = synth_na12878(scale_divisor=args.scale, seed=0)
-    t_gen = time.perf_counter() - t0
-    print(f"[gen] {arr.size:,} words in {t_gen:.1f}s "
-          f"({2*arr.size/1e9:.2f} GB)", flush=True)
-
-    if not stream_path.exists():
+    if stream_path.exists():
+        # verification only needs na12878_report_values; skip the
+        # minutes + ~1.6 GB of synthesizing an array we'd discard
+        print(f"[gen] reusing {stream_path}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        arr, _ = synth_na12878(scale_divisor=args.scale, seed=0)
+        t_gen = time.perf_counter() - t0
+        print(f"[gen] {arr.size:,} words in {t_gen:.1f}s "
+              f"({2*arr.size/1e9:.2f} GB)", flush=True)
         t0 = time.perf_counter()
         info = C.write_framed(stream_path, arr, codec=args.codec,
                               level=args.level)
@@ -66,7 +73,7 @@ def main() -> int:
               f"{info.raw_bytes/1e9:.2f} -> {info.compressed_bytes/1e9:.2f} GB "
               f"({info.raw_bytes/max(info.compressed_bytes,1):.2f}x) "
               f"in {t_comp:.1f}s", flush=True)
-    del arr
+        del arr
 
     # warmup pass compiles the chunk kernel (excluded, like the
     # reference's separate cache-warmup mode, flagstats.cpp:596)

@@ -49,6 +49,26 @@ def main() -> int:
             jax.block_until_ready(fn(x))
             print(f"[prewarm] {name} {label}: {time.time()-t0:.1f}s", flush=True)
 
+    # the streaming pipeline's compiled unit is NOT the eager
+    # flagstat_pallas above: flagstat_stream jits stream_sums_pallas
+    # plus the accumulator adds (io/stream._jit_chunk_sums) — a
+    # different XLA module, hence a different persistent-cache entry.
+    # Warm it too, or the first real flagstat_stream/na12878 run still
+    # cold-compiles for minutes.
+    from libflagstats_tpu.config import CONFIG
+    from libflagstats_tpu.io.stream import _jit_chunk_sums
+
+    chunk_words = CONFIG.nblk * GROUP_WORDS
+    xc = jnp.asarray(generate_flags(chunk_words, seed=0))
+    zero = jnp.zeros(16, jnp.int32)
+    for report in (False, True):
+        step = _jit_chunk_sums("pallas", chunk_words, report,
+                               nblk=CONFIG.nblk)
+        t0 = time.time()
+        jax.block_until_ready(step(xc, zero, zero))
+        print(f"[prewarm] stream chunk step (report={report}): "
+              f"{time.time()-t0:.1f}s", flush=True)
+
     x = jnp.asarray(generate_flags(8 * GROUP_WORDS, seed=0))
     t0 = time.time()
     jax.block_until_ready(pospopcnt_u16_pallas(x))

@@ -26,6 +26,9 @@ def main() -> int:
                     help="cap for the slow per-word loop oracle cross-check")
     ap.add_argument("--tpu", action="store_true",
                     help="exercise the pallas impls (default: CPU impls only)")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="RNG seed (default: time-derived; always printed "
+                         "so a MISMATCH can be reproduced)")
     args = ap.parse_args()
 
     import numpy as np
@@ -46,7 +49,10 @@ def main() -> int:
     if args.tpu and jax.default_backend() == "tpu":
         impls += ["pallas", "pallas_report", "pallas_words", "pallas_pre"]
 
-    rng = np.random.default_rng(int(time.time()))
+    seed = args.seed if args.seed is not None else int(time.time())
+    print(f"[stress] seed={seed} (rerun with --seed {seed} to reproduce)",
+          flush=True)
+    rng = np.random.default_rng(seed)
     tested = list(F.TESTED_COUNTERS)
     report_idx = list(F.REPORT_COUNTERS)
     t0 = time.time()
@@ -61,10 +67,9 @@ def main() -> int:
         for impl in impls:
             got = np.asarray(flagstats_u16(x, impl=impl), dtype=np.int64)
             idx = report_idx if impl == "pallas_report" else list(range(32))
-            if impl == "pallas_words":
-                idx = list(range(32))
             if not (got[idx] == ref[idx]).all():
-                print(f"MISMATCH round={r} impl={impl} n={n} hi={hi:#x}")
+                print(f"MISMATCH round={r} impl={impl} n={n} hi={hi:#x} "
+                      f"seed={seed}")
                 print("ref:", ref)
                 print("got:", got)
                 return 1
