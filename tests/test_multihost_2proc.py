@@ -34,7 +34,16 @@ c1 = multihost.flagstat_multihost_file(sys.argv[3], codec="lz4", impl="xla")
 local = generate_flags(250_000, seed=100 + pid, full_range=True)
 c2 = multihost.flagstat_multihost(local, impl="xla")
 
-np.savez(sys.argv[4], c1=c1.astype(np.int64), c2=c2.astype(np.int64))
+# leg 3: UNEVEN shards + pad_to_words with total_words=None — the
+# derived pass-total must come from the TRUE pre-pad sizes (round-2
+# review fix: it was computed after padding, inflating counter 9 by
+# the pad words)
+n3 = 120_000 if pid == 0 else 77_777
+local3 = generate_flags(n3, seed=200 + pid, full_range=True)
+c3 = multihost.flagstat_multihost(local3, impl="xla", pad_to_words=120_000)
+
+np.savez(sys.argv[4], c1=c1.astype(np.int64), c2=c2.astype(np.int64),
+         c3=c3.astype(np.int64))
 '''
 
 
@@ -76,7 +85,13 @@ def test_two_process_multihost(tmp_path):
         generate_flags(250_000, seed=101, full_range=True),
     ])
     ref2 = flagstat_numpy(both).astype(np.int64)
+    uneven = np.concatenate([
+        generate_flags(120_000, seed=200, full_range=True),
+        generate_flags(77_777, seed=201, full_range=True),
+    ])
+    ref3 = flagstat_numpy(uneven).astype(np.int64)
     for i in range(2):
         with np.load(tmp_path / f"out{i}.npz") as z:
             np.testing.assert_array_equal(z["c1"], ref1)
             np.testing.assert_array_equal(z["c2"], ref2)
+            np.testing.assert_array_equal(z["c3"], ref3)
