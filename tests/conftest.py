@@ -57,6 +57,16 @@ def make_flags():
     return _make
 
 
+def pospopcnt_ref(x) -> np.ndarray:
+    """Shared positional-popcount reference (was copy-pasted in six test
+    files — one definition so a width/dtype fix lands everywhere)."""
+    x32 = np.asarray(x).astype(np.uint32)
+    return np.array(
+        [int(np.count_nonzero((x32 >> k) & 1)) for k in range(16)],
+        dtype=np.int64,
+    )
+
+
 def assert_counters_equal(expected, actual, counters=None, msg=""):
     expected = np.asarray(expected).astype(np.int64)
     actual = np.asarray(actual).astype(np.int64)

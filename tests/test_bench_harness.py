@@ -11,6 +11,8 @@ import pytest
 from libflagstats_tpu.bench import harness, refcache
 from libflagstats_tpu.bench.harness import FitResult
 
+from conftest import pospopcnt_ref
+
 
 def _fit(slope_s: float, residual: float = 0.01,
          dispersion: float = 0.05) -> FitResult:
@@ -104,9 +106,7 @@ def test_refcache_ignores_wrong_shape_file(tmp_path):
     np.save(files[0], np.zeros(3, dtype=np.int64))
     again = refcache.pospopcnt_counters(x, len(x), cache_dir=str(tmp_path))
     assert (again == first).all()
-    expected = [int(np.count_nonzero((x.astype(np.uint32) >> k) & 1))
-                for k in range(16)]
-    assert list(first) == expected
+    assert list(first) == list(pospopcnt_ref(x))
 
 
 def test_refcache_key_depends_on_semantics_source(tmp_path, monkeypatch):

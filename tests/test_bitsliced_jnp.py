@@ -12,7 +12,7 @@ from libflagstats_tpu.ops.pallas_kernels import (
     pospopcnt_bitsliced_jnp,
 )
 
-from conftest import assert_counters_equal
+from conftest import assert_counters_equal, pospopcnt_ref
 
 
 @pytest.fixture(scope="module")
@@ -45,9 +45,7 @@ def test_pospopcnt_bitsliced(jitted):
     _, fn = jitted
     n = 8 * GROUP_WORDS
     x = generate_flags(n, seed=3, full_range=True)
-    ref = np.array(
-        [np.count_nonzero((x.astype(np.uint32) >> k) & 1) for k in range(16)]
-    )
+    ref = pospopcnt_ref(x)
     got = np.asarray(fn(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
 

@@ -7,7 +7,7 @@ import numpy as np
 from libflagstats_tpu.ops import dispatch as D
 from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
 
-from conftest import assert_counters_equal
+from conftest import assert_counters_equal, pospopcnt_ref
 
 
 def test_cpu_tier_choices(monkeypatch):
@@ -52,10 +52,8 @@ def test_auto_dispatch_correct_across_tiers():
         got = D.flagstats_u16(x)
         assert_counters_equal(flagstat_numpy(x), got)
         pp = D.pospopcnt_u16(x)
-        ref = np.array(
-            [np.count_nonzero((x.astype(np.uint32) >> k) & 1)
-             for k in range(16)], dtype=np.uint64)
-        np.testing.assert_array_equal(pp, ref)
+        np.testing.assert_array_equal(pp.astype(np.int64),
+                                      pospopcnt_ref(x))
 
 
 def test_xla_impl_shares_executable_across_true_lengths():

@@ -240,10 +240,8 @@ def test_empty_block_roundtrip():
 
 
 def test_corrupt_negative_frame_header(tmp_path):
-    import struct as _s
-
     bad = tmp_path / "bad.bin"
-    bad.write_bytes(_s.pack("<ii", -5, -9) + b"xxxx")
+    bad.write_bytes(struct.pack("<ii", -5, -9) + b"xxxx")
     with pytest.raises((ValueError, RuntimeError)):
         C.read_framed(bad, "raw")
     with pytest.raises(ValueError):
@@ -256,10 +254,8 @@ def test_corrupt_odd_raw_len_rejected(tmp_path):
     """A crafted odd raw_len must be rejected before the native decoder
     writes raw_total bytes into a raw_total//2-word (raw_total-1-byte)
     buffer (advisor finding, round 1)."""
-    import struct as _s
-
     bad = tmp_path / "odd.bin"
-    bad.write_bytes(_s.pack("<ii", 5, 5) + b"abcde")
+    bad.write_bytes(struct.pack("<ii", 5, 5) + b"abcde")
     with pytest.raises(ValueError, match="odd raw length"):
         C.read_framed(bad, "raw")
     with pytest.raises(ValueError, match="odd raw length"):
@@ -291,12 +287,12 @@ def test_lz4_python_truncated_sequence_is_valueerror():
     """Truncation inside a match header must surface as the corrupt-
     stream ValueError contract, not IndexError (round-2 review)."""
     good = C._lz4_compress_py(b"abcdabcdabcdabcd")
-    # literals-only block: make the token promise a match afterwards
+    # every strict prefix MUST raise (short output fails the final
+    # length check even when the prefix parses) — a bare try/except
+    # would also pass on silent success, hiding removal of that check
     for cut in range(1, len(good)):
-        try:
+        with pytest.raises(ValueError):
             C._lz4_decompress_py(good[:cut], 16)
-        except ValueError:
-            pass  # the only acceptable failure type
     # crafted: token with literal run then truncated offset byte
     with pytest.raises(ValueError):
         C._lz4_decompress_py(bytes([0x12, 0x41, 0x05]), 32)

@@ -54,30 +54,49 @@ def test_two_process_multihost(tmp_path):
     path = tmp_path / "mh.lz4"
     C.write_framed(path, x, codec="lz4", level=1)
 
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    coord = f"localhost:{port}"
-
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     env = dict(os.environ)
     # append (never overwrite: the axon sitecustomize path must survive)
     env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), coord, str(i), str(path),
-             str(tmp_path / f"out{i}.npz")],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-            env=env,
-        )
-        for i in range(2)
-    ]
-    errs = []
-    for p in procs:
-        out, err = p.communicate(timeout=540)
-        errs.append(err)
-    assert all(p.returncode == 0 for p in procs), "\n---\n".join(errs)
+
+    import concurrent.futures as cf
+
+    def launch(attempt: int):
+        # bind-then-close port pick is a TOCTOU race on a shared box —
+        # retried with a fresh port by the caller on failure
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        coord = f"localhost:{port}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), coord, str(i), str(path),
+                 str(tmp_path / f"out{i}.npz")],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+        try:
+            # drain both pipes CONCURRENTLY: a sequential communicate on
+            # p0 while p1 fills its 64KiB stderr pipe (JAX distributed
+            # logging) can deadlock all three processes
+            with cf.ThreadPoolExecutor(2) as pool:
+                futs = [pool.submit(lambda p=p: p.communicate(timeout=300))
+                        for p in procs]
+                results = [f.result(timeout=330) for f in futs]
+        finally:
+            for p in procs:  # never orphan a hung worker holding the port
+                if p.poll() is None:
+                    p.kill()
+        errs = [r[1] for r in results]
+        return all(p.returncode == 0 for p in procs), errs
+
+    ok, errs = launch(0)
+    if not ok:  # e.g. the coordinator port got claimed in the race window
+        ok, errs = launch(1)
+    assert ok, "\n---\n".join(errs)
 
     ref1 = flagstat_numpy(x).astype(np.int64)
     both = np.concatenate([

@@ -52,8 +52,10 @@ def test_accumulation_across_blocks():
 
 
 def test_every_single_word():
-    """Exhaustive: every possible 12-bit FLAG word, one at a time."""
-    for val in range(0, 4096, 17):
+    """Exhaustive: every possible 12-bit FLAG word, one at a time
+    (genuinely all 4096 — a stride would silently skip the exact bit
+    combination a transform bug hides in)."""
+    for val in range(4096):
         x = np.array([val], dtype=np.uint16)
         assert_counters_equal(
             flagstat_loop(x), flagstat_numpy(x), counters=F.TESTED_COUNTERS,
@@ -65,7 +67,7 @@ def test_transform_truth_table():
     """The word transform against first-principles samtools semantics."""
     x = np.arange(4096, dtype=np.uint16)
     t = transform_words(x)
-    for val in range(0, 4096, 13):
+    for val in range(4096):
         sec = bool(val & F.FSECONDARY)
         sup = bool(val & F.FSUPPLEMENTARY)
         paired = bool(val & F.FPAIRED)

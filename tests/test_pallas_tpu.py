@@ -25,7 +25,7 @@ from libflagstats_tpu.ops.pallas_kernels import (  # noqa: E402
     pospopcnt_u16_pallas,
 )
 
-from conftest import assert_counters_equal  # noqa: E402
+from conftest import assert_counters_equal  # noqa: E402, pospopcnt_ref
 
 
 @pytest.mark.parametrize("steps,extra", [(1, 0), (2, -12345), (3, 0), (4, -1)])
@@ -53,9 +53,7 @@ def test_flagstat_pallas_nblk16_tpu(steps):
 def test_pospopcnt_pallas_tpu():
     n = 8 * GROUP_WORDS
     x = generate_flags(n, seed=3, full_range=True)
-    ref = np.array(
-        [np.count_nonzero((x.astype(np.uint32) >> k) & 1) for k in range(16)]
-    )
+    ref = pospopcnt_ref(x)
     got = np.asarray(pospopcnt_u16_pallas(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
 

@@ -10,13 +10,21 @@ from libflagstats_tpu.ops.setalgebra import (
 )
 
 
+def _total_bits(x) -> int:
+    """Shared reference popcount: np.bitwise_count when available
+    (NumPy >= 2), pure-Python fallback otherwise — one definition so no
+    test errors with AttributeError on the environments the fallback
+    exists for."""
+    if hasattr(np, "bitwise_count"):
+        return int(np.bitwise_count(x).sum())
+    return sum(bin(int(v)).count("1") for v in x)
+
+
 @pytest.mark.parametrize("n", [0, 4, 1000, 65536])
 def test_popcnt(n):
     rng = np.random.default_rng(n)
     a = rng.integers(0, 2**64, size=n, dtype=np.uint64)
-    expected = int(np.bitwise_count(a).sum()) if hasattr(np, "bitwise_count") else \
-        sum(bin(int(v)).count("1") for v in a)
-    assert popcnt(a) == expected
+    assert popcnt(a) == _total_bits(a)
 
 
 def test_set_ops():
@@ -24,12 +32,9 @@ def test_set_ops():
     a = rng.integers(0, 2**32, size=4096, dtype=np.uint32)
     b = rng.integers(0, 2**32, size=4096, dtype=np.uint32)
 
-    def pc(x):
-        return sum(bin(int(v)).count("1") for v in x)
-
-    assert intersect_count(a, b) == pc(a & b)
-    assert union_count(a, b) == pc(a | b)
-    assert diff_count(a, b) == pc(a & ~b)
+    assert intersect_count(a, b) == _total_bits(a & b)
+    assert union_count(a, b) == _total_bits(a | b)
+    assert diff_count(a, b) == _total_bits(a & ~b)
 
 
 def test_dtype_flexibility():
@@ -55,7 +60,7 @@ def test_chunked_reduction_matches_unchunked(monkeypatch):
     rng = np.random.default_rng(5)
     a = rng.integers(0, 1 << 32, size=3777, dtype=np.uint64).astype(np.uint32)
     b = rng.integers(0, 1 << 32, size=3777, dtype=np.uint64).astype(np.uint32)
-    assert S.popcnt(a) == int(np.bitwise_count(a).sum())
-    assert S.intersect_count(a, b) == int(np.bitwise_count(a & b).sum())
-    assert S.union_count(a, b) == int(np.bitwise_count(a | b).sum())
-    assert S.diff_count(a, b) == int(np.bitwise_count(a & ~b).sum())
+    assert S.popcnt(a) == _total_bits(a)
+    assert S.intersect_count(a, b) == _total_bits(a & b)
+    assert S.union_count(a, b) == _total_bits(a | b)
+    assert S.diff_count(a, b) == _total_bits(a & ~b)

@@ -13,7 +13,7 @@ from libflagstats_tpu.ops.xla_ops import (
     transform_words_jnp,
 )
 
-from conftest import assert_counters_equal
+from conftest import assert_counters_equal, pospopcnt_ref
 
 
 @pytest.mark.parametrize("n", [1, 64, 1000, 65536, 100001])
@@ -32,9 +32,7 @@ def test_transform_words_jnp_matches_numpy(full_range):
 
 def test_pospopcnt_xla():
     x = generate_flags(100_000, seed=4, full_range=True)
-    ref = np.array(
-        [np.count_nonzero((x.astype(np.uint32) >> k) & 1) for k in range(16)]
-    )
+    ref = pospopcnt_ref(x)
     got = np.asarray(jax.jit(pospopcnt_u16_xla)(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
 
@@ -45,9 +43,7 @@ def test_pospopcnt_matmul(n):
     bit-exact vs the host count at sizes below / straddling / above the
     chunk boundary."""
     x = generate_flags(n, seed=n % 97, full_range=True)
-    ref = np.array(
-        [np.count_nonzero((x.astype(np.uint32) >> k) & 1) for k in range(16)]
-    )
+    ref = pospopcnt_ref(x)
     got = np.asarray(jax.jit(pospopcnt_u16_matmul)(jnp.asarray(x)))
     np.testing.assert_array_equal(got, ref)
 
