@@ -5,9 +5,12 @@ kernels, re-designed from the reference's AVX-512 Harley-Seal machinery
 (reference: libflagstats.h:1646-1846 and libalgebra.h:2289-2319):
 
 1. **Bit transpose.** Groups of 32 packed ``int32`` values (64 uint16 FLAG
-   words) are bit-transposed with the classic 5-stage masked-swap network,
-   yielding 32 "plane rows": row ``31-j`` holds bit ``j`` of the 32 even
-   words, row ``15-j`` bit ``j`` of the odd words. On TPU each "register"
+   words) are bit-transposed with the classic masked-swap network (4
+   stages here; the j=16 stage is elided — see TRANSPOSE_STAGES),
+   yielding 32 "plane rows": row ``15-j`` holds bit ``j`` of the group's
+   FIRST 32 words, row ``31-j`` bit ``j`` of the other 32 (verified by
+   single-bit probes; each row is a pure 32-word plane and counting is
+   word-order-free, so only the spec here cares). On TPU each "register"
    is a full (8,128) vreg tile, so one network invocation transposes
    8*128 = 1024 independent 32x32 bit blocks — this replaces the
    pshufb/movmskb tricks of the reference with pure VPU bitwise ops.
@@ -50,17 +53,18 @@ TRANSPOSE_STAGES: tuple[tuple[int, int], ...] = (
 
 # With the 4-stage network, bit j of the block's first 32 words lands in
 # row 15 - j and of the other 32 words in row 31 - j (each row is a pure
-# 32-word plane; every (word, bit) appears exactly once).
-def even_row(j: int) -> int:
+# 32-word plane; every (word, bit) appears exactly once). The names say
+# exactly that — an earlier even/odd-interleave framing was wrong.
+def first_half_row(j: int) -> int:
     return 15 - j
 
-def odd_row(j: int) -> int:
+def second_half_row(j: int) -> int:
     return 31 - j
 
 # Planes consumed by the flagstat transform (input bits 12-15 ignored).
 NEEDED_PLANES = tuple(range(12))
 NEEDED_ROWS = frozenset(
-    {even_row(j) for j in NEEDED_PLANES} | {odd_row(j) for j in NEEDED_PLANES}
+    {first_half_row(j) for j in NEEDED_PLANES} | {second_half_row(j) for j in NEEDED_PLANES}
 )
 
 # Stream layout: 15 C-streams then 14 F-streams (k != 9), padded to 32 rows
@@ -83,8 +87,8 @@ N_REPORT_STREAMS = len(REPORT_C_STREAMS) + len(REPORT_F_STREAMS)  # 21
 # and MUNMAP still feed bits 12-14)
 REPORT_NEEDED_PLANES = tuple(j for j in NEEDED_PLANES if j not in (4, 5))
 REPORT_NEEDED_ROWS = frozenset(
-    {even_row(j) for j in REPORT_NEEDED_PLANES}
-    | {odd_row(j) for j in REPORT_NEEDED_PLANES}
+    {first_half_row(j) for j in REPORT_NEEDED_PLANES}
+    | {second_half_row(j) for j in REPORT_NEEDED_PLANES}
 )
 
 
@@ -182,7 +186,7 @@ def flagstat_bitsliced_np(array: np.ndarray) -> np.ndarray:
     counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
     csum = np.zeros(N_PLANES, dtype=np.uint64)
     fsum = np.zeros(N_PLANES, dtype=np.uint64)
-    for row_of in (even_row, odd_row):
+    for row_of in (first_half_row, second_half_row):
         p = [rows[row_of(j)] for j in range(12)]
         t = transform_planes(p)
         q = t[F.FQCFAIL_OFF]

@@ -86,22 +86,22 @@ def _stream_inputs_flagstat(rows: list[jax.Array], report: bool = False) -> list
     c_streams = B.REPORT_C_STREAMS if report else B.C_STREAMS
     f_streams = B.REPORT_F_STREAMS if report else B.F_STREAMS
     streams = []
-    for row_of in (B.even_row, B.odd_row):
+    for row_of in (B.first_half_row, B.second_half_row):
         p = [None if (report and j in (4, 5)) else rows[row_of(j)]
              for j in range(12)]
         t = B.transform_planes(p, report=report)
         q = t[F.FQCFAIL_OFF]
         half = [t[k] for k in c_streams] + [t[k] & q for k in f_streams]
         streams.append(half)
-    # pair up even/odd per stream: list of (even, odd) tuples
+    # pair the two word-half planes per stream: list of (h1, h2) tuples
     return list(zip(streams[0], streams[1]))
 
 
 def _stream_inputs_pospopcnt(rows: list[jax.Array]) -> list[jax.Array]:
     """Transposed rows -> 16 raw positional bit streams."""
-    even = [rows[B.even_row(j)] for j in range(16)]
-    odd = [rows[B.odd_row(j)] for j in range(16)]
-    return list(zip(even, odd))
+    h1 = [rows[B.first_half_row(j)] for j in range(16)]
+    h2 = [rows[B.second_half_row(j)] for j in range(16)]
+    return list(zip(h1, h2))
 
 
 def _make_kernel(nblk: int, mode: str, pre: bool = False):

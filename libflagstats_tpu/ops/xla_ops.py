@@ -16,32 +16,18 @@ from .. import flags as F
 
 
 def transform_words_jnp(x: jax.Array) -> jax.Array:
-    """Word-space mask-select transform (uint32 in/out).
+    """Word-space mask-select transform (uint32 in/out), traceable.
 
-    Same semantics as oracle.transform_words (reference: the LOAD macro
-    chain O1/O2/O3 + L1/L2/L3, libflagstats.h:281-290).
+    Thin delegation: the load-bearing mask-select logic exists ONCE, in
+    oracle.transform_words — its numpy scalar constants and operators
+    trace cleanly on jax arrays (differentially verified), so keeping a
+    near-identical jnp copy here only invited silent divergence.
+    (Reference: the LOAD macro chain O1/O2/O3 + L1/L2/L3,
+    libflagstats.h:281-290.)
     """
-    x = x.astype(jnp.uint32) & jnp.uint32(F.INPUT_MASK)
-    one = jnp.uint32(1)
-    pair = x & one
-    sec = (x >> 8) & one
-    sup = (x >> 11) & one
-    unmap = (x >> 2) & one
-    munmap = (x >> 3) & one
-    proper = (x >> 1) & one
+    from ..oracle import transform_words
 
-    inpair = pair & (sec ^ one) & (sup ^ one)
-    supc = sup & (sec ^ one)
-    im = inpair & (unmap ^ one)
-    b12 = im & proper
-    b13 = im & munmap
-    b14 = im ^ b13
-
-    pair_mask = inpair * jnp.uint32(0xFFFF)
-    t = (x & jnp.uint32(F.KEEP_ALWAYS)) | (x & jnp.uint32(F.PAIR_BRANCH_MASK) & pair_mask)
-    t = t | (supc << F.FSUPPLEMENTARY_OFF)
-    t = t | (b12 << F.BIT12_OFF) | (b13 << F.BIT13_OFF) | (b14 << F.BIT14_OFF)
-    return t
+    return transform_words(x)
 
 
 def pospopcnt_u16_xla(x: jax.Array, n_bits: int = F.N_BITS) -> jax.Array:

@@ -49,7 +49,7 @@ def derive_transpose_stages():
             ]
             assert len(hits) == 1, (w, b, hits)
             row = hits[0][0]
-            assert row in (B.even_row(b), B.odd_row(b)), (w, b, row)
+            assert row in (B.first_half_row(b), B.second_half_row(b)), (w, b, row)
     return stages
 
 
