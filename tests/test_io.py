@@ -338,3 +338,51 @@ def test_generate_binary_matches_generate_flags(tmp_path):
     written = samio.generate_binary(5000, p, seed=42, full_range=True)
     assert (written == generate_flags(5000, seed=42, full_range=True)).all()
     assert (samio.read_binary(p) == written).all()
+
+
+def test_frame_parsers_agree_on_corrupted_streams(tmp_path):
+    """Differential fuzz: iter_framed (streaming) and scan_frames
+    (indexing) must accept/reject IDENTICAL inputs — a divergence means
+    multi-host block assignment (scan) could disagree with single-host
+    decode (iter) about the same file."""
+    rng = np.random.default_rng(77)
+    x = generate_flags(40_000, seed=7)
+    base_path = tmp_path / "base.lz4"
+    C.write_framed(base_path, x, codec="lz4", level=1, block_bytes=9_000)
+    base = bytearray(base_path.read_bytes())
+
+    def verdicts(data: bytes):
+        p = tmp_path / "fuzz.bin"
+        p.write_bytes(data)
+        try:
+            blocks = [(r, len(pl)) for r, pl in C.iter_framed(p)]
+            it = ("ok", blocks)
+        except ValueError:
+            it = ("reject", None)
+        try:
+            frames = [(r, c) for _, r, c in C.scan_frames(p)]
+            sc = ("ok", frames)
+        except ValueError:
+            sc = ("reject", None)
+        return it, sc
+
+    cases = [bytes(base)]
+    for _ in range(120):
+        kind = rng.integers(0, 3)
+        b = bytearray(base)
+        if kind == 0:    # truncate anywhere (mid-header, mid-payload)
+            b = b[: int(rng.integers(0, len(b)))]
+        elif kind == 1:  # flip bytes, biased toward headers
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(0, min(len(b), 64)))
+                b[pos] ^= int(rng.integers(1, 256))
+        else:            # append garbage (1..12 bytes)
+            b += bytes(rng.integers(0, 256, size=int(rng.integers(1, 13)),
+                                    dtype=np.uint8))
+        cases.append(bytes(b))
+
+    for i, data in enumerate(cases):
+        it, sc = verdicts(data)
+        assert it[0] == sc[0], (i, it[0], sc[0])
+        if it[0] == "ok":   # and on acceptance, identical frame layout
+            assert it[1] == sc[1], i
