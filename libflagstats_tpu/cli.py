@@ -21,7 +21,7 @@ from . import flags as F
 from .io import codec as C
 from .io import samio
 from .oracle import flagstat_loop, flagstat_numpy
-from .ops.dispatch import flagstats_u16, get_function
+from .ops.dispatch import FLAGSTAT_IMPLS, flagstats_u16, get_function
 from .report import counters_to_report
 
 
@@ -157,6 +157,10 @@ def _cmd_inmemory(args):
     ref = flagstat_numpy(x)
     rows = []
     impls = ["numpy", "xla"]
+    from .ops import native_host
+
+    if native_host.available():
+        impls.insert(1, "native")
     import jax
 
     if jax.default_backend() == "tpu":
@@ -285,7 +289,7 @@ def main(argv=None) -> int:
                         "R/D/S: raw binary [+flagstat|+samtools]")
     d.add_argument("--codec", choices=["raw", "lz4", "zstd"], default="lz4")
     d.add_argument("--threads", type=int, default=0)
-    d.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report", "pallas_pre"], default=None)
+    d.add_argument("--impl", choices=sorted(FLAGSTAT_IMPLS), default=None)
     d.add_argument("--loop", action="store_true",
                    help="use the literal per-word loop for -s/-S")
     d.add_argument("--stream", action="store_true",
@@ -300,7 +304,7 @@ def main(argv=None) -> int:
 
     f = sub.add_parser("flagstat", help="samtools-style report of a binary column")
     f.add_argument("input")
-    f.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report", "pallas_pre"], default=None)
+    f.add_argument("--impl", choices=sorted(FLAGSTAT_IMPLS), default=None)
     f.set_defaults(fn=_cmd_flagstat)
 
     m = sub.add_parser("inmemory", help="correctness+speed harness")
@@ -315,7 +319,7 @@ def main(argv=None) -> int:
                    help="LZ4-fast acceleration values (reference a2-10)")
     s.add_argument("--zstd-levels", type=int, nargs="*", default=[1, 3, 19])
     s.add_argument("--threads", type=int, default=0)
-    s.add_argument("--impl", choices=["numpy", "xla", "pallas", "pallas_words", "pallas_report", "pallas_pre"], default=None)
+    s.add_argument("--impl", choices=sorted(FLAGSTAT_IMPLS), default=None)
     s.set_defaults(fn=_cmd_codec_sweep)
 
     b = sub.add_parser(

@@ -14,7 +14,10 @@ import subprocess
 import tempfile
 from pathlib import Path
 
-_SRC = Path(__file__).parent / "native" / "flagstats_io.cpp"
+_SRCS = [
+    Path(__file__).parent / "native" / "flagstats_io.cpp",
+    Path(__file__).parent / "native" / "flagstats_host.cpp",
+]
 _BUILD_DIR = Path(__file__).resolve().parent.parent.parent / "build"
 # -march=native binaries are host-specific: on a shared checkout
 # (multi-host shard ranks) a lib built by an AVX-512 host must not be
@@ -31,7 +34,8 @@ _load_error: Exception | None = None
 
 def _build() -> Path:
     _BUILD_DIR.mkdir(exist_ok=True)
-    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= _SRC.stat().st_mtime:
+    src_mtime = max(s.stat().st_mtime for s in _SRCS)
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src_mtime:
         return _LIB_PATH
     # compile to a private temp name and publish atomically: a second
     # process's mtime check must never see (and dlopen) a half-written
@@ -42,7 +46,7 @@ def _build() -> Path:
     try:
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            str(_SRC), "-o", tmp, "-lzstd", "-pthread",
+            *(str(s) for s in _SRCS), "-o", tmp, "-lzstd", "-pthread",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, _LIB_PATH)
@@ -95,5 +99,9 @@ def load():
     lib.lfs_decode_stream.argtypes = [u8p, i64, ctypes.c_void_p, i64, i32, i32]
     lib.lfs_bit_transpose.restype = i64
     lib.lfs_bit_transpose.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
+    lib.lfs_flagstat_u16.restype = i64
+    lib.lfs_flagstat_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
+    lib.lfs_pospopcnt_u16.restype = i64
+    lib.lfs_pospopcnt_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
     _lib = lib
     return _lib

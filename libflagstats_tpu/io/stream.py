@@ -46,6 +46,75 @@ def _jit_assemble():
     return jax.jit(assemble_counters)
 
 
+def _decoded_blocks(path, codec, n_threads, start_block, timer):
+    """Decode framed blocks on a thread pool with a bounded decode-ahead
+    window (up to 4*n_threads blocks in flight, so memory stays
+    O(window), not O(file)); yields uint16 views in stream order."""
+    from collections import deque
+
+    window = 4 * n_threads
+    frames = C.iter_framed(path)
+    for _ in range(start_block):
+        next(frames, None)
+    with cf.ThreadPoolExecutor(n_threads) as pool:
+        futs: deque = deque()
+        for raw_len, payload in frames:
+            futs.append(pool.submit(C.decompress_block, payload, raw_len, codec))
+            if len(futs) >= window:
+                with timer.section("decode_wait"):
+                    buf = futs.popleft().result()
+                yield np.frombuffer(buf, dtype=np.uint16)
+        while futs:
+            with timer.section("decode_wait"):
+                buf = futs.popleft().result()
+            yield np.frombuffer(buf, dtype=np.uint16)
+
+
+def _flagstat_stream_native(path, codec, threads, checkpoint, timer):
+    """Host-native streaming tier: decode-ahead pool + the AVX2 kernel
+    accumulating straight into one uint64[32] vector — the exact shape
+    of the reference's per-block accumulate loop
+    (benchmark/flagstats.cpp:311-332), with the decode parallelized.
+
+    No int32 staging exists here, so the 2^31-word single-accumulation
+    cap of the device paths does not apply."""
+    from ..config import CONFIG
+    from ..ops import native_host
+
+    n_threads = threads or CONFIG.decode_threads or 8
+    if timer is None:
+        from ..bench.profiling import SectionTimer
+
+        timer = SectionTimer()
+
+    counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
+    n_words = 0
+    block_index = 0
+    if checkpoint is not None and checkpoint.block_index > 0:
+        if checkpoint.kind != "counters":
+            raise ValueError(
+                "checkpoint was written by a device-path run (partial "
+                "stream sums); it cannot resume the native host path")
+        counters[:16] = checkpoint.total
+        counters[16:] = checkpoint.fail
+        n_words = checkpoint.n_words
+        block_index = checkpoint.block_index
+
+    for block in _decoded_blocks(path, codec, n_threads, block_index, timer):
+        n_words += block.size
+        # threads=1: one framed block (<= 512Ki words) is a single slab
+        # for the kernel anyway, and the decode pool owns the cores
+        with timer.section("count"):
+            native_host.flagstat_native(block, out=counters, threads=1)
+        block_index += 1
+        if checkpoint is not None:
+            with timer.section("checkpoint"):
+                checkpoint.maybe_save(block_index, counters[:16],
+                                      counters[16:], n_words,
+                                      kind="counters")
+    return counters
+
+
 def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
                     chunk_words: int | None = None, threads: int = 0,
                     checkpoint=None, report: bool = False,
@@ -62,11 +131,27 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     ``timer``: optional bench.profiling.SectionTimer; accumulates
     decode / chunk-assembly / device-dispatch wall time so pipeline
     balance is observable (the reference is ~80% ingest-bound,
-    README.md:27-29)."""
+    README.md:27-29).
+
+    ``impl="native"`` counts on the host with the AVX2 kernel instead
+    of shipping chunks to a device — the default off-TPU when the
+    native lib is present (decode threads + a 2.3 Gwords/s counter
+    beat the CPU-XLA tier ~40x end-to-end). A checkpoint written by
+    the native path is marked and cannot resume a device-path run
+    (they persist different partial-sum conventions)."""
     from ..config import CONFIG
+    from ..ops import native_host
 
     if impl is None:
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() == "tpu":
+            impl = "pallas"
+        elif native_host.available():
+            impl = "native"
+        else:
+            impl = "xla"
+    if impl == "native":
+        return _flagstat_stream_native(path, codec, threads, checkpoint,
+                                       timer)
     if chunk_words is None:
         chunk_words = (CONFIG.nblk * PK.GROUP_WORDS if impl == "pallas"
                        else 1 << 20)
@@ -78,6 +163,10 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     n_words = 0
     start_block = 0
     if checkpoint is not None and checkpoint.block_index > 0:
+        if checkpoint.kind != "sums":
+            raise ValueError(
+                "checkpoint was written by the native host path (final "
+                "counters); it cannot resume a device-path run")
         total = jnp.asarray(checkpoint.total)
         fail = jnp.asarray(checkpoint.fail)
         n_words = checkpoint.n_words
@@ -89,27 +178,8 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
 
         timer = SectionTimer()
 
-    def blocks():
-        # bounded decode-ahead window: up to 4*n_threads blocks in flight
-        # so memory stays O(window), not O(file)
-        from collections import deque
-
-        window = 4 * n_threads
-        frames = C.iter_framed(path)
-        for _ in range(start_block):
-            next(frames, None)
-        with cf.ThreadPoolExecutor(n_threads) as pool:
-            futs: deque = deque()
-            for raw_len, payload in frames:
-                futs.append(pool.submit(C.decompress_block, payload, raw_len, codec))
-                if len(futs) >= window:
-                    with timer.section("decode_wait"):
-                        buf = futs.popleft().result()
-                    yield np.frombuffer(buf, dtype=np.uint16)
-            while futs:
-                with timer.section("decode_wait"):
-                    buf = futs.popleft().result()
-                yield np.frombuffer(buf, dtype=np.uint16)
+    blocks = functools.partial(_decoded_blocks, path, codec, n_threads,
+                               start_block, timer)
 
     # Chunk assembly uses one preallocated staging buffer instead of
     # re-concatenating an O(stream) pending array per block (round-1
@@ -176,6 +246,7 @@ class StreamCheckpoint:
         self.every_blocks = every_blocks
         self.block_index = 0
         self.n_words = 0
+        self.kind = "sums"   # "sums" (device paths) | "counters" (native)
         self.total = np.zeros(F.N_BITS, np.int32)
         self.fail = np.zeros(F.N_BITS, np.int32)
         self._load()
@@ -187,6 +258,9 @@ class StreamCheckpoint:
                 self.n_words = int(z["n_words"])
                 self.total = z["total"]
                 self.fail = z["fail"]
+                # pre-round-2 checkpoints carry no kind field: those are
+                # always device-path stream sums
+                self.kind = str(z["kind"]) if "kind" in z else "sums"
         except (OSError, KeyError, ValueError, EOFError,
                 zipfile.BadZipFile):
             # missing file OR a checkpoint truncated by a crash mid-save
@@ -194,11 +268,13 @@ class StreamCheckpoint:
             # mean "start from zero", never a crash on resume
             pass
 
-    def maybe_save(self, block_index, total, fail, n_words, force=False):
+    def maybe_save(self, block_index, total, fail, n_words, force=False,
+                   kind: str = "sums"):
         if not force and block_index % self.every_blocks:
             return
         self.block_index = block_index
         self.n_words = n_words
+        self.kind = kind
         self.total = np.asarray(total)
         self.fail = np.asarray(fail)
         # write via a file handle (np.savez appends '.npz' to bare PATHS,
@@ -207,5 +283,5 @@ class StreamCheckpoint:
         tmp = self.path + ".tmp"
         with open(tmp, "wb") as fh:
             np.savez(fh, block_index=block_index, n_words=n_words,
-                     total=self.total, fail=self.fail)
+                     total=self.total, fail=self.fail, kind=kind)
         os.replace(tmp, self.path)

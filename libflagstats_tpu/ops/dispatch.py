@@ -20,13 +20,15 @@ import numpy as np
 
 from .. import flags as F
 from ..oracle import flagstat_numpy
-from . import pallas_kernels
+from . import native_host, pallas_kernels
 from .xla_ops import flagstat_xla, pospopcnt_u16_matmul, pospopcnt_u16_xla
 
 #: implementation registry (reference counterpart: the kernel tables in
 #: benchmark/inmemory.cpp:61-104 / instrumented_benchmark.cpp)
 FLAGSTAT_IMPLS = {
     "numpy": "host vectorized mask-select oracle (FLAGSTAT_scalar tier)",
+    "native": "host AVX2 Harley-Seal CSA kernel (C++, the FLAGSTATS_u16 "
+              "tier itself; requires the native lib)",
     "xla": "fused jnp transform + positional reduce (SSE4/AVX2 tier)",
     "pallas": "bit-sliced transpose + Harley-Seal CSA VMEM kernel (AVX512 tier)",
     "pallas_words": "word-space packed-SWAR dual-tree kernel (AVX512-base analogue)",
@@ -37,6 +39,7 @@ FLAGSTAT_IMPLS = {
 }
 POSPOPCNT_IMPLS = {
     "numpy": "host per-bit count",
+    "native": "host AVX2 Harley-Seal CSA kernel (C++)",
     "xla": "fused jnp shift-mask-reduce",
     "xla_matmul": "MXU int8 ones-matmul reduction",
     "pallas": "bit-sliced transpose + Harley-Seal CSA VMEM kernel",
@@ -72,6 +75,19 @@ XLA_MIN_CPU = 1 << 15        # measured numpy -> CPU-XLA crossover
 #     (loses) -> crossover ~128Ki
 POSPOPCNT_DEVICE_MIN_TPU = 1 << 22
 POSPOPCNT_XLA_MIN_CPU = 1 << 17
+# Native host-kernel tiers (io/native/flagstats_host.cpp, AVX2
+# Harley-Seal). Measured on this 4-core host (2026-08-18): flagstat
+# 1.08 Gwords/s 1T / 2.31 Gwords/s 4T; pospopcnt 3.7 / 8.2 Gwords/s —
+# i.e. 64Mi words in 29 ms (flagstat) / 8 ms (pospopcnt) vs the
+# measured ~62-70 ms single-call device WALL through this tunnel
+# (table above), so with the native lib present the host tier wins
+# every sweep-measured size. The thresholds below EXTRAPOLATE the
+# flat device wall beyond 64Mi (native grows linearly, the device wall
+# grows with H2D): re-derive with tools/crossover_sweep.py (it prints a
+# native column + suggested NATIVE_DEVICE_MIN when the lib is present)
+# on a co-located TPU, where the device should win from ~1Mi words.
+NATIVE_DEVICE_MIN_TPU = 1 << 28             # flagstat: ~116 ms native 4T
+POSPOPCNT_NATIVE_DEVICE_MIN_TPU = 1 << 29   # pospopcnt: ~65 ms native 4T
 
 
 def pallas_min() -> int:
@@ -133,7 +149,13 @@ def auto_impl(n_len: int) -> str:
     """The measured-fastest tier for a single call of ``n_len`` words
     (the size-tier selection of FLAGSTATS_u16, libflagstats.h:3047-3069,
     with the crossovers measured above)."""
-    if n_len < device_min():
+    if native_host.available():
+        # the native host tier replaces numpy and pushes the device
+        # crossover up ~256x (NATIVE_DEVICE_MIN_TPU citation above);
+        # on the CPU backend it beats the XLA tier at every size
+        if backend() != "tpu" or n_len < NATIVE_DEVICE_MIN_TPU:
+            return "native"
+    elif n_len < device_min():
         return "numpy"
     if n_len >= pallas_min() and backend() == "tpu":
         return "pallas"
@@ -145,6 +167,9 @@ def pospopcnt_auto_impl(n_len: int) -> str:
     words (the size-tier selection of STORM_pospopcnt_u16,
     libalgebra.h:3519-3543, re-measured for this stack — see the
     POSPOPCNT_* threshold citations above)."""
+    if native_host.available():
+        if backend() != "tpu" or n_len < POSPOPCNT_NATIVE_DEVICE_MIN_TPU:
+            return "native"
     if backend() == "tpu":
         # two tiers, not three: the device crossover (4Mi) sits above
         # any pallas_min, and the pallas path bucket-pads to legality
@@ -162,6 +187,8 @@ def get_function(n_len: int, impl: str | None = None):
 
     if impl == "numpy":
         return lambda arr: flagstat_numpy(arr)
+    if impl == "native":
+        return lambda arr: native_host.flagstat_native(arr)
     if impl == "xla":
         fn = _jit_flagstat_xla()
         return lambda arr: np.asarray(
@@ -269,6 +296,8 @@ def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
             [int(np.count_nonzero((x >> k) & 1)) for k in range(F.N_BITS)],
             dtype=np.uint64,
         )
+    if impl == "native":
+        return native_host.pospopcnt_native(arr)
     if impl == "xla":
         return np.asarray(
             _jit_pospopcnt_xla()(jax.numpy.asarray(_bucket_pad(arr, xla_min())))

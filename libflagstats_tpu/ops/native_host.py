@@ -1,0 +1,62 @@
+"""ctypes wrappers for the native host flagstat/pospopcnt kernels.
+
+The host tier of the size-tiered dispatch (reference: the entire
+libflagstats product is this tier — FLAGSTATS_u16, libflagstats.h:3025).
+The kernels live in io/native/flagstats_host.cpp: AVX2 Harley-Seal CSA
+trees over the mask-select transformed word streams, ~300-1000x the
+NumPy oracle. Falls back cleanly (``available()`` False) when the
+native lib cannot build/load; callers then use the NumPy tier.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from .. import flags as F
+from ..io import native_lib
+
+
+def available() -> bool:
+    return native_lib.load() is not None
+
+
+def flagstat_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray:
+    """Flagstat counters via the native AVX2 kernel -> (32,) uint64.
+
+    Accumulates into ``out`` when given (the reference streaming
+    contract). ``threads``: 0 = hardware concurrency, 1 = single-thread.
+    Raises RuntimeError if the native library is unavailable — use
+    :func:`available` (dispatch does) to pre-check.
+    """
+    lib = native_lib.load()
+    if lib is None:
+        raise RuntimeError("native host library unavailable")
+    arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
+    counters = np.zeros(F.N_COUNTERS, dtype=np.uint64) if out is None else out
+    if counters.dtype != np.uint64 or counters.size != F.N_COUNTERS:
+        raise ValueError("out must be a uint64[32] counter vector")
+    rc = lib.lfs_flagstat_u16(
+        arr.ctypes.data_as(ctypes.c_void_p), arr.size,
+        counters.ctypes.data_as(ctypes.c_void_p), threads)
+    if rc != 0:
+        raise RuntimeError(f"lfs_flagstat_u16 failed (rc={rc})")
+    return counters
+
+
+def pospopcnt_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray:
+    """Positional popcount via the native AVX2 kernel -> (16,) uint64
+    (reference: STORM_pospopcnt_u16, libalgebra.h:3497)."""
+    lib = native_lib.load()
+    if lib is None:
+        raise RuntimeError("native host library unavailable")
+    arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
+    counts = np.zeros(F.N_BITS, dtype=np.uint64) if out is None else out
+    if counts.dtype != np.uint64 or counts.size != F.N_BITS:
+        raise ValueError("out must be a uint64[16] counter vector")
+    rc = lib.lfs_pospopcnt_u16(
+        arr.ctypes.data_as(ctypes.c_void_p), arr.size,
+        counts.ctypes.data_as(ctypes.c_void_p), threads)
+    if rc != 0:
+        raise RuntimeError(f"lfs_pospopcnt_u16 failed (rc={rc})")
+    return counts

@@ -12,6 +12,7 @@ from conftest import assert_counters_equal, pospopcnt_ref
 
 def test_cpu_tier_choices(monkeypatch):
     monkeypatch.setattr(D, "backend", lambda: "cpu")
+    monkeypatch.setattr(D.native_host, "available", lambda: False)
     # measured: numpy wins single-call wall below 32Ki on this host
     assert D.auto_impl(1_000) == "numpy"
     assert D.auto_impl(16_384) == "numpy"
@@ -21,6 +22,7 @@ def test_cpu_tier_choices(monkeypatch):
 
 def test_tpu_tier_choices(monkeypatch):
     monkeypatch.setattr(D, "backend", lambda: "tpu")
+    monkeypatch.setattr(D.native_host, "available", lambda: False)
     # measured (tunnel): one dispatch costs ~60-80 ms RTT, so the host
     # oracle wins wall-clock until ~1Mi words; from the first legal
     # Pallas size the Pallas kernel beats the fused-XLA tier at every
@@ -30,6 +32,23 @@ def test_tpu_tier_choices(monkeypatch):
     assert D.auto_impl(64 << 20) == "pallas"
 
 
+def test_native_tier_choices(monkeypatch):
+    """With the native host kernel present it replaces numpy and pushes
+    the device crossover up (measured 29 ms for 64Mi words vs the
+    ~62-70 ms single-call device wall through the tunnel — citations at
+    NATIVE_DEVICE_MIN_TPU in ops/dispatch.py)."""
+    monkeypatch.setattr(D.native_host, "available", lambda: True)
+    monkeypatch.setattr(D, "backend", lambda: "tpu")
+    assert D.auto_impl(1_000) == "native"
+    assert D.auto_impl(64 << 20) == "native"
+    assert D.auto_impl(1 << 28) == "pallas"
+    assert D.pospopcnt_auto_impl(64 << 20) == "native"
+    assert D.pospopcnt_auto_impl(1 << 29) == "pallas"
+    monkeypatch.setattr(D, "backend", lambda: "cpu")
+    assert D.auto_impl(64 << 20) == "native"
+    assert D.pospopcnt_auto_impl(64 << 20) == "native"
+
+
 def test_pospopcnt_tier_choices(monkeypatch):
     """pospopcnt has its own (higher) device threshold: its host path
     skips the mask-select transform and stays the fastest single-call
@@ -37,6 +56,7 @@ def test_pospopcnt_tier_choices(monkeypatch):
     tools/crossover_sweep.py --pospopcnt: numpy 17.8 ms @1Mi vs ~62 ms
     device wall via tunnel)."""
     monkeypatch.setattr(D, "backend", lambda: "tpu")
+    monkeypatch.setattr(D.native_host, "available", lambda: False)
     assert D.pospopcnt_auto_impl(1 << 20) == "numpy"
     assert D.pospopcnt_auto_impl(1 << 22) == "pallas"
     assert D.pospopcnt_auto_impl(64 << 20) == "pallas"

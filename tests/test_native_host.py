@@ -1,0 +1,107 @@
+"""Native host kernel (io/native/flagstats_host.cpp) — differential
+tests against the oracles.
+
+The host tier of the dispatch (reference: FLAGSTATS_u16 itself,
+libflagstats.h:3025, and STORM_pospopcnt_u16, libalgebra.h:3497). The
+AVX2 Harley-Seal body processes 256 words; sizes around that boundary
+and the 4096-body flush cadence are the edge cases.
+"""
+import numpy as np
+import pytest
+
+from libflagstats_tpu.oracle import flagstat_loop, flagstat_numpy, generate_flags
+from libflagstats_tpu.ops import native_host
+
+from conftest import assert_counters_equal, pospopcnt_ref
+
+pytestmark = pytest.mark.skipif(
+    not native_host.available(), reason="native host library unavailable")
+
+
+@pytest.mark.parametrize("full_range", [False, True])
+@pytest.mark.parametrize("n", [0, 1, 255, 256, 257, 4095, 100_000,
+                               (1 << 20) + 13])
+def test_flagstat_native_matches_oracle(n, full_range):
+    x = generate_flags(n, seed=n + full_range, full_range=full_range)
+    assert_counters_equal(flagstat_numpy(x), native_host.flagstat_native(x))
+
+
+def test_flagstat_native_matches_branchy_loop():
+    """Root-of-trust check: the branchy per-word loop, not the
+    vectorized oracle (which shares the transform formulation). The
+    loop fills only the semantically-defined counters, so compare over
+    the report set (the reference's own harness does the same,
+    benchmark/inmemory.cpp:173-194)."""
+    from libflagstats_tpu import flags as F
+
+    x = generate_flags(3_000, seed=7, full_range=True)
+    ref = flagstat_loop(x, count_paired=True)
+    got = native_host.flagstat_native(x)
+    idx = list(F.REPORT_COUNTERS)
+    assert (got.astype(np.int64)[idx] == ref.astype(np.int64)[idx]).all()
+
+
+def test_flagstat_native_accumulates():
+    a = generate_flags(10_000, seed=1, full_range=True)
+    b = generate_flags(777, seed=2, full_range=True)
+    out = native_host.flagstat_native(a)
+    native_host.flagstat_native(b, out=out)
+    assert_counters_equal(flagstat_numpy(np.concatenate([a, b])), out)
+
+
+def test_flagstat_native_threads_equivalent():
+    """Thread-count must not change counts (order-free integer sums);
+    exercises the multi-slab path (> 2^21-word slabs)."""
+    x = generate_flags((1 << 22) + 999, seed=3, full_range=True)
+    one = native_host.flagstat_native(x, threads=1)
+    four = native_host.flagstat_native(x, threads=4)
+    assert (one == four).all()
+    assert_counters_equal(flagstat_numpy(x), four)
+
+
+def test_pospopcnt_native_matches_reference():
+    for n in (0, 1, 255, 256, 100_000, (1 << 21) + 5):
+        x = generate_flags(n, seed=n, full_range=True)
+        got = native_host.pospopcnt_native(x)
+        np.testing.assert_array_equal(got.astype(np.int64), pospopcnt_ref(x))
+    x = generate_flags(50_000, seed=9, full_range=True)
+    assert (native_host.pospopcnt_native(x, threads=4).astype(np.int64)
+            == pospopcnt_ref(x)).all()
+
+
+def test_native_dispatch_impl():
+    """The 'native' impl string works through the one-call entries and
+    their accumulate contract."""
+    from libflagstats_tpu.ops.dispatch import flagstats_u16, pospopcnt_u16
+
+    x = generate_flags(65_537, seed=11, full_range=True)
+    got = flagstats_u16(x, impl="native")
+    assert_counters_equal(flagstat_numpy(x), got)
+    out = np.zeros(32, np.uint64)
+    flagstats_u16(x, out=out, impl="native")
+    flagstats_u16(x, out=out, impl="native")
+    assert (out == 2 * got.astype(np.uint64)).all()
+    np.testing.assert_array_equal(
+        pospopcnt_u16(x, impl="native").astype(np.int64), pospopcnt_ref(x))
+
+
+def test_native_out_validation():
+    x = generate_flags(10, seed=0)
+    with pytest.raises(ValueError):
+        native_host.flagstat_native(x, out=np.zeros(31, np.uint64))
+    with pytest.raises(ValueError):
+        native_host.flagstat_native(x, out=np.zeros(32, np.int64))
+    with pytest.raises(ValueError):
+        native_host.pospopcnt_native(x, out=np.zeros(16, np.uint32))
+
+
+def test_native_saturated_planes():
+    """Adversarial constant streams: every word identical exercises the
+    CSA residual weights (all planes saturate the same way)."""
+    for word in (0x0000, 0x0FFF, 0xFFFF, 0x0200, 0x06A1):
+        x = np.full(4_097, word, dtype=np.uint16)
+        assert_counters_equal(flagstat_numpy(x),
+                              native_host.flagstat_native(x))
+        np.testing.assert_array_equal(
+            native_host.pospopcnt_native(x).astype(np.int64),
+            pospopcnt_ref(x))

@@ -124,3 +124,83 @@ def test_checkpoint_bare_path_and_crash_resilience(tmp_path):
     bare.write_bytes(data[: len(data) // 2])
     ck3 = StreamCheckpoint(bare)
     assert ck3.block_index == 0 and ck3.n_words == 0
+
+
+def test_stream_native_matches_oracle(tmp_path):
+    """The host-native streaming tier (decode pool + AVX2 kernel; the
+    default off-TPU when the native lib is present)."""
+    import pytest
+
+    from libflagstats_tpu.ops import native_host
+
+    if not native_host.available():
+        pytest.skip("native host library unavailable")
+    x = generate_flags(1_200_003, seed=31, full_range=True)
+    path = tmp_path / "n.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+    got = flagstat_stream(path, codec="lz4", impl="native")
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_stream_native_checkpoint_resume(tmp_path):
+    import pytest
+
+    from libflagstats_tpu.io.codec import iter_framed
+    from libflagstats_tpu.ops import native_host
+
+    if not native_host.available():
+        pytest.skip("native host library unavailable")
+    x = generate_flags(900_000, seed=32, full_range=True)
+    path = tmp_path / "n.lz4"
+    C.write_framed(path, x, codec="lz4", level=1, block_bytes=1 << 17)
+    # run over a truncated prefix of the stream, checkpointing every block
+    frames = list(iter_framed(path))
+    n_blocks = len(frames)
+    assert n_blocks >= 4
+    part = tmp_path / "part.lz4"
+    import struct
+
+    with open(part, "wb") as dst:
+        for raw_len, payload in frames[: n_blocks // 2]:
+            dst.write(struct.pack("<ii", raw_len, len(payload)))
+            dst.write(payload)
+    ck = StreamCheckpoint(tmp_path / "ck.npz", every_blocks=1)
+    flagstat_stream(part, codec="lz4", impl="native", checkpoint=ck)
+    assert ck.block_index == n_blocks // 2
+    assert ck.kind == "counters"
+    # resume on the full stream — bit-exact vs a clean run
+    ck2 = StreamCheckpoint(tmp_path / "ck.npz", every_blocks=1)
+    resumed = flagstat_stream(path, codec="lz4", impl="native",
+                              checkpoint=ck2)
+    assert_counters_equal(flagstat_numpy(x), resumed)
+    # the prefix words must NOT have been recounted: the resumed words
+    # processed = total - prefix
+    assert ck2.n_words == x.size
+
+
+def test_stream_checkpoint_kind_mismatch(tmp_path):
+    """A native-path checkpoint must refuse to resume a device-path run
+    and vice versa (they persist different partial-sum conventions)."""
+    import pytest
+
+    from libflagstats_tpu.ops import native_host
+
+    if not native_host.available():
+        pytest.skip("native host library unavailable")
+    x = generate_flags(400_000, seed=33)
+    path = tmp_path / "k.lz4"
+    C.write_framed(path, x, codec="lz4", level=1, block_bytes=1 << 17)
+    ck = StreamCheckpoint(tmp_path / "ck.npz", every_blocks=1)
+    flagstat_stream(path, codec="lz4", impl="native", checkpoint=ck)
+    ck2 = StreamCheckpoint(tmp_path / "ck.npz", every_blocks=1)
+    assert ck2.kind == "counters" and ck2.block_index > 0
+    with pytest.raises(ValueError, match="native"):
+        flagstat_stream(path, codec="lz4", impl="xla", checkpoint=ck2)
+    # and the reverse: a sums checkpoint refuses the native path
+    ck3 = StreamCheckpoint(tmp_path / "ck3.npz", every_blocks=1)
+    flagstat_stream(path, codec="lz4", impl="xla", chunk_words=1 << 16,
+                    checkpoint=ck3)
+    ck4 = StreamCheckpoint(tmp_path / "ck3.npz", every_blocks=1)
+    if ck4.block_index > 0:
+        with pytest.raises(ValueError, match="device"):
+            flagstat_stream(path, codec="lz4", impl="native", checkpoint=ck4)

@@ -44,12 +44,14 @@ def pospopcnt_sweep(sizes) -> int:
     from libflagstats_tpu.ops.xla_ops import pospopcnt_u16_matmul, pospopcnt_u16_xla
     from libflagstats_tpu.oracle import generate_flags
 
+    from libflagstats_tpu.ops import native_host
+
     enable_compilation_cache()
     backend = jax.default_backend()
     pallas_min_words = 8 * PK.GROUP_WORDS
 
     print(f"# backend={backend} mode=pospopcnt")
-    print("words\tnumpy_ms\txla_wall_ms\txla_kern_ms\t"
+    print("words\tnumpy_ms\tnative_ms\txla_wall_ms\txla_kern_ms\t"
           "matmul_kern_ms\tpallas_wall_ms\tpallas_kern_ms")
     rows = []
     for n in sizes:
@@ -65,6 +67,14 @@ def pospopcnt_sweep(sizes) -> int:
             np.array([int(np.count_nonzero((x32 >> k) & 1))
                       for k in range(16)])
             t_numpy = min(t_numpy, time.perf_counter() - t0)
+
+        t_native = float("nan")
+        if native_host.available():
+            t_native = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                native_host.pospopcnt_native(x)
+                t_native = min(t_native, time.perf_counter() - t0)
 
         xj = jax.block_until_ready(jnp.asarray(x))
         ks = (2, 8, 24) if n >= (1 << 22) else (4, 32, 96)
@@ -83,13 +93,19 @@ def pospopcnt_sweep(sizes) -> int:
             t_p_kern = gated_kernel_time_fit(p_body, xj, ks=ks, iters=3,
                                            attempts=3).slope_s
 
-        rows.append((n, t_numpy, t_xla_wall, t_xla_kern, t_p_wall, t_p_kern))
-        print(f"{n}\t{t_numpy*1e3:.3f}\t{t_xla_wall*1e3:.3f}\t"
+        rows.append((n, t_numpy, t_native, t_xla_wall, t_xla_kern,
+                     t_p_wall, t_p_kern))
+        print(f"{n}\t{t_numpy*1e3:.3f}\t{t_native*1e3:.3f}\t"
+              f"{t_xla_wall*1e3:.3f}\t"
               f"{t_xla_kern*1e3:.4f}\t{t_mm_kern*1e3:.4f}\t"
               f"{t_p_wall*1e3:.3f}\t{t_p_kern*1e3:.4f}")
 
-    dev_min = next((r[0] for r in rows if min(r[2], r[4]) < r[1]), None)
+    dev_min = next((r[0] for r in rows if min(r[3], r[5]) < r[1]), None)
     print(f"# suggested pospopcnt device_min (single-call wall): {dev_min}")
+    nat_dev_min = next(
+        (r[0] for r in rows if r[2] == r[2] and min(r[3], r[5]) < r[2]), None)
+    print("# suggested pospopcnt NATIVE device_min (device wall beats "
+          f"native host): {nat_dev_min}")
     print("# compare against flagstat sweep: dispatch shares one "
           "device_min for both entry points")
     return 0
@@ -117,8 +133,10 @@ def main() -> int:
         return pospopcnt_sweep(sizes)
     pallas_min_words = 8 * PK.GROUP_WORDS
 
+    from libflagstats_tpu.ops import native_host
+
     print(f"# backend={backend}")
-    print("words\tnumpy_ms\txla_wall_ms\txla_kern_ms\t"
+    print("words\tnumpy_ms\tnative_ms\txla_wall_ms\txla_kern_ms\t"
           "pallas_wall_ms\tpallas_kern_ms")
     rows = []
     for n in sizes:
@@ -130,6 +148,14 @@ def main() -> int:
         t0 = time.perf_counter()
         flagstat_numpy(x)
         t_numpy = min(t_numpy, time.perf_counter() - t0)
+
+        t_native = float("nan")
+        if native_host.available():
+            t_native = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                native_host.flagstat_native(x)
+                t_native = min(t_native, time.perf_counter() - t0)
 
         xj = jax.block_until_ready(jnp.asarray(x))
 
@@ -155,8 +181,10 @@ def main() -> int:
                 p_body, xj, ks=(2, 8, 24) if n >= (1 << 22) else (4, 32, 96),
                 iters=3, attempts=3).slope_s
 
-        rows.append((n, t_numpy, t_xla_wall, t_xla_kern, t_p_wall, t_p_kern))
-        print(f"{n}\t{t_numpy*1e3:.3f}\t{t_xla_wall*1e3:.3f}\t"
+        rows.append((n, t_numpy, t_native, t_xla_wall, t_xla_kern,
+                     t_p_wall, t_p_kern))
+        print(f"{n}\t{t_numpy*1e3:.3f}\t{t_native*1e3:.3f}\t"
+              f"{t_xla_wall*1e3:.3f}\t"
               f"{t_xla_kern*1e3:.4f}\t{t_p_wall*1e3:.3f}\t{t_p_kern*1e3:.4f}")
 
     def first_size(pred):
@@ -165,14 +193,18 @@ def main() -> int:
                 return r[0]
         return None
 
-    xla_min_wall = first_size(lambda r: r[2] < r[1])
+    xla_min_wall = first_size(lambda r: r[3] < r[1])
     pallas_min_wall = first_size(
-        lambda r: r[4] == r[4] and r[4] < min(r[1], r[2]))
+        lambda r: r[5] == r[5] and r[5] < min(r[1], r[3]))
     pallas_min_kern = first_size(
-        lambda r: r[5] == r[5] and r[5] < r[3])
+        lambda r: r[6] == r[6] and r[6] < r[4])
+    native_dev_min = first_size(
+        lambda r: r[2] == r[2] and min(r[3], r[5]) < r[2])
     print(f"# suggested XLA_MIN (single-call wall): {xla_min_wall}")
     print(f"# suggested PALLAS_MIN (single-call wall): {pallas_min_wall}")
     print(f"# suggested PALLAS_MIN (dispatch-free kernel): {pallas_min_kern}")
+    print("# suggested NATIVE_DEVICE_MIN (device wall beats native host): "
+          f"{native_dev_min}")
     return 0
 
 

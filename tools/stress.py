@@ -46,6 +46,10 @@ def main() -> int:
     import jax
 
     impls = ["numpy", "xla"]
+    from libflagstats_tpu.ops import native_host
+
+    if native_host.available():
+        impls.insert(1, "native")
     if args.tpu and jax.default_backend() == "tpu":
         impls += ["pallas", "pallas_report", "pallas_words", "pallas_pre"]
 
