@@ -33,17 +33,27 @@ clean:
 # ThreadSanitizer stress of the parallel framed-stream decoder
 tsan:
 	mkdir -p build
-	g++ -O1 -g -fsanitize=thread -std=c++17 \
+	g++ -O1 -g -fsanitize=thread -std=c++17 -march=native \
 	  libflagstats_tpu/io/native/tests/tsan_decode_test.cpp \
 	  libflagstats_tpu/io/native/flagstats_io.cpp \
+	  libflagstats_tpu/io/native/flagstats_host.cpp \
 	  -o build/tsan_decode_test -lzstd -pthread
 	./build/tsan_decode_test
 
-# ASan/UBSan fuzz of the LZ4 decoder against corrupted inputs
+# ASan/UBSan fuzz of the LZ4 decoder against corrupted inputs, plus
+# the host flagstat/pospopcnt kernels over exact-length buffers
 asan:
 	mkdir -p build
 	g++ -O1 -g -fsanitize=address,undefined,pointer-overflow -std=c++17 \
+	  -march=native \
 	  libflagstats_tpu/io/native/tests/asan_fuzz_test.cpp \
 	  libflagstats_tpu/io/native/flagstats_io.cpp \
+	  libflagstats_tpu/io/native/flagstats_host.cpp \
 	  -o build/asan_fuzz_test -lzstd -pthread
 	./build/asan_fuzz_test
+	g++ -O1 -g -fsanitize=address,undefined,pointer-overflow -std=c++17 \
+	  -march=native \
+	  libflagstats_tpu/io/native/tests/host_kernel_test.cpp \
+	  libflagstats_tpu/io/native/flagstats_host.cpp \
+	  -o build/host_kernel_test -pthread
+	./build/host_kernel_test

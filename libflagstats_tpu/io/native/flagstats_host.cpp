@@ -231,6 +231,145 @@ void pospopcnt_avx2_range(const uint16_t* data, int64_t n_bodies,
 
 #endif  // __AVX2__
 
+#if defined(__AVX512BW__)
+
+// AVX-512BW variants: 32 words per vector, and the CSA pair collapses
+// to two VPTERNLOG ops (0x96 = XOR3, 0xE8 = majority) — the identical
+// instruction economy the reference's STORM_pospopcnt_csa_avx512 uses
+// (libalgebra.h:2311-2319); derived here from the same _csa contract
+// as the AVX2/Pallas versions.
+inline void csa512(__m512i& v, __m512i a, __m512i b, __m512i& carry) {
+    carry = _mm512_ternarylogic_epi32(v, a, b, 0xE8);
+    v = _mm512_ternarylogic_epi32(v, a, b, 0x96);
+}
+
+inline void transform32(__m512i x, __m512i& tp, __m512i& tf) {
+    const __m512i one = _mm512_set1_epi16(1);
+    x = _mm512_and_si512(x, _mm512_set1_epi16((short)kInputMask));
+    const __m512i sec = _mm512_and_si512(_mm512_srli_epi16(x, 8), one);
+    const __m512i sup = _mm512_and_si512(_mm512_srli_epi16(x, 11), one);
+    const __m512i pair = _mm512_and_si512(x, one);
+    const __m512i notsec = _mm512_xor_si512(sec, one);
+    const __m512i inpair = _mm512_and_si512(
+        pair, _mm512_andnot_si512(sup, notsec));
+    const __m512i supc = _mm512_and_si512(sup, notsec);
+    const __m512i im = _mm512_andnot_si512(
+        _mm512_and_si512(_mm512_srli_epi16(x, 2), one), inpair);
+    const __m512i b12 =
+        _mm512_and_si512(im, _mm512_and_si512(_mm512_srli_epi16(x, 1), one));
+    const __m512i b13 =
+        _mm512_and_si512(im, _mm512_and_si512(_mm512_srli_epi16(x, 3), one));
+    const __m512i b14 = _mm512_xor_si512(im, b13);
+    const __m512i keep = _mm512_or_si512(
+        _mm512_sub_epi16(_mm512_slli_epi16(inpair, 8), inpair),
+        _mm512_set1_epi16((short)kKeepAlways));
+    __m512i t = _mm512_and_si512(x, keep);
+    t = _mm512_or_si512(t, _mm512_slli_epi16(supc, 11));
+    t = _mm512_or_si512(t, _mm512_slli_epi16(b12, 12));
+    t = _mm512_or_si512(t, _mm512_slli_epi16(b13, 13));
+    t = _mm512_or_si512(t, _mm512_slli_epi16(b14, 14));
+    const __m512i mq = _mm512_srai_epi16(_mm512_slli_epi16(x, 6), 15);
+    tf = _mm512_and_si512(t, mq);
+    tp = _mm512_xor_si512(t, tf);
+}
+
+template <int NBITS>
+inline void hs512_body16(const __m512i* d, __m512i* v, __m512i* cnt) {
+    __m512i twosA, twosB, foursA, foursB, eightsA, eightsB, sixteens;
+    csa512(v[0], d[0], d[1], twosA);
+    csa512(v[0], d[2], d[3], twosB);
+    csa512(v[1], twosA, twosB, foursA);
+    csa512(v[0], d[4], d[5], twosA);
+    csa512(v[0], d[6], d[7], twosB);
+    csa512(v[1], twosA, twosB, foursB);
+    csa512(v[2], foursA, foursB, eightsA);
+    csa512(v[0], d[8], d[9], twosA);
+    csa512(v[0], d[10], d[11], twosB);
+    csa512(v[1], twosA, twosB, foursA);
+    csa512(v[0], d[12], d[13], twosA);
+    csa512(v[0], d[14], d[15], twosB);
+    csa512(v[1], twosA, twosB, foursB);
+    csa512(v[2], foursA, foursB, eightsB);
+    csa512(v[3], eightsA, eightsB, sixteens);
+    const __m512i one = _mm512_set1_epi16(1);
+    for (int k = 0; k < NBITS; ++k)
+        cnt[k] = _mm512_add_epi16(
+            cnt[k], _mm512_and_si512(_mm512_srli_epi16(sixteens, k), one));
+}
+
+inline uint64_t hsum512_epu16(__m512i v) {
+    alignas(64) uint16_t lanes[32];
+    _mm512_store_si512((__m512i*)lanes, v);
+    uint64_t s = 0;
+    for (int i = 0; i < 32; ++i) s += lanes[i];
+    return s;
+}
+
+template <int NBITS>
+void flush_residuals512(const __m512i* v, uint64_t* local) {
+    for (int w = 0; w < 4; ++w) {
+        alignas(64) uint16_t lanes[32];
+        _mm512_store_si512((__m512i*)lanes, v[w]);
+        for (int i = 0; i < 32; ++i) {
+            const uint32_t word = lanes[i];
+            for (int k = 0; k < NBITS; ++k)
+                local[k] += (uint64_t)((word >> k) & 1u) << w;
+        }
+    }
+}
+
+constexpr int64_t kBodyWords512 = 512;  // 16 vectors x 32 words
+
+void flagstat_avx512_range(const uint16_t* data, int64_t n_bodies,
+                           uint64_t* local) {
+    __m512i vp[4], vf[4], cntp[15], cntf[15];
+    for (auto& v : vp) v = _mm512_setzero_si512();
+    for (auto& v : vf) v = _mm512_setzero_si512();
+    int64_t body = 0;
+    while (body < n_bodies) {
+        const int64_t burst = std::min(n_bodies - body, kFlushBodies);
+        for (auto& c : cntp) c = _mm512_setzero_si512();
+        for (auto& c : cntf) c = _mm512_setzero_si512();
+        for (int64_t b = 0; b < burst; ++b, ++body) {
+            const uint16_t* p = data + body * kBodyWords512;
+            __m512i tp[16], tf[16];
+            for (int i = 0; i < 16; ++i)
+                transform32(_mm512_loadu_si512((const void*)(p + 32 * i)),
+                            tp[i], tf[i]);
+            hs512_body16<15>(tp, vp, cntp);
+            hs512_body16<15>(tf, vf, cntf);
+        }
+        for (int k = 0; k < 15; ++k) {
+            local[k] += hsum512_epu16(cntp[k]) << 4;
+            local[16 + k] += hsum512_epu16(cntf[k]) << 4;
+        }
+    }
+    flush_residuals512<15>(vp, local);
+    flush_residuals512<15>(vf, local + 16);
+}
+
+void pospopcnt_avx512_range(const uint16_t* data, int64_t n_bodies,
+                            uint64_t* local) {
+    __m512i v[4], cnt[16];
+    for (auto& x : v) x = _mm512_setzero_si512();
+    int64_t body = 0;
+    while (body < n_bodies) {
+        const int64_t burst = std::min(n_bodies - body, kFlushBodies);
+        for (auto& c : cnt) c = _mm512_setzero_si512();
+        for (int64_t b = 0; b < burst; ++b, ++body) {
+            const uint16_t* p = data + body * kBodyWords512;
+            __m512i d[16];
+            for (int i = 0; i < 16; ++i)
+                d[i] = _mm512_loadu_si512((const void*)(p + 32 * i));
+            hs512_body16<16>(d, v, cnt);
+        }
+        for (int k = 0; k < 16; ++k) local[k] += hsum512_epu16(cnt[k]) << 4;
+    }
+    flush_residuals512<16>(v, local);
+}
+
+#endif  // __AVX512BW__
+
 // Shared multi-threaded range driver: run `range_fn(start, len, local)`
 // over contiguous slabs, merging per-thread locals into out[n_out].
 template <typename RangeFn>
@@ -283,7 +422,12 @@ int64_t lfs_flagstat_u16(const uint16_t* data, int64_t n, uint64_t* flags,
     if (n < 0 || (!data && n)) return -1;
     uint64_t counts[32] = {0};
     auto range = [&](int64_t start, int64_t len, uint64_t* local) {
-#if defined(__AVX2__)
+#if defined(__AVX512BW__)
+        const int64_t bodies = len / kBodyWords512;
+        flagstat_avx512_range(data + start, bodies, local);
+        flagstat_scalar_range(data + start + bodies * kBodyWords512,
+                              len - bodies * kBodyWords512, local);
+#elif defined(__AVX2__)
         const int64_t bodies = len / kBodyWords;
         flagstat_avx2_range(data + start, bodies, local);
         flagstat_scalar_range(data + start + bodies * kBodyWords,
@@ -305,7 +449,12 @@ int64_t lfs_pospopcnt_u16(const uint16_t* data, int64_t n, uint64_t* counts,
                           int n_threads) {
     if (n < 0 || (!data && n)) return -1;
     auto range = [&](int64_t start, int64_t len, uint64_t* local) {
-#if defined(__AVX2__)
+#if defined(__AVX512BW__)
+        const int64_t bodies = len / kBodyWords512;
+        pospopcnt_avx512_range(data + start, bodies, local);
+        pospopcnt_scalar_range(data + start + bodies * kBodyWords512,
+                               len - bodies * kBodyWords512, local);
+#elif defined(__AVX2__)
         const int64_t bodies = len / kBodyWords;
         pospopcnt_avx2_range(data + start, bodies, local);
         pospopcnt_scalar_range(data + start + bodies * kBodyWords,

@@ -440,6 +440,95 @@ int64_t lfs_decode_stream(const uint8_t* stream, int64_t stream_len,
     return failed ? -1 : dst_off;
 }
 
+// Host flagstat kernel entry (flagstats_host.cpp, same .so).
+int64_t lfs_flagstat_u16(const uint16_t* data, int64_t n, uint64_t* flags,
+                         int n_threads);
+
+// Fused decode+count over a framed stream: each worker decodes one
+// block into a small thread-local buffer (cache-hot) and counts it
+// immediately, so the decoded column is never materialized — the
+// stream's memory traffic drops from (write + reread) 2x raw bytes to
+// L2-resident block recycling. The reference's pipeline decodes into
+// one reused block buffer then counts it, sequentially
+// (benchmark/flagstats.cpp:311-332); this is that loop parallelized
+// with the count fused in. flags: uint64[32], ACCUMULATED (the
+// per-call derived pass-total is additive across calls and blocks).
+// n_words_out: total decoded words. codec: 0 raw, 1 LZ4, 2 Zstd.
+// Returns 0, or -1 on malformed frames / decode failure.
+int64_t lfs_flagstat_framed(const uint8_t* stream, int64_t stream_len,
+                            int codec, int n_threads, uint64_t* flags,
+                            int64_t* n_words_out) {
+    struct Block { int64_t src_off, src_len, raw_len; };
+    std::vector<Block> blocks;
+    int64_t off = 0, raw_total = 0, max_raw = 0;
+    while (off + 8 <= stream_len) {
+        const uint32_t raw_len = lfs_read32(stream + off);
+        const uint32_t comp_len = lfs_read32(stream + off + 4);
+        off += 8;
+        if (off + comp_len > stream_len) return -1;
+        if (raw_len % 2) return -1;  // FLAG words are 2 bytes
+        blocks.push_back({off, static_cast<int64_t>(comp_len),
+                          static_cast<int64_t>(raw_len)});
+        off += comp_len;
+        raw_total += raw_len;
+        if (raw_len > max_raw) max_raw = raw_len;
+    }
+    if (off != stream_len) return -1;
+
+    std::atomic<size_t> next{0};
+    std::atomic<bool> failed{false};
+    int nt = n_threads > 0 ? n_threads
+                           : static_cast<int>(std::thread::hardware_concurrency());
+    if (nt < 1) nt = 1;
+    if (static_cast<size_t>(nt) > blocks.size())
+        nt = static_cast<int>(blocks.size() ? blocks.size() : 1);
+
+    std::vector<std::vector<uint64_t>> locals(
+        static_cast<size_t>(nt), std::vector<uint64_t>(32, 0));
+    auto worker = [&](int t) {
+        std::vector<uint8_t> buf;
+        for (;;) {
+            const size_t i = next.fetch_add(1);
+            if (i >= blocks.size() || failed.load(std::memory_order_relaxed))
+                return;
+            const Block& b = blocks[i];
+            const uint16_t* words;
+            if (codec == 0) {
+                if (b.src_len != b.raw_len) { failed = true; return; }
+                // raw blocks count straight from the source bytes
+                words = reinterpret_cast<const uint16_t*>(stream + b.src_off);
+            } else {
+                if (static_cast<int64_t>(buf.size()) < b.raw_len)
+                    buf.resize(static_cast<size_t>(b.raw_len));
+                int64_t r;
+                if (codec == 1)
+                    r = lfs_lz4_decompress(stream + b.src_off, b.src_len,
+                                           buf.data(), b.raw_len);
+                else
+                    r = lfs_zstd_decompress(stream + b.src_off, b.src_len,
+                                            buf.data(), b.raw_len);
+                if (r != b.raw_len) { failed = true; return; }
+                words = reinterpret_cast<const uint16_t*>(buf.data());
+            }
+            lfs_flagstat_u16(words, b.raw_len / 2,
+                             locals[static_cast<size_t>(t)].data(), 1);
+        }
+    };
+    if (nt <= 1) {
+        worker(0);
+    } else {
+        std::vector<std::thread> pool;
+        pool.reserve(static_cast<size_t>(nt));
+        for (int t = 0; t < nt; ++t) pool.emplace_back(worker, t);
+        for (auto& th : pool) th.join();
+    }
+    if (failed) return -1;
+    for (int t = 0; t < nt; ++t)
+        for (int k = 0; k < 32; ++k) flags[k] += locals[static_cast<size_t>(t)][k];
+    if (n_words_out) *n_words_out = raw_total / 2;
+    return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Host-side bit transpose ("pretransposed ingest"): uint16 FLAG words ->
 // (groups, 32, 8, 128) uint32 plane tiles, byte-identical to the device

@@ -2,6 +2,7 @@
 // The decoder parses untrusted compressed payloads; it must reject (or
 // produce bounded output for) any byte-flipped / truncated stream
 // without touching memory out of bounds.
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -15,6 +16,10 @@ int64_t lfs_lz4_decompress(const uint8_t*, int64_t, uint8_t*, int64_t);
 int64_t lfs_lz4_decompress_own(const uint8_t*, int64_t, uint8_t*, int64_t);
 int64_t lfs_decode_stream(const uint8_t*, int64_t, uint8_t*, int64_t,
                           int codec, int n_threads);
+int64_t lfs_flagstat_framed(const uint8_t*, int64_t, int codec,
+                            int n_threads, uint64_t* flags,
+                            int64_t* n_words_out);
+int64_t lfs_flagstat_u16(const uint16_t*, int64_t, uint64_t*, int);
 int64_t lfs_zstd_compress(const uint8_t*, int64_t, uint8_t*, int64_t, int);
 int64_t lfs_zstd_bound(int64_t);
 }
@@ -164,8 +169,63 @@ int main() {
                 printf("frame overrun report trial %d\n", trial);
                 return 1;
             }
+            // the fused decode+count entry parses the same untrusted
+            // headers with NO caller-provided output bound — it must
+            // reject or count within its own buffers (rc 0 or -1; odd
+            // raw_len streams are always rejected)
+            uint64_t fl[32] = {0};
+            int64_t nw = -1;
+            const int64_t fr = lfs_flagstat_framed(bad.data(), bad.size(),
+                                                   codec, 1 + k % 4, fl, &nw);
+            if (fr != 0 && fr != -1) {
+                printf("framed flagstat bad rc trial %d\n", trial);
+                return 1;
+            }
             ++frame_rounds;
         }
+    }
+    // fused decode+count round-trip on well-formed word streams (even
+    // raw_len): counters must match a direct count of the raw words
+    for (int trial = 0; trial < 12; ++trial) {
+        const int codec = trial % 3;
+        const int64_t n_words = 1 + rng() % 40000;
+        std::vector<uint8_t> raw(2 * n_words), stream;
+        for (auto& x : raw) x = rng() & 0xFF;
+        for (int64_t o = 0; o < (int64_t)raw.size();) {
+            const int64_t blk = std::min<int64_t>(raw.size() - o,
+                                                  2 * (1 + rng() % 9000));
+            std::vector<uint8_t> comp;
+            if (codec == 0) {
+                comp.assign(raw.begin() + o, raw.begin() + o + blk);
+            } else if (codec == 1) {
+                comp.resize(lfs_lz4_bound(blk));
+                comp.resize(lfs_lz4_compress(raw.data() + o, blk, comp.data(),
+                                             comp.size(), 0));
+            } else {
+                comp.resize(lfs_zstd_bound(blk));
+                comp.resize(lfs_zstd_compress(raw.data() + o, blk, comp.data(),
+                                              comp.size(), 1));
+            }
+            put32(stream, static_cast<uint32_t>(blk));
+            put32(stream, static_cast<uint32_t>(comp.size()));
+            stream.insert(stream.end(), comp.begin(), comp.end());
+            o += blk;
+        }
+        uint64_t fl[32] = {0}, ref[32] = {0};
+        int64_t nw = 0;
+        if (lfs_flagstat_framed(stream.data(), stream.size(), codec,
+                                1 + trial % 4, fl, &nw) != 0 ||
+            nw != n_words) {
+            printf("framed flagstat roundtrip fail trial %d\n", trial);
+            return 1;
+        }
+        lfs_flagstat_u16(reinterpret_cast<const uint16_t*>(raw.data()),
+                         n_words, ref, 1);
+        for (int j = 0; j < 32; ++j)
+            if (fl[j] != ref[j]) {
+                printf("framed flagstat count mismatch trial %d\n", trial);
+                return 1;
+            }
     }
     printf("ASan fuzz OK: %d corrupted decodes, %d corrupted frame streams\n",
            rounds, frame_rounds);

@@ -101,6 +101,9 @@ def load():
     lib.lfs_bit_transpose.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
     lib.lfs_flagstat_u16.restype = i64
     lib.lfs_flagstat_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
+    lib.lfs_flagstat_framed.restype = i64
+    lib.lfs_flagstat_framed.argtypes = [ctypes.c_void_p, i64, i32, i32,
+                                        ctypes.c_void_p, ctypes.c_void_p]
     lib.lfs_pospopcnt_u16.restype = i64
     lib.lfs_pospopcnt_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
     _lib = lib

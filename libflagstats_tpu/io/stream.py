@@ -88,6 +88,15 @@ def _flagstat_stream_native(path, codec, threads, checkpoint, timer):
         timer = SectionTimer()
 
     counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
+    if checkpoint is None:
+        # no block-boundary state to persist -> the fully-fused C++
+        # pipeline (mmap -> per-block decode+count in native workers;
+        # the decoded column never exists in memory)
+        with timer.section("decode_count"):
+            counters, _ = native_host.flagstat_framed_native(
+                path, C._codec_id(codec), out=counters, threads=n_threads)
+        return counters
+
     n_words = 0
     block_index = 0
     if checkpoint is not None and checkpoint.block_index > 0:

@@ -44,6 +44,48 @@ def flagstat_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray
     return counters
 
 
+def flagstat_framed_native(path, codec: int, out=None,
+                           threads: int = 0) -> tuple[np.ndarray, int]:
+    """Fused decode+count of a framed stream file, fully in C++.
+
+    Each native worker decodes one block into a small thread-local
+    buffer and counts it immediately — the decoded column never exists
+    in memory (the reference's sequential decode-then-count loop,
+    benchmark/flagstats.cpp:311-332, parallelized with the count
+    fused). The file is mapped, not read, so the only full-size pass
+    is over the *compressed* bytes. Returns (counters, n_words);
+    accumulates into ``out`` when given.
+
+    ``codec``: io.codec.CODEC_RAW/LZ4/ZSTD int id.
+    """
+    import ctypes as ct
+    import mmap
+
+    lib = native_lib.load()
+    if lib is None:
+        raise RuntimeError("native host library unavailable")
+    counters = np.zeros(F.N_COUNTERS, dtype=np.uint64) if out is None else out
+    if counters.dtype != np.uint64 or counters.size != F.N_COUNTERS:
+        raise ValueError("out must be a uint64[32] counter vector")
+    n_words = ct.c_int64(0)
+    with open(path, "rb") as fh:
+        size = fh.seek(0, 2)
+        if size == 0:
+            return counters, 0
+        with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            view = np.frombuffer(mm, dtype=np.uint8)  # zero-copy, read-only
+            try:
+                rc = lib.lfs_flagstat_framed(
+                    view.ctypes.data_as(ct.c_void_p), size, int(codec),
+                    threads, counters.ctypes.data_as(ct.c_void_p),
+                    ct.byref(n_words))
+            finally:
+                del view  # release the buffer export before mm closes
+    if rc != 0:
+        raise ValueError(f"malformed or undecodable framed stream: {path}")
+    return counters, int(n_words.value)
+
+
 def pospopcnt_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray:
     """Positional popcount via the native AVX2 kernel -> (16,) uint64
     (reference: STORM_pospopcnt_u16, libalgebra.h:3497)."""

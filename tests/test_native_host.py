@@ -105,3 +105,37 @@ def test_native_saturated_planes():
         np.testing.assert_array_equal(
             native_host.pospopcnt_native(x).astype(np.int64),
             pospopcnt_ref(x))
+
+
+def test_flagstat_framed_native(tmp_path):
+    """Fused C++ decode+count over framed streams: counters and word
+    count match the oracle for every codec; malformed streams raise."""
+    from libflagstats_tpu.io import codec as C
+
+    x = generate_flags(300_001, seed=13, full_range=True)
+    ref = flagstat_numpy(x)
+    for codec in ("raw", "lz4", "zstd"):
+        p = tmp_path / f"t.{codec}"
+        C.write_framed(p, x, codec=codec, level=1, block_bytes=1 << 17)
+        got, n = native_host.flagstat_framed_native(p, C._codec_id(codec))
+        assert n == x.size
+        assert_counters_equal(ref, got)
+    # accumulate contract
+    out = np.zeros(32, np.uint64)
+    native_host.flagstat_framed_native(tmp_path / "t.lz4", C.CODEC_LZ4,
+                                       out=out)
+    native_host.flagstat_framed_native(tmp_path / "t.lz4", C.CODEC_LZ4,
+                                       out=out)
+    assert (out == 2 * ref.astype(np.uint64)).all()
+    # corrupted header -> ValueError, not a crash
+    data = bytearray((tmp_path / "t.lz4").read_bytes())
+    data[1] ^= 0x40  # inflate raw_len
+    bad = tmp_path / "bad.lz4"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(ValueError):
+        native_host.flagstat_framed_native(bad, C.CODEC_LZ4)
+    # empty file counts zero
+    empty = tmp_path / "empty.lz4"
+    empty.write_bytes(b"")
+    got, n = native_host.flagstat_framed_native(empty, C.CODEC_LZ4)
+    assert n == 0 and int(got.sum()) == 0
