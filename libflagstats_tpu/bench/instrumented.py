@@ -70,13 +70,31 @@ def run_variant(name: str, fn, n: int, iters: int, verbose: bool = False) -> Var
     return VariantResult(name, n, iters, min(times), sum(times) / len(times), correct)
 
 
+def host_memcpy_roofline(n_words: int, iters: int = 5) -> float:
+    """Host memcpy speed-of-light in bytes/s over the same array size
+    (the reference's memcpy baseline, instrumented_benchmark.cpp:456-544):
+    the time to copy the input is the floor any kernel reading it can
+    reach."""
+    src = generate_flags(n_words, seed=0)
+    dst = np.empty_like(src)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        np.copyto(dst, src)
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * n_words / best
+
+
 def run_all(n: int = 1 << 20, iters: int = 5, with_roofline: bool = True,
             verbose: bool = False) -> list[str]:
     import jax
 
+    from ..ops import native_host
     from ..ops.dispatch import get_function
 
     variants = ["numpy", "xla"]
+    if native_host.available():
+        variants.insert(1, "native")
     if jax.default_backend() == "tpu":
         from ..ops import pallas_kernels as PK
 
@@ -85,9 +103,14 @@ def run_all(n: int = 1 << 20, iters: int = 5, with_roofline: bool = True,
             variants.append("pallas")
 
     roof = None
-    if with_roofline and jax.default_backend() != "cpu":
-        r = defended_roofline(2 * n)
-        roof = r if r == r else None
+    if with_roofline:
+        if jax.default_backend() == "tpu":
+            r = defended_roofline(2 * n)
+            roof = r if r == r else None
+        else:
+            # off-TPU the memory speed-of-light is the host memcpy
+            # (exactly the reference's baseline)
+            roof = host_memcpy_roofline(n)
 
     lines = [HEADER]
     for name in variants:
