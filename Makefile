@@ -57,3 +57,18 @@ asan:
 	  libflagstats_tpu/io/native/flagstats_host.cpp \
 	  -o build/host_kernel_test -pthread
 	./build/host_kernel_test
+	# ISA matrix: the production .so uses -march=native (AVX-512 here),
+	# but AVX2-only and scalar hosts take the other #if branches — build
+	# and run them explicitly so no tier bit-rots
+	g++ -O1 -g -fsanitize=address,undefined,pointer-overflow -std=c++17 \
+	  -mavx2 -mno-avx512f \
+	  libflagstats_tpu/io/native/tests/host_kernel_test.cpp \
+	  libflagstats_tpu/io/native/flagstats_host.cpp \
+	  -o build/host_kernel_test_avx2 -pthread
+	./build/host_kernel_test_avx2
+	g++ -O1 -g -fsanitize=address,undefined,pointer-overflow -std=c++17 \
+	  -mno-avx -mno-avx2 -mno-avx512f \
+	  libflagstats_tpu/io/native/tests/host_kernel_test.cpp \
+	  libflagstats_tpu/io/native/flagstats_host.cpp \
+	  -o build/host_kernel_test_scalar -pthread
+	./build/host_kernel_test_scalar

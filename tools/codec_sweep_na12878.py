@@ -4,9 +4,12 @@ scale): LZ4-HC c1-9, LZ4-fast a1-10, Zstd c1-20, raw — mirroring the
 reference's published table (README.md:136-175).
 
 Columns: compressed size, ratio, compress time, warm decode time (native
-thread pool), decode+flagstat time. The flagstat term is the forced-CPU
-XLA tier measured once (it is codec-independent); counters are asserted
-bit-exact against the host oracle once per codec family.
+thread pool), decode+flagstat time, and the fused native pipeline
+(lfs_flagstat_framed: mmap -> per-block decode+count, the headline
+end-to-end path). The separate flagstat term is the forced-CPU XLA tier
+measured once (it is codec-independent); counters are asserted
+bit-exact against the host oracle once per codec family (and per codec
+family again through the fused path).
 
 Results are recorded in docs/BENCHMARKS.md.
 """
@@ -57,8 +60,12 @@ def main() -> int:
                + [("lz4", 1 - a, f"fast_a{a}") for a in range(2, 11)]
                + [("zstd", lv, f"c{lv}") for lv in range(1, 21)]
                + [("raw", 0, "-")])
+    from libflagstats_tpu.ops import native_host
+
+    have_native = native_host.available()
     checked = set()
-    print("codec\tconfig\tcomp_MB\tratio\tcomp_s\tdecode_ms\tdecode_flagstat_ms")
+    print("codec\tconfig\tcomp_MB\tratio\tcomp_s\tdecode_ms\t"
+          "decode_flagstat_ms\tfused_native_ms")
     for codec, lv, label in configs:
         with tempfile.TemporaryDirectory() as td:
             p = Path(td) / "s.bin"
@@ -71,13 +78,26 @@ def main() -> int:
             t0 = time.perf_counter()
             out = C.read_framed(p, codec)
             t_dec = min(t_dec, time.perf_counter() - t0)
+            t_fused = float("nan")
+            if have_native:
+                t_fused = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    counters, nw = native_host.flagstat_framed_native(
+                        p, C._codec_id(codec))
+                    t_fused = min(t_fused, time.perf_counter() - t0)
+                assert nw == x.size
+                if codec not in checked:
+                    np.testing.assert_array_equal(
+                        counters.astype(np.int64), ref)
             if codec not in checked:
                 checked.add(codec)
                 np.testing.assert_array_equal(out, x)
             ratio = info.raw_bytes / max(info.compressed_bytes, 1)
             print(f"{codec}\t{label}\t{info.compressed_bytes/1e6:.2f}\t"
                   f"{ratio:.2f}\t{t_comp:.2f}\t{t_dec*1e3:.0f}\t"
-                  f"{(t_dec + t_flag)*1e3:.0f}", flush=True)
+                  f"{(t_dec + t_flag)*1e3:.0f}\t{t_fused*1e3:.0f}",
+                  flush=True)
     return 0
 
 
