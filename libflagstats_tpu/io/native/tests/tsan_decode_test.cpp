@@ -10,6 +10,9 @@ int64_t lfs_lz4_compress(const uint8_t*, int64_t, uint8_t*, int64_t, int);
 int64_t lfs_lz4_bound(int64_t);
 int64_t lfs_decode_stream(const uint8_t*, int64_t, uint8_t*, int64_t, int, int);
 int64_t lfs_bit_transpose(const uint16_t*, int64_t, uint32_t*, int);
+int64_t lfs_flagstat_framed(const uint8_t*, int64_t, int, int, uint64_t*,
+                            int64_t*);
+int64_t lfs_flagstat_u16(const uint16_t*, int64_t, uint64_t*, int);
 }
 int main() {
     std::mt19937 rng(0);
@@ -50,6 +53,26 @@ int main() {
             printf("bit transpose mismatch\n");
             return 1;
         }
+    }
+    // fused decode+count pool (8 workers, thread-local buffers + counter
+    // merge) vs the single-thread run and the threaded in-memory kernel
+    {
+        uint64_t f1[32] = {0}, f8[32] = {0}, fm[32] = {0};
+        int64_t nw1 = 0, nw8 = 0;
+        if (lfs_flagstat_framed(stream.data(), stream.size(), 1, 1, f1,
+                                &nw1) != 0 ||
+            lfs_flagstat_framed(stream.data(), stream.size(), 1, 8, f8,
+                                &nw8) != 0 ||
+            nw1 != (int64_t)raw.size() / 2 || nw8 != nw1) {
+            printf("fused flagstat fail\n");
+            return 1;
+        }
+        lfs_flagstat_u16((const uint16_t*)raw.data(), nw1, fm, 8);
+        for (int k = 0; k < 32; ++k)
+            if (f1[k] != f8[k] || f1[k] != fm[k]) {
+                printf("fused flagstat mismatch k=%d\n", k);
+                return 1;
+            }
     }
     printf("TSAN decode stress OK\n");
     return 0;
