@@ -82,6 +82,17 @@ def generate_binary(n: int, path, seed: int | None = None,
     return vals
 
 
-def read_binary(path) -> np.ndarray:
-    """Raw little-endian uint16 FLAG column (the reference's `-R` input)."""
+def read_binary(path, mmap: bool = True) -> np.ndarray:
+    """Raw little-endian uint16 FLAG column (the reference's `-R` input).
+
+    Memory-mapped by default (read-only view): kernels read straight
+    from the page cache with no GB-scale buffer allocation — this host
+    shows episodic 65 µs/page first-touch storms on fresh allocations,
+    and the copy is pure waste for a read-once count. Pass
+    ``mmap=False`` for an owned, writable array."""
+    if mmap:
+        try:
+            return np.memmap(path, dtype="<u2", mode="r")
+        except (OSError, ValueError):  # e.g. empty file -> owned path
+            pass
     return np.fromfile(path, dtype="<u2").astype(np.uint16, copy=False)
