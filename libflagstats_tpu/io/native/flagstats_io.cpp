@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <mutex>
+#include <new>
 #include <thread>
 #include <vector>
 
@@ -381,24 +382,48 @@ int64_t lfs_lz4_bound(int64_t src_len) {
 // Returns total decompressed bytes, or -1 on error.
 // ---------------------------------------------------------------------------
 
-int64_t lfs_decode_stream(const uint8_t* stream, int64_t stream_len,
-                          uint8_t* out, int64_t out_cap,
-                          int codec, int n_threads) {
-    struct Block { int64_t src_off, src_len, dst_off, raw_len; };
-    std::vector<Block> blocks;
-    int64_t off = 0, dst_off = 0;
+// One shared walk of the untrusted [u32 raw_len][u32 comp_len][payload]*
+// headers for both C entries (the Python parsers must stay in lockstep
+// too — see io/codec.py scan_frames/iter_framed). Lengths that read as
+// negative int32 are rejected exactly like the Python side's `<i`
+// parse; `require_even` adds the FLAG-word constraint (raw bytes come
+// in uint16 pairs) used by the flagstat entry but NOT by the generic
+// byte-stream decoder. Returns total raw bytes, or -1.
+struct LfsFrame { int64_t src_off, src_len, raw_len; };
+
+static int64_t lfs_parse_frames(const uint8_t* stream, int64_t stream_len,
+                                bool require_even,
+                                std::vector<LfsFrame>& blocks) {
+    int64_t off = 0, raw_total = 0;
     while (off + 8 <= stream_len) {
         const uint32_t raw_len = lfs_read32(stream + off);
         const uint32_t comp_len = lfs_read32(stream + off + 4);
         off += 8;
+        if (raw_len > 0x7FFFFFFFu || comp_len > 0x7FFFFFFFu) return -1;
         if (off + comp_len > stream_len) return -1;
-        if (dst_off + raw_len > out_cap) return -1;
-        blocks.push_back({off, static_cast<int64_t>(comp_len), dst_off,
+        if (require_even && raw_len % 2) return -1;
+        blocks.push_back({off, static_cast<int64_t>(comp_len),
                           static_cast<int64_t>(raw_len)});
         off += comp_len;
-        dst_off += raw_len;
+        raw_total += raw_len;
     }
-    if (off != stream_len) return -1;
+    return off == stream_len ? raw_total : -1;
+}
+
+int64_t lfs_decode_stream(const uint8_t* stream, int64_t stream_len,
+                          uint8_t* out, int64_t out_cap,
+                          int codec, int n_threads) {
+    struct Block { int64_t src_off, src_len, dst_off, raw_len; };
+    std::vector<LfsFrame> frames;
+    if (lfs_parse_frames(stream, stream_len, false, frames) < 0) return -1;
+    std::vector<Block> blocks;
+    blocks.reserve(frames.size());
+    int64_t dst_off = 0;
+    for (const LfsFrame& f : frames) {
+        if (dst_off + f.raw_len > out_cap) return -1;
+        blocks.push_back({f.src_off, f.src_len, dst_off, f.raw_len});
+        dst_off += f.raw_len;
+    }
 
     std::atomic<size_t> next{0};
     std::atomic<bool> failed{false};
@@ -458,22 +483,10 @@ int64_t lfs_flagstat_u16(const uint16_t* data, int64_t n, uint64_t* flags,
 int64_t lfs_flagstat_framed(const uint8_t* stream, int64_t stream_len,
                             int codec, int n_threads, uint64_t* flags,
                             int64_t* n_words_out) {
-    struct Block { int64_t src_off, src_len, raw_len; };
-    std::vector<Block> blocks;
-    int64_t off = 0, raw_total = 0, max_raw = 0;
-    while (off + 8 <= stream_len) {
-        const uint32_t raw_len = lfs_read32(stream + off);
-        const uint32_t comp_len = lfs_read32(stream + off + 4);
-        off += 8;
-        if (off + comp_len > stream_len) return -1;
-        if (raw_len % 2) return -1;  // FLAG words are 2 bytes
-        blocks.push_back({off, static_cast<int64_t>(comp_len),
-                          static_cast<int64_t>(raw_len)});
-        off += comp_len;
-        raw_total += raw_len;
-        if (raw_len > max_raw) max_raw = raw_len;
-    }
-    if (off != stream_len) return -1;
+    std::vector<LfsFrame> blocks;
+    const int64_t raw_total = lfs_parse_frames(stream, stream_len,
+                                               /*require_even=*/true, blocks);
+    if (raw_total < 0) return -1;
 
     std::atomic<size_t> next{0};
     std::atomic<bool> failed{false};
@@ -491,15 +504,24 @@ int64_t lfs_flagstat_framed(const uint8_t* stream, int64_t stream_len,
             const size_t i = next.fetch_add(1);
             if (i >= blocks.size() || failed.load(std::memory_order_relaxed))
                 return;
-            const Block& b = blocks[i];
+            const LfsFrame& b = blocks[i];
             const uint16_t* words;
             if (codec == 0) {
                 if (b.src_len != b.raw_len) { failed = true; return; }
                 // raw blocks count straight from the source bytes
                 words = reinterpret_cast<const uint16_t*>(stream + b.src_off);
             } else {
-                if (static_cast<int64_t>(buf.size()) < b.raw_len)
-                    buf.resize(static_cast<size_t>(b.raw_len));
+                if (static_cast<int64_t>(buf.size()) < b.raw_len) {
+                    // a lying header can claim up to 2 GiB per block;
+                    // an allocation failure must fail the CALL, not
+                    // escape the worker thread and abort the process
+                    try {
+                        buf.resize(static_cast<size_t>(b.raw_len));
+                    } catch (const std::bad_alloc&) {
+                        failed = true;
+                        return;
+                    }
+                }
                 int64_t r;
                 if (codec == 1)
                     r = lfs_lz4_decompress(stream + b.src_off, b.src_len,

@@ -184,6 +184,36 @@ int main() {
             ++frame_rounds;
         }
     }
+    // deterministic negative-int32 headers: raw_len/comp_len with the
+    // top bit set must be rejected by BOTH C entries exactly like the
+    // Python parsers' signed `<i` reads (a 0x80000000 raw_len once
+    // reached buf.resize(2 GiB) in each fused worker — code-review
+    // finding, 2026-08-18)
+    for (uint32_t lie : {0x80000000u, 0xFFFFFFFEu}) {
+        std::vector<uint8_t> s;
+        put32(s, lie);          // raw_len lies
+        put32(s, 4u);
+        s.insert(s.end(), {1, 2, 3, 4});
+        uint64_t fl[32] = {0};
+        int64_t nw = 0;
+        uint8_t tiny[8];
+        if (lfs_flagstat_framed(s.data(), s.size(), 1, 2, fl, &nw) != -1 ||
+            lfs_decode_stream(s.data(), s.size(), tiny, sizeof tiny, 1, 2)
+                != -1) {
+            printf("negative-int32 header accepted\n");
+            return 1;
+        }
+        std::vector<uint8_t> s2;
+        put32(s2, 4u);
+        put32(s2, lie);         // comp_len lies
+        s2.insert(s2.end(), {1, 2, 3, 4});
+        if (lfs_flagstat_framed(s2.data(), s2.size(), 1, 2, fl, &nw) != -1 ||
+            lfs_decode_stream(s2.data(), s2.size(), tiny, sizeof tiny, 1, 2)
+                != -1) {
+            printf("negative-int32 comp_len accepted\n");
+            return 1;
+        }
+    }
     // fused decode+count round-trip on well-formed word streams (even
     // raw_len): counters must match a direct count of the raw words
     for (int trial = 0; trial < 12; ++trial) {

@@ -67,11 +67,24 @@ def load():
     if _load_error is not None:
         return None
     try:
-        lib = ctypes.CDLL(str(_build()))
-    except Exception as e:  # toolchain/libzstd missing -> pure-Python fallback
-        _load_error = e
-        return None
+        lib = _bind(ctypes.CDLL(str(_build())))
+    except Exception:
+        # A stale prebuilt .so can pass the mtime check yet lack newer
+        # symbols (e.g. an rsync -a checkout carrying old build/ onto a
+        # host whose tag matches): binding raises AttributeError. Force
+        # one rebuild before giving up; any remaining failure means
+        # toolchain/libzstd missing -> pure-Python fallback.
+        try:
+            _LIB_PATH.unlink(missing_ok=True)
+            lib = _bind(ctypes.CDLL(str(_build())))
+        except Exception as e:
+            _load_error = e
+            return None
+    _lib = lib
+    return _lib
 
+
+def _bind(lib):
     i64, u8p, i32 = ctypes.c_int64, ctypes.c_char_p, ctypes.c_int
     lib.lfs_lz4_compress.restype = i64
     lib.lfs_lz4_compress.argtypes = [u8p, i64, ctypes.c_void_p, i64, i32]
@@ -106,5 +119,4 @@ def load():
                                         ctypes.c_void_p, ctypes.c_void_p]
     lib.lfs_pospopcnt_u16.restype = i64
     lib.lfs_pospopcnt_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
-    _lib = lib
-    return _lib
+    return lib

@@ -237,17 +237,22 @@ def get_function(n_len: int, impl: str | None = None):
     raise ValueError(f"unknown impl {impl!r}")
 
 
+def _check_device_cap(n: int, impl: str) -> None:
+    """The derived pass-total and on-device accumulators are int32 by
+    design (128-byte psum payload); past 2^31-1 words the length would
+    die deep inside assemble_counters as an opaque jnp.int32
+    OverflowError — state the cap clearly instead. The host tiers
+    (numpy, native) count in uint64 and have no such cap."""
+    if impl not in ("numpy", "native") and n > 0x7FFFFFFF:
+        raise OverflowError(
+            f"stream has {n} words; the int32 counter design caps one "
+            f"device-path ({impl}) accumulation at 2^31-1 words — split "
+            "into multiple accumulating calls, or use the native/numpy "
+            "host tier")
+
+
 def _validate_u16(array) -> np.ndarray:
     arr = np.asarray(array)
-    if arr.size > 0x7FFFFFFF:
-        # the derived pass-total and on-device accumulators are int32 by
-        # design (128-byte psum payload); past 2^31-1 words the length
-        # would die deep inside assemble_counters as an opaque
-        # jnp.int32 OverflowError — state the cap clearly instead
-        raise OverflowError(
-            f"stream has {arr.size} words; the int32 counter design caps "
-            "one accumulation at 2^31-1 words — split into multiple "
-            "accumulating flagstats_u16(out=...) calls")
     if arr.dtype != np.uint16:
         # allow lossless integer input; reject anything that would be a
         # silent value-mangling cast
@@ -269,6 +274,9 @@ def flagstats_u16(array, out=None, impl: str | None = None) -> np.ndarray:
     reference: FLAGSTATS_u16, libflagstats.h:3025 and
     benchmark/flagstats.cpp:304-329)."""
     arr = _validate_u16(array)
+    if impl is None:
+        impl = auto_impl(arr.size)
+    _check_device_cap(arr.size, impl)
     counters = get_function(arr.size, impl)(arr)
     if out is None:
         return np.asarray(counters, dtype=np.uint64)
@@ -290,6 +298,7 @@ def pospopcnt_u16(array, impl: str | None = None) -> np.ndarray:
     arr = _validate_u16(array)
     if impl is None:
         impl = pospopcnt_auto_impl(arr.size)
+    _check_device_cap(arr.size, impl)
     if impl == "numpy":
         x = arr.astype(np.uint32)
         return np.array(

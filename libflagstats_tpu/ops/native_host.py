@@ -21,6 +21,17 @@ def available() -> bool:
     return native_lib.load() is not None
 
 
+def _check_out(counters: np.ndarray, n: int, what: str) -> None:
+    """The C kernels write through a raw pointer: the out vector must be
+    exactly what they assume — uint64, length n, C-contiguous, writable
+    (a strided or read-only view would be silently corrupted/ignored)."""
+    if (counters.dtype != np.uint64 or counters.size != n
+            or not counters.flags["C_CONTIGUOUS"]
+            or not counters.flags["WRITEABLE"]):
+        raise ValueError(
+            f"out must be a writable C-contiguous uint64[{n}] {what} vector")
+
+
 def flagstat_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray:
     """Flagstat counters via the native AVX2 kernel -> (32,) uint64.
 
@@ -34,8 +45,7 @@ def flagstat_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray
         raise RuntimeError("native host library unavailable")
     arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
     counters = np.zeros(F.N_COUNTERS, dtype=np.uint64) if out is None else out
-    if counters.dtype != np.uint64 or counters.size != F.N_COUNTERS:
-        raise ValueError("out must be a uint64[32] counter vector")
+    _check_out(counters, F.N_COUNTERS, "counter")
     rc = lib.lfs_flagstat_u16(
         arr.ctypes.data_as(ctypes.c_void_p), arr.size,
         counters.ctypes.data_as(ctypes.c_void_p), threads)
@@ -65,8 +75,7 @@ def flagstat_framed_native(path, codec: int, out=None,
     if lib is None:
         raise RuntimeError("native host library unavailable")
     counters = np.zeros(F.N_COUNTERS, dtype=np.uint64) if out is None else out
-    if counters.dtype != np.uint64 or counters.size != F.N_COUNTERS:
-        raise ValueError("out must be a uint64[32] counter vector")
+    _check_out(counters, F.N_COUNTERS, "counter")
     n_words = ct.c_int64(0)
     with open(path, "rb") as fh:
         size = fh.seek(0, 2)
@@ -94,8 +103,7 @@ def pospopcnt_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarra
         raise RuntimeError("native host library unavailable")
     arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
     counts = np.zeros(F.N_BITS, dtype=np.uint64) if out is None else out
-    if counts.dtype != np.uint64 or counts.size != F.N_BITS:
-        raise ValueError("out must be a uint64[16] counter vector")
+    _check_out(counts, F.N_BITS, "bin")
     rc = lib.lfs_pospopcnt_u16(
         arr.ctypes.data_as(ctypes.c_void_p), arr.size,
         counts.ctypes.data_as(ctypes.c_void_p), threads)

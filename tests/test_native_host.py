@@ -93,6 +93,31 @@ def test_native_out_validation():
         native_host.flagstat_native(x, out=np.zeros(32, np.int64))
     with pytest.raises(ValueError):
         native_host.pospopcnt_native(x, out=np.zeros(16, np.uint32))
+    # the C kernel writes through a raw pointer: strided and read-only
+    # views must be rejected, not silently corrupted (review finding)
+    strided = np.zeros(64, np.uint64)[::2]
+    assert strided.size == 32
+    with pytest.raises(ValueError):
+        native_host.flagstat_native(x, out=strided)
+    ro = np.zeros(32, np.uint64)
+    ro.setflags(write=False)
+    with pytest.raises(ValueError):
+        native_host.flagstat_native(x, out=ro)
+    with pytest.raises(ValueError):
+        native_host.pospopcnt_native(x, out=np.zeros(32, np.uint64)[::2])
+
+
+def test_huge_stream_cap_is_device_only(monkeypatch):
+    """The 2^31-word int32 cap exists on the device paths; the uint64
+    host tiers must not raise it (review finding). Exercised with a
+    mocked size so no real 4 GiB array is allocated."""
+    from libflagstats_tpu.ops import dispatch as D
+
+    D._check_device_cap((1 << 31) + 5, "native")
+    D._check_device_cap((1 << 31) + 5, "numpy")
+    for impl in ("xla", "pallas", "pallas_words"):
+        with pytest.raises(OverflowError):
+            D._check_device_cap((1 << 31) + 5, impl)
 
 
 def test_native_saturated_planes():
