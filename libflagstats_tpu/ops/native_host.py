@@ -54,8 +54,10 @@ def flagstat_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray
     return counters
 
 
-def flagstat_framed_native(path, codec: int, out=None,
-                           threads: int = 0) -> tuple[np.ndarray, int]:
+def flagstat_framed_native(path, codec: int, out=None, threads: int = 0,
+                           byte_start: int = 0,
+                           byte_stop: int | None = None
+                           ) -> tuple[np.ndarray, int]:
     """Fused decode+count of a framed stream file, fully in C++.
 
     Each native worker decodes one block into a small thread-local
@@ -67,6 +69,9 @@ def flagstat_framed_native(path, codec: int, out=None,
     accumulates into ``out`` when given.
 
     ``codec``: io.codec.CODEC_RAW/LZ4/ZSTD int id.
+    ``byte_start``/``byte_stop``: count only this byte range, which
+    must fall on frame boundaries (as computed by codec.scan_frames) —
+    the multi-host shard unit.
     """
     import ctypes as ct
     import mmap
@@ -79,20 +84,49 @@ def flagstat_framed_native(path, codec: int, out=None,
     n_words = ct.c_int64(0)
     with open(path, "rb") as fh:
         size = fh.seek(0, 2)
-        if size == 0:
+        stop = size if byte_stop is None else byte_stop
+        if not 0 <= byte_start <= stop <= size:
+            raise ValueError(
+                f"byte range [{byte_start}, {stop}) outside file of {size}")
+        if stop == byte_start:
             return counters, 0
         with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
             view = np.frombuffer(mm, dtype=np.uint8)  # zero-copy, read-only
             try:
                 rc = lib.lfs_flagstat_framed(
-                    view.ctypes.data_as(ct.c_void_p), size, int(codec),
-                    threads, counters.ctypes.data_as(ct.c_void_p),
+                    view[byte_start:stop].ctypes.data_as(ct.c_void_p),
+                    stop - byte_start, int(codec), threads,
+                    counters.ctypes.data_as(ct.c_void_p),
                     ct.byref(n_words))
             finally:
                 del view  # release the buffer export before mm closes
     if rc != 0:
         raise ValueError(f"malformed or undecodable framed stream: {path}")
     return counters, int(n_words.value)
+
+
+def flagstat_framed_range_native(path, codec: int, block_start: int,
+                                 block_stop: int, out=None, threads: int = 0
+                                 ) -> tuple[np.ndarray, int]:
+    """Fused decode+count of blocks [block_start, block_stop) of a
+    framed stream — the multi-host shard unit (codec.shard_block_ranges
+    assigns contiguous block ranges per process)."""
+    from ..io import codec as C
+
+    frames = C.scan_frames(path)
+    if not 0 <= block_start <= block_stop <= len(frames):
+        raise ValueError(
+            f"block range [{block_start}, {block_stop}) outside "
+            f"{len(frames)}-block stream")
+    if block_start == block_stop:
+        counters = (np.zeros(F.N_COUNTERS, dtype=np.uint64)
+                    if out is None else out)
+        _check_out(counters, F.N_COUNTERS, "counter")
+        return counters, 0
+    byte_start = frames[block_start][0] - 8
+    byte_stop = frames[block_stop - 1][0] + frames[block_stop - 1][2]
+    return flagstat_framed_native(path, codec, out=out, threads=threads,
+                                  byte_start=byte_start, byte_stop=byte_stop)
 
 
 def pospopcnt_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray:

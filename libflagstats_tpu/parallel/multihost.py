@@ -114,16 +114,46 @@ def flagstat_multihost_file(path, codec: str | int = "lz4",
     contiguous block range with the native thread pool, counts its shard
     on its local devices, and the int32[2,16] sums merge globally
     (the reference's sequential block loop, flagstats.cpp:311-332,
-    spread across hosts)."""
-    from ..io import codec as C
+    spread across hosts).
 
+    ``impl="native"`` (the default off-TPU when the native lib is
+    present): each process runs the fused C++ decode+count over its
+    byte range and only the 32 uint64 counters cross processes — no
+    device round-trip at all (CPU-cluster scale-out)."""
+    from ..io import codec as C
+    from ..ops import native_host
+
+    if impl is None and jax.default_backend() != "tpu" \
+            and native_host.available():
+        impl = "native"
     frames = C.scan_frames(path)
     ranges = C.shard_block_ranges(len(frames), jax.process_count())
-    words = [sum(r for _, r, _ in frames[a:b]) // 2 for a, b in ranges]
     start, stop = ranges[jax.process_index()]
+    if impl == "native":
+        local_counters, _ = native_host.flagstat_framed_range_native(
+            path, C._codec_id(codec), start, stop, threads=n_threads)
+        return _global_counter_sum(local_counters)
+    words = [sum(r for _, r, _ in frames[a:b]) // 2 for a, b in ranges]
     local = C.read_framed_range(path, codec, start, stop, n_threads=n_threads)
     return flagstat_multihost(local, total_words=sum(words), impl=impl,
                               pad_to_words=max(words))
+
+
+def _global_counter_sum(counters: np.ndarray) -> np.ndarray:
+    """Sum a uint64[32] counter vector across processes (identity
+    single-process). Gathered as (lo, hi) uint32 pairs for the same
+    x64-downcast reason as _global_sum."""
+    if jax.process_count() == 1:
+        return counters
+    from jax.experimental import multihost_utils
+
+    pairs = np.empty(2 * counters.size, dtype=np.uint32)
+    pairs[0::2] = (counters & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    pairs[1::2] = (counters >> np.uint64(32)).astype(np.uint32)
+    out = np.asarray(multihost_utils.process_allgather(jnp.asarray(pairs)),
+                     dtype=np.uint64).reshape(-1, counters.size, 2)
+    return (out[:, :, 0] + (out[:, :, 1] << np.uint64(32))).sum(
+        axis=0, dtype=np.uint64)
 
 
 def _global_sum(value: int) -> int:

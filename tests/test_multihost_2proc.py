@@ -42,8 +42,16 @@ n3 = 120_000 if pid == 0 else 77_777
 local3 = generate_flags(n3, seed=200 + pid, full_range=True)
 c3 = multihost.flagstat_multihost(local3, impl="xla", pad_to_words=120_000)
 
+# leg 4: the native CPU-cluster path — each process fused-counts its
+# byte range, only 32 uint64 counters cross processes
+# (_global_counter_sum allgather of uint32 pairs)
+from libflagstats_tpu.ops import native_host
+c4 = (multihost.flagstat_multihost_file(sys.argv[3], codec="lz4",
+                                        impl="native")
+      if native_host.available() else c1)
+
 np.savez(sys.argv[4], c1=c1.astype(np.int64), c2=c2.astype(np.int64),
-         c3=c3.astype(np.int64))
+         c3=c3.astype(np.int64), c4=c4.astype(np.int64))
 '''
 
 
@@ -114,3 +122,4 @@ def test_two_process_multihost(tmp_path):
             np.testing.assert_array_equal(z["c1"], ref1)
             np.testing.assert_array_equal(z["c2"], ref2)
             np.testing.assert_array_equal(z["c3"], ref3)
+            np.testing.assert_array_equal(z["c4"], ref1)

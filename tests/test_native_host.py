@@ -164,3 +164,43 @@ def test_flagstat_framed_native(tmp_path):
     empty.write_bytes(b"")
     got, n = native_host.flagstat_framed_native(empty, C.CODEC_LZ4)
     assert n == 0 and int(got.sum()) == 0
+
+
+def test_flagstat_framed_range_native(tmp_path):
+    """Block-range fused counting: shard ranges must sum to the whole
+    stream (the multi-host decomposition), and invalid ranges raise."""
+    from libflagstats_tpu.io import codec as C
+
+    x = generate_flags(500_000, seed=17, full_range=True)
+    p = tmp_path / "r.lz4"
+    C.write_framed(p, x, codec="lz4", level=1, block_bytes=1 << 17)
+    n_blocks = len(C.scan_frames(p))
+    assert n_blocks >= 4
+    ranges = C.shard_block_ranges(n_blocks, 3)
+    total = np.zeros(32, np.uint64)
+    n_total = 0
+    for a, b in ranges:
+        c, n = native_host.flagstat_framed_range_native(
+            p, C.CODEC_LZ4, a, b, out=total)
+        n_total += n
+    assert n_total == x.size
+    assert_counters_equal(flagstat_numpy(x), total)
+    # empty range counts nothing; out-of-bounds raises
+    c, n = native_host.flagstat_framed_range_native(p, C.CODEC_LZ4, 2, 2)
+    assert n == 0 and int(c.sum()) == 0
+    with pytest.raises(ValueError):
+        native_host.flagstat_framed_range_native(p, C.CODEC_LZ4, 0,
+                                                 n_blocks + 1)
+
+
+def test_multihost_file_native_single_process(tmp_path):
+    """flagstat_multihost_file(impl='native') on one process equals the
+    oracle (the cross-process merge is leg 4 of the 2-proc test)."""
+    from libflagstats_tpu.io import codec as C
+    from libflagstats_tpu.parallel import multihost
+
+    x = generate_flags(400_000, seed=19, full_range=True)
+    p = tmp_path / "m.lz4"
+    C.write_framed(p, x, codec="lz4", level=1, block_bytes=1 << 17)
+    got = multihost.flagstat_multihost_file(p, codec="lz4", impl="native")
+    assert_counters_equal(flagstat_numpy(x), got)
