@@ -360,7 +360,9 @@ def main() -> int:
             "metric": "flagstat_words_per_sec", "value": 0.0,
             "unit": "words/s", "vs_baseline": 0.0,
             "error": f"no worker produced a plausible sample "
-                     f"({MAX_WORKERS} attempts)",
+                     f"({MAX_WORKERS} attempts; likely a TPU tunnel "
+                     "outage — the defended-run series lives in "
+                     "docs/BENCHMARKS.md)",
         }))
         return 1
     print(f"[bench] WARNING: no two of {len(results)} workers agreed "
