@@ -4,8 +4,11 @@ TPU equivalent of FLAGSTATS_get_function / FLAGSTATS_u16
 (reference: libflagstats.h:2977-3070) and of the size-tiered
 STORM_pospopcnt_u16 (libalgebra.h:3497-3551): the CPUID/XCR0 probe
 becomes a backend capability check, and the ISA tiers become (measured
-crossovers — see the citation block at DEVICE_MIN_TPU below)
+crossovers — see the citation blocks at DEVICE_MIN_TPU and
+NATIVE_DEVICE_MIN_TPU below)
 
+  native lib present -> host AVX-512/AVX2 kernel below the (much
+                        higher) device crossover
   n <  device_min()  -> host NumPy oracle (one dispatch RTT costs more)
   else, TPU          -> bit-sliced Pallas kernel (fastest at every
                         legal size; device_min == pallas_min there)
