@@ -443,6 +443,52 @@ int64_t lfs_flagstat_u16(const uint16_t* data, int64_t n, uint64_t* flags,
     return 0;
 }
 
+// Set-algebra population counts over byte buffers (reference:
+// STORM_popcnt / STORM_intersect_count / STORM_union_count /
+// STORM_diff_count, libalgebra.h:500-3398). The hardware POPCNT on
+// uint64 runs at one 8-byte word per cycle per core — memory-bound
+// from the first thread — so the scalar builtin + the shared slab
+// pool IS the speed-of-light kernel here (no Harley-Seal needed on a
+// machine with native popcount; the reference's CSA trees predate
+// assuming POPCNT). op: 0 = a&b, 1 = a|b, 2 = a&~b, 3 = unary (b
+// ignored). Result ACCUMULATED into *out. Returns 0.
+int64_t lfs_setop_count(const uint8_t* a, const uint8_t* b, int64_t n_bytes,
+                        int op, int n_threads, uint64_t* out) {
+    if (n_bytes < 0 || (!a && n_bytes) || (op != 3 && !b && n_bytes))
+        return -1;
+    if (op < 0 || op > 3) return -1;
+    uint64_t total = 0;
+    auto range = [&](int64_t start, int64_t len, uint64_t* local) {
+        const uint8_t* pa = a + start;
+        const uint8_t* pb = b ? b + start : nullptr;
+        uint64_t s = 0;
+        int64_t i = 0;
+        auto load = [](const uint8_t* p) {
+            uint64_t w;
+            std::memcpy(&w, p, 8);
+            return w;
+        };
+        for (; i + 8 <= len; i += 8) {
+            uint64_t w = load(pa + i);
+            if (op == 0) w &= load(pb + i);
+            else if (op == 1) w |= load(pb + i);
+            else if (op == 2) w &= ~load(pb + i);
+            s += (uint64_t)__builtin_popcountll(w);
+        }
+        for (; i < len; ++i) {
+            uint64_t w = pa[i];
+            if (op == 0) w &= pb[i];
+            else if (op == 1) w |= pb[i];
+            else if (op == 2) w &= ~(uint64_t)pb[i];
+            s += (uint64_t)__builtin_popcountll(w & 0xFF);
+        }
+        local[0] += s;
+    };
+    run_ranges(n_bytes, 2 * kSlabWords, n_threads, 1, &total, range);
+    *out += total;
+    return 0;
+}
+
 // Positional popcount of n uint16 words, ACCUMULATED into counts[16]
 // (reference: STORM_pospopcnt_u16, libalgebra.h:3497). Returns 0.
 int64_t lfs_pospopcnt_u16(const uint16_t* data, int64_t n, uint64_t* counts,

@@ -119,4 +119,7 @@ def _bind(lib):
                                         ctypes.c_void_p, ctypes.c_void_p]
     lib.lfs_pospopcnt_u16.restype = i64
     lib.lfs_pospopcnt_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
+    lib.lfs_setop_count.restype = i64
+    lib.lfs_setop_count.argtypes = [ctypes.c_void_p, ctypes.c_void_p, i64,
+                                    i32, i32, ctypes.c_void_p]
     return lib

@@ -69,38 +69,75 @@ def _chunks(arrs: tuple[np.ndarray, ...]):
         yield tuple(jnp.asarray(p) for p in part)
 
 
-def popcnt(bitmap) -> int:
+_NATIVE_OPS = {"intersect": 0, "union": 1, "diff": 2, "popcnt": 3}
+
+
+def _native_count(a: np.ndarray, b: np.ndarray | None, op: str) -> int:
+    """Host path: hardware POPCNT over uint64 slabs is memory-bound from
+    thread one (io/native/flagstats_host.cpp lfs_setop_count); through a
+    remote-device tunnel it beats a dispatch at any size."""
+    import ctypes as ct
+
+    from ..io import native_lib
+
+    lib = native_lib.load()
+    out = np.zeros(1, dtype=np.uint64)
+    rc = lib.lfs_setop_count(
+        a.ctypes.data_as(ct.c_void_p),
+        None if b is None else b.ctypes.data_as(ct.c_void_p),
+        a.nbytes, _NATIVE_OPS[op], 0, out.ctypes.data_as(ct.c_void_p))
+    if rc != 0:
+        raise RuntimeError(f"lfs_setop_count failed (rc={rc})")
+    return int(out[0])
+
+
+def _native_available() -> bool:
+    from ..io import native_lib
+
+    return native_lib.load() is not None
+
+
+def popcnt(bitmap, impl: str | None = None) -> int:
     """Total set bits (reference: STORM_popcnt, libalgebra.h).
 
-    Exact for any size: reduced in int32-safe chunks, accumulated in
-    Python ints."""
+    Exact for any size; host-native POPCNT when the lib is present
+    (memory speed-of-light), else int32-safe chunked device reduces
+    accumulated in Python ints."""
     a = _as_u32(bitmap)
     if a.size == 0:
         return 0
+    if impl not in (None, "native", "xla"):
+        raise ValueError(f"unknown impl {impl!r}")
+    if impl == "native" or (impl is None and _native_available()):
+        return _native_count(a, None, "popcnt")
     fn = _jit_unary()
     return sum(int(fn(c)) for (c,) in _chunks((a,)))
 
 
-def _binary_count(a, b, op: str) -> int:
+def _binary_count(a, b, op: str, impl: str | None = None) -> int:
     av, bv = _as_u32(a), _as_u32(b)
     if av.size != bv.size:
         raise ValueError("bitmaps must have equal size")
+    if impl not in (None, "native", "xla"):
+        raise ValueError(f"unknown impl {impl!r}")
     if av.size == 0:
         return 0
+    if impl == "native" or (impl is None and _native_available()):
+        return _native_count(av, bv, op)
     fn = _jit_binary(op)
     return sum(int(fn(ca, cb)) for ca, cb in _chunks((av, bv)))
 
 
-def intersect_count(a, b) -> int:
+def intersect_count(a, b, impl: str | None = None) -> int:
     """popcount(a & b) (reference: STORM_intersect_count)."""
-    return _binary_count(a, b, "intersect")
+    return _binary_count(a, b, "intersect", impl)
 
 
-def union_count(a, b) -> int:
+def union_count(a, b, impl: str | None = None) -> int:
     """popcount(a | b) (reference: STORM_union_count)."""
-    return _binary_count(a, b, "union")
+    return _binary_count(a, b, "union", impl)
 
 
-def diff_count(a, b) -> int:
+def diff_count(a, b, impl: str | None = None) -> int:
     """popcount(a & ~b) (reference: STORM_diff_count)."""
-    return _binary_count(a, b, "diff")
+    return _binary_count(a, b, "diff", impl)

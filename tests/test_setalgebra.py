@@ -64,3 +64,26 @@ def test_chunked_reduction_matches_unchunked(monkeypatch):
     assert S.intersect_count(a, b) == _total_bits(a & b)
     assert S.union_count(a, b) == _total_bits(a | b)
     assert S.diff_count(a, b) == _total_bits(a & ~b)
+
+
+def test_native_setalgebra_matches_xla():
+    """Host-native POPCNT path vs the chunked device reduce and numpy
+    bit_count, including non-multiple-of-8 byte tails."""
+    import pytest
+
+    from libflagstats_tpu.ops import setalgebra as S
+
+    if not S._native_available():
+        pytest.skip("native host library unavailable")
+    rng = np.random.default_rng(5)
+    for n_u32 in (1, 3, 1000, 100_001):
+        a = rng.integers(0, 1 << 32, size=n_u32, dtype=np.uint32)
+        b = rng.integers(0, 1 << 32, size=n_u32, dtype=np.uint32)
+        ref_p = int(np.bitwise_count(a.astype(np.uint64)).sum())
+        assert S.popcnt(a, impl="native") == ref_p
+        assert S.popcnt(a, impl="native") == S.popcnt(a, impl="xla")
+        for fn, op in ((S.intersect_count, np.bitwise_and),
+                       (S.union_count, np.bitwise_or),
+                       (S.diff_count, lambda x, y: x & ~y)):
+            ref = int(np.bitwise_count(op(a, b).astype(np.uint64)).sum())
+            assert fn(a, b, impl="native") == ref
