@@ -215,29 +215,51 @@ class FramedStreamInfo:
 
 
 def write_framed(path, flags: np.ndarray, codec: str | int = "lz4",
-                 level: int = 1,
-                 block_bytes: int | None = None) -> FramedStreamInfo:
+                 level: int = 1, block_bytes: int | None = None,
+                 threads: int = 0) -> FramedStreamInfo:
     """FLAG array -> framed compressed stream on disk
     (reference: `bench compress`, benchmark/flagstats.cpp:738-826).
 
     ``block_bytes`` defaults to CONFIG.block_bytes (reference-compatible
-    1,024,000)."""
+    1,024,000). Blocks compress in parallel on a thread pool (the
+    native codecs release the GIL under ctypes; the reference
+    compresses sequentially) with a bounded in-flight window, written
+    to disk in stream order."""
+    import concurrent.futures as cf
+    from collections import deque
+
     if block_bytes is None:
         from ..config import CONFIG
 
         block_bytes = CONFIG.block_bytes
+    if threads <= 0:
+        import os
+
+        threads = min(8, os.cpu_count() or 1)
     flags = np.ascontiguousarray(np.asarray(flags, dtype=np.uint16))
-    raw = flags.tobytes()
+    raw = memoryview(flags).cast("B")  # zero-copy; per-block .tobytes only
     n_blocks = 0
     comp_total = 0
-    with open(path, "wb") as f:
-        for off in range(0, len(raw), block_bytes):
-            chunk = raw[off:off + block_bytes]
-            payload = compress_block(chunk, codec, level)
-            f.write(struct.pack("<ii", len(chunk), len(payload)))
+    with open(path, "wb") as f, cf.ThreadPoolExecutor(threads) as pool:
+        futs: deque = deque()
+
+        def drain_one():
+            nonlocal n_blocks, comp_total
+            raw_len, fut = futs.popleft()
+            payload = fut.result()
+            f.write(struct.pack("<ii", raw_len, len(payload)))
             f.write(payload)
             n_blocks += 1
             comp_total += len(payload)
+
+        for off in range(0, len(raw), block_bytes):
+            chunk = raw[off:off + block_bytes].tobytes()
+            futs.append((len(chunk),
+                         pool.submit(compress_block, chunk, codec, level)))
+            if len(futs) >= 4 * threads:
+                drain_one()
+        while futs:
+            drain_one()
     return FramedStreamInfo(n_blocks, len(raw), comp_total)
 
 
