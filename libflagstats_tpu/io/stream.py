@@ -142,20 +142,26 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     balance is observable (the reference is ~80% ingest-bound,
     README.md:27-29).
 
-    ``impl="native"`` counts on the host with the AVX2 kernel instead
-    of shipping chunks to a device — the default off-TPU when the
-    native lib is present (decode threads + a 2.3 Gwords/s counter
-    beat the CPU-XLA tier ~40x end-to-end). A checkpoint written by
-    the native path is marked and cannot resume a device-path run
-    (they persist different partial-sum conventions)."""
+    ``impl="native"`` counts on the host with the fused C++ pipeline
+    instead of shipping chunks to a device — the DEFAULT whenever the
+    native lib is present, on any backend: the pipeline is
+    host-decode-bound (LZ4 decode tops out far below the device
+    kernel's 360 Gwords/s), so shipping decoded words to a device buys
+    nothing a host counter doesn't already keep up with — measured
+    full-scale NA12878 0.30 s native vs 20.5 s through this
+    environment's tunnel, and vs ~40x CPU-XLA. Pass impl="pallas"
+    explicitly to exercise the device path (e.g. when host cores are
+    the scarce resource next to a co-located TPU). A checkpoint
+    written by the native path is marked and cannot resume a
+    device-path run (they persist different partial-sum conventions)."""
     from ..config import CONFIG
     from ..ops import native_host
 
     if impl is None:
-        if jax.default_backend() == "tpu":
-            impl = "pallas"
-        elif native_host.available():
+        if native_host.available():
             impl = "native"
+        elif jax.default_backend() == "tpu":
+            impl = "pallas"
         else:
             impl = "xla"
     if impl == "native":
