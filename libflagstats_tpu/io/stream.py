@@ -87,19 +87,19 @@ def _flagstat_stream_native(path, codec, threads, checkpoint, timer):
 
         timer = SectionTimer()
 
-    counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
     if checkpoint is None:
         # no block-boundary state to persist -> the fully-fused C++
         # pipeline (mmap -> per-block decode+count in native workers;
         # the decoded column never exists in memory)
         with timer.section("decode_count"):
             counters, _ = native_host.flagstat_framed_native(
-                path, C._codec_id(codec), out=counters, threads=n_threads)
+                path, C._codec_id(codec), threads=n_threads)
         return counters
 
+    counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
     n_words = 0
     block_index = 0
-    if checkpoint is not None and checkpoint.block_index > 0:
+    if checkpoint.block_index > 0:
         if checkpoint.kind != "counters":
             raise ValueError(
                 "checkpoint was written by a device-path run (partial "
@@ -116,11 +116,9 @@ def _flagstat_stream_native(path, codec, threads, checkpoint, timer):
         with timer.section("count"):
             native_host.flagstat_native(block, out=counters, threads=1)
         block_index += 1
-        if checkpoint is not None:
-            with timer.section("checkpoint"):
-                checkpoint.maybe_save(block_index, counters[:16],
-                                      counters[16:], n_words,
-                                      kind="counters")
+        with timer.section("checkpoint"):
+            checkpoint.maybe_save(block_index, counters[:16],
+                                  counters[16:], n_words, kind="counters")
     return counters
 
 

@@ -21,6 +21,13 @@ def available() -> bool:
     return native_lib.load() is not None
 
 
+def _lib():
+    lib = native_lib.load()
+    if lib is None:
+        raise RuntimeError("native host library unavailable")
+    return lib
+
+
 def _check_out(counters: np.ndarray, n: int, what: str) -> None:
     """The C kernels write through a raw pointer: the out vector must be
     exactly what they assume — uint64, length n, C-contiguous, writable
@@ -40,9 +47,7 @@ def flagstat_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray
     Raises RuntimeError if the native library is unavailable — use
     :func:`available` (dispatch does) to pre-check.
     """
-    lib = native_lib.load()
-    if lib is None:
-        raise RuntimeError("native host library unavailable")
+    lib = _lib()
     arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
     counters = np.zeros(F.N_COUNTERS, dtype=np.uint64) if out is None else out
     _check_out(counters, F.N_COUNTERS, "counter")
@@ -76,9 +81,7 @@ def flagstat_framed_native(path, codec: int, out=None, threads: int = 0,
     import ctypes as ct
     import mmap
 
-    lib = native_lib.load()
-    if lib is None:
-        raise RuntimeError("native host library unavailable")
+    lib = _lib()
     counters = np.zeros(F.N_COUNTERS, dtype=np.uint64) if out is None else out
     _check_out(counters, F.N_COUNTERS, "counter")
     n_words = ct.c_int64(0)
@@ -106,14 +109,16 @@ def flagstat_framed_native(path, codec: int, out=None, threads: int = 0,
 
 
 def flagstat_framed_range_native(path, codec: int, block_start: int,
-                                 block_stop: int, out=None, threads: int = 0
-                                 ) -> tuple[np.ndarray, int]:
+                                 block_stop: int, out=None, threads: int = 0,
+                                 frames=None) -> tuple[np.ndarray, int]:
     """Fused decode+count of blocks [block_start, block_stop) of a
     framed stream — the multi-host shard unit (codec.shard_block_ranges
-    assigns contiguous block ranges per process)."""
-    from ..io import codec as C
+    assigns contiguous block ranges per process). Pass ``frames`` (a
+    codec.scan_frames result) to skip re-walking the headers."""
+    if frames is None:
+        from ..io import codec as C
 
-    frames = C.scan_frames(path)
+        frames = C.scan_frames(path)
     if not 0 <= block_start <= block_stop <= len(frames):
         raise ValueError(
             f"block range [{block_start}, {block_stop}) outside "
@@ -129,12 +134,31 @@ def flagstat_framed_range_native(path, codec: int, block_start: int,
                                   byte_start=byte_start, byte_stop=byte_stop)
 
 
+SETOP_IDS = {"intersect": 0, "union": 1, "diff": 2, "popcnt": 3}
+
+
+def setop_count_native(a: np.ndarray, b: np.ndarray | None, op: str,
+                       threads: int = 0) -> int:
+    """Set-algebra population count via the native hardware-POPCNT
+    kernel (reference: STORM_intersect/union/diff_count + STORM_popcnt,
+    libalgebra.h:500-3398). ``a``/``b``: contiguous byte-viewable
+    arrays of equal byte size; ``b`` is None for the unary popcnt."""
+    lib = _lib()
+    out = np.zeros(1, dtype=np.uint64)
+    rc = lib.lfs_setop_count(
+        a.ctypes.data_as(ctypes.c_void_p),
+        None if b is None else b.ctypes.data_as(ctypes.c_void_p),
+        a.nbytes, SETOP_IDS[op], threads,
+        out.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise RuntimeError(f"lfs_setop_count failed (rc={rc})")
+    return int(out[0])
+
+
 def pospopcnt_native(array: np.ndarray, out=None, threads: int = 0) -> np.ndarray:
     """Positional popcount via the native AVX2 kernel -> (16,) uint64
     (reference: STORM_pospopcnt_u16, libalgebra.h:3497)."""
-    lib = native_lib.load()
-    if lib is None:
-        raise RuntimeError("native host library unavailable")
+    lib = _lib()
     arr = np.ascontiguousarray(np.asarray(array, dtype=np.uint16)).ravel()
     counts = np.zeros(F.N_BITS, dtype=np.uint64) if out is None else out
     _check_out(counts, F.N_BITS, "bin")

@@ -69,32 +69,19 @@ def _chunks(arrs: tuple[np.ndarray, ...]):
         yield tuple(jnp.asarray(p) for p in part)
 
 
-_NATIVE_OPS = {"intersect": 0, "union": 1, "diff": 2, "popcnt": 3}
-
-
 def _native_count(a: np.ndarray, b: np.ndarray | None, op: str) -> int:
     """Host path: hardware POPCNT over uint64 slabs is memory-bound from
     thread one (io/native/flagstats_host.cpp lfs_setop_count); through a
     remote-device tunnel it beats a dispatch at any size."""
-    import ctypes as ct
+    from . import native_host
 
-    from ..io import native_lib
-
-    lib = native_lib.load()
-    out = np.zeros(1, dtype=np.uint64)
-    rc = lib.lfs_setop_count(
-        a.ctypes.data_as(ct.c_void_p),
-        None if b is None else b.ctypes.data_as(ct.c_void_p),
-        a.nbytes, _NATIVE_OPS[op], 0, out.ctypes.data_as(ct.c_void_p))
-    if rc != 0:
-        raise RuntimeError(f"lfs_setop_count failed (rc={rc})")
-    return int(out[0])
+    return native_host.setop_count_native(a, b, op)
 
 
 def _native_available() -> bool:
-    from ..io import native_lib
+    from . import native_host
 
-    return native_lib.load() is not None
+    return native_host.available()
 
 
 def popcnt(bitmap, impl: str | None = None) -> int:

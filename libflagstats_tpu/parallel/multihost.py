@@ -131,7 +131,8 @@ def flagstat_multihost_file(path, codec: str | int = "lz4",
     start, stop = ranges[jax.process_index()]
     if impl == "native":
         local_counters, _ = native_host.flagstat_framed_range_native(
-            path, C._codec_id(codec), start, stop, threads=n_threads)
+            path, C._codec_id(codec), start, stop, threads=n_threads,
+            frames=frames)
         return _global_counter_sum(local_counters)
     words = [sum(r for _, r, _ in frames[a:b]) // 2 for a, b in ranges]
     local = C.read_framed_range(path, codec, start, stop, n_threads=n_threads)

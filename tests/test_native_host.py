@@ -107,7 +107,7 @@ def test_native_out_validation():
         native_host.pospopcnt_native(x, out=np.zeros(32, np.uint64)[::2])
 
 
-def test_huge_stream_cap_is_device_only(monkeypatch):
+def test_huge_stream_cap_is_device_only():
     """The 2^31-word int32 cap exists on the device paths; the uint64
     host tiers must not raise it (review finding). Exercised with a
     mocked size so no real 4 GiB array is allocated."""
