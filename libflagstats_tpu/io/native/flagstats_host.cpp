@@ -243,31 +243,60 @@ inline void csa512(__m512i& v, __m512i a, __m512i b, __m512i& carry) {
     v = _mm512_ternarylogic_epi32(v, a, b, 0x96);
 }
 
-inline void transform32(__m512i x, __m512i& tp, __m512i& tf) {
-    const __m512i one = _mm512_set1_epi16(1);
+// The transform's conditional structure depends on only six input bits
+// — pair(0), proper(1), unmap(2), munmap(3), sec(8), sup(11) — so the
+// derived-bit word D and the keep-mask K are 64-entry uint16 tables
+// indexed by those bits, each fetched with ONE cross-lane
+// VPERMI2W. Same instruction economy as the reference's vpermw
+// mask/expand tables (FLAGSTAT_avx512_improved, libflagstats.h:
+// 1850-2075), but the tables here are self-derived at startup from the
+// same boolean logic the scalar transform uses — no pasted constants.
+struct TransformTables512 {
+    alignas(64) uint16_t d[64];   // supc<<11 | b12<<12 | b13<<13 | b14<<14
+    alignas(64) uint16_t k[64];   // keep mask: 0xFF when in-pair, + KEEP_ALWAYS
+    TransformTables512() {
+        for (uint32_t idx = 0; idx < 64; ++idx) {
+            const uint32_t pair = idx & 1, proper = (idx >> 1) & 1,
+                           unmap = (idx >> 2) & 1, munmap = (idx >> 3) & 1,
+                           sec = (idx >> 4) & 1, sup = (idx >> 5) & 1;
+            const uint32_t inpair = pair & (sec ^ 1u) & (sup ^ 1u);
+            const uint32_t supc = sup & (sec ^ 1u);
+            const uint32_t im = inpair & (unmap ^ 1u);
+            const uint32_t b12 = im & proper;
+            const uint32_t b13 = im & munmap;
+            const uint32_t b14 = im ^ b13;
+            d[idx] = (uint16_t)((supc << 11) | (b12 << 12) | (b13 << 13) |
+                                (b14 << 14));
+            k[idx] = (uint16_t)((inpair * 0xFFu) | kKeepAlways);
+        }
+    }
+};
+static const TransformTables512 kTables512;
+
+struct TransformRegs512 {
+    __m512i d_lo, d_hi, k_lo, k_hi;
+    TransformRegs512()
+        : d_lo(_mm512_load_si512((const void*)kTables512.d)),
+          d_hi(_mm512_load_si512((const void*)(kTables512.d + 32))),
+          k_lo(_mm512_load_si512((const void*)kTables512.k)),
+          k_hi(_mm512_load_si512((const void*)(kTables512.k + 32))) {}
+};
+
+inline void transform32(__m512i x, const TransformRegs512& T, __m512i& tp,
+                        __m512i& tf) {
     x = _mm512_and_si512(x, _mm512_set1_epi16((short)kInputMask));
-    const __m512i sec = _mm512_and_si512(_mm512_srli_epi16(x, 8), one);
-    const __m512i sup = _mm512_and_si512(_mm512_srli_epi16(x, 11), one);
-    const __m512i pair = _mm512_and_si512(x, one);
-    const __m512i notsec = _mm512_xor_si512(sec, one);
-    const __m512i inpair = _mm512_and_si512(
-        pair, _mm512_andnot_si512(sup, notsec));
-    const __m512i supc = _mm512_and_si512(sup, notsec);
-    const __m512i im = _mm512_andnot_si512(
-        _mm512_and_si512(_mm512_srli_epi16(x, 2), one), inpair);
-    const __m512i b12 =
-        _mm512_and_si512(im, _mm512_and_si512(_mm512_srli_epi16(x, 1), one));
-    const __m512i b13 =
-        _mm512_and_si512(im, _mm512_and_si512(_mm512_srli_epi16(x, 3), one));
-    const __m512i b14 = _mm512_xor_si512(im, b13);
-    const __m512i keep = _mm512_or_si512(
-        _mm512_sub_epi16(_mm512_slli_epi16(inpair, 8), inpair),
-        _mm512_set1_epi16((short)kKeepAlways));
-    __m512i t = _mm512_and_si512(x, keep);
-    t = _mm512_or_si512(t, _mm512_slli_epi16(supc, 11));
-    t = _mm512_or_si512(t, _mm512_slli_epi16(b12, 12));
-    t = _mm512_or_si512(t, _mm512_slli_epi16(b13, 13));
-    t = _mm512_or_si512(t, _mm512_slli_epi16(b14, 14));
+    // gather the six conditional bits into a 0..63 lane index
+    const __m512i idx = _mm512_or_si512(
+        _mm512_and_si512(x, _mm512_set1_epi16(0x0F)),
+        _mm512_or_si512(
+            _mm512_and_si512(_mm512_srli_epi16(x, 4), _mm512_set1_epi16(0x10)),
+            _mm512_and_si512(_mm512_srli_epi16(x, 6),
+                             _mm512_set1_epi16(0x20))));
+    const __m512i d = _mm512_permutex2var_epi16(T.d_lo, idx, T.d_hi);
+    const __m512i k = _mm512_permutex2var_epi16(T.k_lo, idx, T.k_hi);
+    const __m512i t = _mm512_or_si512(_mm512_and_si512(x, k), d);
+    // QC split: propagate bit 9 to a full-lane mask (<<6 puts it in the
+    // sign bit, arithmetic >>15 smears it)
     const __m512i mq = _mm512_srai_epi16(_mm512_slli_epi16(x, 6), 15);
     tf = _mm512_and_si512(t, mq);
     tp = _mm512_xor_si512(t, tf);
@@ -322,6 +351,7 @@ constexpr int64_t kBodyWords512 = 512;  // 16 vectors x 32 words
 
 void flagstat_avx512_range(const uint16_t* data, int64_t n_bodies,
                            uint64_t* local) {
+    const TransformRegs512 T;   // lookup tables resident in 4 zmm regs
     __m512i vp[4], vf[4], cntp[15], cntf[15];
     for (auto& v : vp) v = _mm512_setzero_si512();
     for (auto& v : vf) v = _mm512_setzero_si512();
@@ -335,7 +365,7 @@ void flagstat_avx512_range(const uint16_t* data, int64_t n_bodies,
             __m512i tp[16], tf[16];
             for (int i = 0; i < 16; ++i)
                 transform32(_mm512_loadu_si512((const void*)(p + 32 * i)),
-                            tp[i], tf[i]);
+                            T, tp[i], tf[i]);
             hs512_body16<15>(tp, vp, cntp);
             hs512_body16<15>(tf, vf, cntf);
         }
