@@ -56,6 +56,21 @@ int main() {
     for (int r = 0; r < 6; ++r)
         sizes.push_back((int64_t)(rng() % 3000000));
 
+    // exhaustive: every possible 16-bit word exactly once — covers all
+    // 64 transform-table entries and every input-bit combination
+    {
+        std::vector<uint16_t> all(65536);
+        for (uint32_t w = 0; w < 65536; ++w) all[w] = (uint16_t)w;
+        uint64_t ref[32] = {0}, got[32] = {0};
+        ref_flagstat(all.data(), 65536, ref);
+        if (lfs_flagstat_u16(all.data(), 65536, got, 1) != 0) return 1;
+        for (int k = 0; k < 32; ++k)
+            if (got[k] != ref[k]) {
+                std::fprintf(stderr, "exhaustive mismatch k=%d\n", k);
+                return 1;
+            }
+    }
+
     int checks = 0;
     for (int64_t n : sizes) {
         // EXACT-length heap buffer: one word past the end is a redzone
