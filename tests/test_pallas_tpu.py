@@ -25,7 +25,7 @@ from libflagstats_tpu.ops.pallas_kernels import (  # noqa: E402
     pospopcnt_u16_pallas,
 )
 
-from conftest import assert_counters_equal  # noqa: E402, pospopcnt_ref
+from conftest import assert_counters_equal, pospopcnt_ref  # noqa: E402
 
 
 @pytest.mark.parametrize("steps,extra", [(1, 0), (2, -12345), (3, 0), (4, -1)])
