@@ -16,8 +16,15 @@ class Config:
     thread pool + nblk in io/stream.py / parallel/multihost.py), so
     editing CONFIG at runtime takes effect on the next call."""
 
-    # Pallas kernel geometry
-    nblk: int = 8                      # register-groups per grid step (1 HS body)
+    # Pallas kernel geometry: register-groups per grid step (8 = one
+    # Harley-Seal body). Measured A/B (docs/BENCHMARKS.md kernel roster,
+    # 2026-08-18/19): full-parity mode (29 streams) is reproducibly ~5%
+    # faster at nblk=16 (in-step level-16 pairing halves the cross-step
+    # state machine), while report mode (21 streams) is fastest at 8 —
+    # so the two modes carry separate knobs and dispatch reads the one
+    # matching the mode it runs (nblk_for below).
+    nblk: int = 8                      # report-mode / general default
+    nblk_full: int = 16                # full-parity (29-stream) mode
     # dispatch thresholds (words): xla_min is the shape-bucketing floor
     # for device calls; pallas_min the bit-sliced kernel's minimum
     # (floored at one legal grid step by dispatch)
@@ -35,6 +42,14 @@ class Config:
 
 CONFIG = Config()
 _cache_enabled = False
+
+
+def nblk_for(report: bool = False) -> int:
+    """The measured-best grid-step depth for the bit-sliced kernel mode
+    (see the Config.nblk citation): full parity -> CONFIG.nblk_full,
+    report mode -> CONFIG.nblk. Read at the point of use so editing
+    CONFIG takes effect on the next call."""
+    return CONFIG.nblk if report else CONFIG.nblk_full
 
 
 def enable_compilation_cache() -> None:

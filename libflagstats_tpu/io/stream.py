@@ -165,14 +165,24 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     if impl == "native":
         return _flagstat_stream_native(path, codec, threads, checkpoint,
                                        timer)
+    from ..config import nblk_for
+    from ..ops import dispatch as _dispatch
+
+    nblk = nblk_for(report=report) if impl == "pallas" else CONFIG.nblk
     if chunk_words is None:
-        chunk_words = (CONFIG.nblk * PK.GROUP_WORDS if impl == "pallas"
+        chunk_words = (nblk * PK.GROUP_WORDS if impl == "pallas"
                        else 1 << 20)
 
     step = _jit_chunk_sums(impl, chunk_words, report and impl == "pallas",
-                           nblk=CONFIG.nblk)
+                           nblk=nblk)
     total = jnp.zeros(F.N_BITS, jnp.int32)
     fail = jnp.zeros(F.N_BITS, jnp.int32)
+    # the on-device sums and derived pass-total are int32; streams past
+    # DEVICE_WORD_CAP roll the accumulated epoch into a host uint64
+    # grand total and keep going (the block-accumulative contract makes
+    # the split exact; reference: flagstats.cpp:311-332)
+    grand = np.zeros(F.N_COUNTERS, dtype=np.uint64)
+    epoch_words = 0
     n_words = 0
     start_block = 0
     if checkpoint is not None and checkpoint.block_index > 0:
@@ -182,6 +192,8 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
                 "counters); it cannot resume a device-path run")
         total = jnp.asarray(checkpoint.total)
         fail = jnp.asarray(checkpoint.fail)
+        grand = checkpoint.grand.copy()
+        epoch_words = checkpoint.epoch_words
         n_words = checkpoint.n_words
         start_block = checkpoint.block_index
 
@@ -202,6 +214,17 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     # fresh bounded copy — JAX may read host buffers lazily (and the CPU
     # backend can alias them zero-copy), so the staging buffer itself
     # must never be what the backend holds while we keep writing it.
+    def roll_epoch():
+        # assemble the current epoch's counters into the host grand
+        # total and reset the device sums — keeps every on-device
+        # quantity (per-bit sums AND the derived pass-total) within int32
+        nonlocal total, fail, epoch_words
+        counters = _jit_assemble()(total, fail, jnp.int32(epoch_words))
+        grand[:] += np.asarray(counters, dtype=np.int64).astype(np.uint64)
+        total = jnp.zeros(F.N_BITS, jnp.int32)
+        fail = jnp.zeros(F.N_BITS, jnp.int32)
+        epoch_words = 0
+
     block_index = start_block
     buf = np.empty(2 * chunk_words, dtype=np.uint16)
     fill = 0
@@ -220,8 +243,17 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
                     rem = fill - chunk_words
                     if rem:
                         buf[:rem] = buf[chunk_words:fill]
+                if epoch_words + chunk_words > _dispatch.DEVICE_WORD_CAP:
+                    roll_epoch()
+                # h2d (the device_put enqueue) is timed apart from the
+                # async step dispatch so pipeline balance is observable:
+                # if h2d dominates on the TPU backend the transfer is
+                # serializing the pipeline (round-2 verdict next #5)
+                with timer.section("h2d"):
+                    dev = jnp.asarray(chunk)
                 with timer.section("dispatch"):
-                    total, fail = step(jnp.asarray(chunk), total, fail)
+                    total, fail = step(dev, total, fail)
+                epoch_words += chunk_words
                 fill = rem
         block_index += 1
         # a checkpoint is only valid when no words are waiting in the
@@ -229,24 +261,22 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
         # yet in the sums)
         if checkpoint is not None and fill == 0:
             with timer.section("checkpoint"):
-                checkpoint.maybe_save(block_index, total, fail, n_words)
+                checkpoint.maybe_save(block_index, total, fail, n_words,
+                                      grand=grand, epoch_words=epoch_words)
 
     if fill:
         tail = np.zeros(chunk_words, dtype=np.uint16)
         tail[:fill] = buf[:fill]
+        if epoch_words + fill > _dispatch.DEVICE_WORD_CAP:
+            roll_epoch()
+        with timer.section("h2d"):
+            dev = jnp.asarray(tail)
         with timer.section("dispatch"):
-            total, fail = step(jnp.asarray(tail), total, fail)
+            total, fail = step(dev, total, fail)
+        epoch_words += fill
 
-    if n_words > 0x7FFFFFFF:
-        # the on-device accumulators and the derived pass-total are
-        # int32 by design (the psum payload stays 128 bytes); past 2^31
-        # words they would wrap SILENTLY inside jit — fail loudly
-        # instead (shard the stream across processes/files first)
-        raise OverflowError(
-            f"stream has {n_words} words; the int32 counter design caps a "
-            "single accumulation at 2^31-1 words — split the stream")
-    counters = _jit_assemble()(total, fail, jnp.int32(n_words))
-    return np.asarray(counters, dtype=np.int64).astype(np.uint64)
+    counters = _jit_assemble()(total, fail, jnp.int32(epoch_words))
+    return grand + np.asarray(counters, dtype=np.int64).astype(np.uint64)
 
 
 class StreamCheckpoint:
@@ -262,6 +292,10 @@ class StreamCheckpoint:
         self.kind = "sums"   # "sums" (device paths) | "counters" (native)
         self.total = np.zeros(F.N_BITS, np.int32)
         self.fail = np.zeros(F.N_BITS, np.int32)
+        # device-path epoch state (streams past DEVICE_WORD_CAP roll
+        # assembled epochs into the uint64 grand total)
+        self.grand = np.zeros(F.N_COUNTERS, np.uint64)
+        self.epoch_words = 0
         self._load()
 
     def _load(self):
@@ -274,6 +308,12 @@ class StreamCheckpoint:
                 # pre-round-2 checkpoints carry no kind field: those are
                 # always device-path stream sums
                 self.kind = str(z["kind"]) if "kind" in z else "sums"
+                # pre-round-3 checkpoints carry no epoch state: the whole
+                # stream was one epoch (epoch_words == n_words, grand 0)
+                self.grand = (z["grand"].astype(np.uint64) if "grand" in z
+                              else np.zeros(F.N_COUNTERS, np.uint64))
+                self.epoch_words = (int(z["epoch_words"])
+                                    if "epoch_words" in z else self.n_words)
         except (OSError, KeyError, ValueError, EOFError,
                 zipfile.BadZipFile):
             # missing file OR a checkpoint truncated by a crash mid-save
@@ -282,7 +322,7 @@ class StreamCheckpoint:
             pass
 
     def maybe_save(self, block_index, total, fail, n_words, force=False,
-                   kind: str = "sums"):
+                   kind: str = "sums", grand=None, epoch_words=None):
         if not force and block_index % self.every_blocks:
             return
         self.block_index = block_index
@@ -290,11 +330,15 @@ class StreamCheckpoint:
         self.kind = kind
         self.total = np.asarray(total)
         self.fail = np.asarray(fail)
+        self.grand = (np.asarray(grand, dtype=np.uint64) if grand is not None
+                      else np.zeros(F.N_COUNTERS, np.uint64))
+        self.epoch_words = n_words if epoch_words is None else epoch_words
         # write via a file handle (np.savez appends '.npz' to bare PATHS,
         # which _load would never find) and publish atomically — a crash
         # mid-save must leave the previous checkpoint intact
         tmp = self.path + ".tmp"
         with open(tmp, "wb") as fh:
             np.savez(fh, block_index=block_index, n_words=n_words,
-                     total=self.total, fail=self.fail, kind=kind)
+                     total=self.total, fail=self.fail, kind=kind,
+                     grand=self.grand, epoch_words=self.epoch_words)
         os.replace(tmp, self.path)

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import flags as F
 from ..bench.harness import kernel_time
 from .sharded import (
     AXIS,
@@ -59,9 +60,13 @@ def flagstat_multihost(local_flags: np.ndarray, total_words: int | None = None,
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if nblk is None:
-        from ..config import CONFIG
+        if impl == "pallas":
+            # full-parity counting: the measured-best grid depth
+            from ..config import nblk_for
 
-        nblk = CONFIG.nblk
+            nblk = nblk_for(report=False)
+        else:
+            nblk = 8
     mesh = data_mesh()
     granule = shard_granule(impl, nblk)
     local = np.ascontiguousarray(np.asarray(local_flags, dtype=np.uint16)).ravel()
@@ -72,6 +77,22 @@ def flagstat_multihost(local_flags: np.ndarray, total_words: int | None = None,
         # the pass-total silently (zero FLAG words are count-neutral in
         # the per-bit sums, but not in the derived total)
         total_words = _global_sum(local.size)
+    from ..ops import dispatch as _dispatch
+
+    if total_words > _dispatch.DEVICE_WORD_CAP:
+        # int32 counter/psum design cap (the merge payload stays 128
+        # bytes): split into accumulating rounds — exact by the
+        # block-accumulative contract (reference: flagstats.cpp:311-332).
+        # Every process derives the same round count from the agreed
+        # global total, and per-round true totals / pad sizes are
+        # re-agreed globally (shards may be uneven).
+        rounds = -(-total_words // _dispatch.DEVICE_WORD_CAP)
+        acc = np.zeros(F.N_COUNTERS, dtype=np.uint64)
+        for part in np.array_split(local, rounds):
+            acc += flagstat_multihost(
+                part, total_words=_global_sum(part.size), impl=impl,
+                nblk=nblk, pad_to_words=_global_max(part.size))
+        return acc
     if pad_to_words is not None:
         if pad_to_words < local.size:
             raise ValueError(
@@ -84,15 +105,6 @@ def flagstat_multihost(local_flags: np.ndarray, total_words: int | None = None,
             )
     n_local_dev = jax.local_device_count()
     padded = pad_for_mesh(local, n_local_dev, granule)
-
-    if total_words > 0x7FFFFFFF:
-        # int32 counter/psum design cap (the merge payload stays 128
-        # bytes); past 2^31 words the derived pass-total would wrap
-        # silently inside jit — fail loudly instead
-        raise OverflowError(
-            f"global stream has {total_words} words; the int32 counter "
-            "design caps one accumulation at 2^31-1 — split the stream "
-            "into multiple accumulations")
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -155,6 +167,19 @@ def _global_counter_sum(counters: np.ndarray) -> np.ndarray:
                      dtype=np.uint64).reshape(-1, counters.size, 2)
     return (out[:, :, 0] + (out[:, :, 1] << np.uint64(32))).sum(
         axis=0, dtype=np.uint64)
+
+
+def _global_max(value: int) -> int:
+    """Max of a host scalar across processes (identity single-process);
+    same (lo, hi) uint32 gather discipline as _global_sum."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+
+    pair = np.array([value & 0xFFFFFFFF, value >> 32], dtype=np.uint32)
+    out = np.asarray(multihost_utils.process_allgather(jnp.asarray(pair)),
+                     dtype=np.uint64).reshape(-1, 2)
+    return int(np.max(out[:, 0] + (out[:, 1] << np.uint64(32))))
 
 
 def _global_sum(value: int) -> int:

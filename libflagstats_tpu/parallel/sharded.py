@@ -111,7 +111,7 @@ def _counter_fn_for(mesh: Mesh, impl, nblk, interpret, report):
 
 def flagstat_sharded(
     x, mesh: Mesh | None = None, impl: str | None = None,
-    nblk: int = 8, interpret: bool = False, report: bool = False,
+    nblk: int | None = None, interpret: bool = False, report: bool = False,
 ) -> np.ndarray:
     """One-call data-parallel flagstat of a host uint16 array.
 
@@ -121,8 +121,11 @@ def flagstat_sharded(
 
     ``report=True`` selects the 21-stream report-mode kernel on the
     Pallas path (only flags.REPORT_COUNTERS are guaranteed); the XLA
-    tier computes all 32 counters either way.
-    """
+    tier computes all 32 counters either way. ``nblk`` defaults to the
+    measured-best depth for the mode (config.nblk_for) on the Pallas
+    path. Streams past the int32 device cap split into accumulating
+    rounds automatically (exact by the block-accumulative contract)."""
+    from ..ops import dispatch as _dispatch
     from ..ops.dispatch import _validate_u16
 
     arr = _validate_u16(x)   # same lossless-cast + length rules as
@@ -130,8 +133,22 @@ def flagstat_sharded(
     #                          would return plausible-looking garbage
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if nblk is None:
+        if impl == "pallas":
+            from ..config import nblk_for
+
+            nblk = nblk_for(report=report)
+        else:
+            nblk = 8
     if mesh is None:
         mesh = _default_mesh(tuple(d.id for d in jax.devices()))
+    if arr.size > _dispatch.DEVICE_WORD_CAP:
+        rounds = -(-arr.size // _dispatch.DEVICE_WORD_CAP)
+        acc = np.zeros(32, dtype=np.uint64)
+        for part in np.array_split(arr, rounds):
+            acc += flagstat_sharded(part, mesh=mesh, impl=impl, nblk=nblk,
+                                    interpret=interpret, report=report)
+        return acc
     fn = _counter_fn_for(mesh, impl, nblk, interpret, report)
     padded = pad_for_mesh(arr, mesh.size, shard_granule(impl, nblk))
     sharding = NamedSharding(mesh, P(AXIS))

@@ -88,3 +88,57 @@ def test_multihost_pad_smaller_than_shard_raises():
     x = generate_flags(4096, seed=1)
     with pytest.raises(ValueError, match="pad_to_words"):
         flagstat_multihost(x, impl="xla", pad_to_words=1024)
+
+
+def test_multihost_chunks_past_device_cap(monkeypatch):
+    """Past the int32 cap the multihost entry splits into accumulating
+    rounds (per-round derived totals re-agreed globally) instead of
+    raising (round-2 verdict next #3)."""
+    from libflagstats_tpu.ops import dispatch as D
+
+    monkeypatch.setattr(D, "DEVICE_WORD_CAP", 70_000)
+    x = generate_flags(200_003, seed=53, full_range=True)
+    got = flagstat_multihost(x, impl="xla")
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_scaling_efficiency_arithmetic(monkeypatch):
+    """The efficiency column must be words_per_s / (base_words_per_s *
+    devices) — asserted against injected deterministic timings, so the
+    formula (not the hardware) is what's tested (round-2 verdict next
+    #6)."""
+    from libflagstats_tpu.parallel import multihost as M
+
+    # perfect scaling: time halves when devices double
+    fake = {1: 0.08, 2: 0.04, 4: 0.02}
+
+    class _State:
+        nd = 1
+
+    def fake_mesh(devs=None):
+        _State.nd = len(devs) if devs is not None else _State.nd
+        from libflagstats_tpu.parallel.sharded import data_mesh
+
+        return data_mesh(devs)
+
+    monkeypatch.setattr(M, "data_mesh", fake_mesh)
+    monkeypatch.setattr(M, "make_sharded_counter_fn",
+                        lambda mesh, impl=None: (lambda a, n: None))
+    monkeypatch.setattr(M, "kernel_time",
+                        lambda fn, y, iters=3: fake[_State.nd])
+    monkeypatch.setattr(M, "pad_for_mesh", lambda x, s, g: x)
+    import jax
+
+    monkeypatch.setattr(jax, "device_put", lambda x, s=None: x)
+
+    n = 1 << 20
+    res = M.scaling_sweep(n_words=n, impl="xla", device_counts=[1, 2, 4])
+    assert [r["devices"] for r in res] == [1, 2, 4]
+    for r in res:
+        assert r["words_per_s"] == n / fake[r["devices"]]
+        assert abs(r["scaling_efficiency"] - 1.0) < 1e-12
+    # imperfect scaling must show up proportionally: 4 devices at the
+    # 2-device speed -> efficiency 0.5
+    fake[4] = 0.04
+    res = M.scaling_sweep(n_words=n, impl="xla", device_counts=[1, 4])
+    assert abs(res[1]["scaling_efficiency"] - 0.5) < 1e-12

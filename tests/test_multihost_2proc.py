@@ -50,8 +50,20 @@ c4 = (multihost.flagstat_multihost_file(sys.argv[3], codec="lz4",
                                         impl="native")
       if native_host.available() else c1)
 
+# leg 5: UNEVEN shards through the forced device-cap chunking path —
+# every process must derive the same round count from the agreed global
+# total, and per-round true totals / pad sizes (_global_sum/_global_max)
+# must re-agree cross-process (round-2 verdict next #3/#8)
+from libflagstats_tpu.ops import dispatch as D
+D.DEVICE_WORD_CAP = 60_000
+n5 = 90_000 if pid == 0 else 63_001
+local5 = generate_flags(n5, seed=300 + pid, full_range=True)
+c5 = multihost.flagstat_multihost(local5, impl="xla")
+D.DEVICE_WORD_CAP = 0x7FFFFFFF
+
 np.savez(sys.argv[4], c1=c1.astype(np.int64), c2=c2.astype(np.int64),
-         c3=c3.astype(np.int64), c4=c4.astype(np.int64))
+         c3=c3.astype(np.int64), c4=c4.astype(np.int64),
+         c5=c5.astype(np.int64))
 '''
 
 
@@ -117,9 +129,15 @@ def test_two_process_multihost(tmp_path):
         generate_flags(77_777, seed=201, full_range=True),
     ])
     ref3 = flagstat_numpy(uneven).astype(np.int64)
+    capped = np.concatenate([
+        generate_flags(90_000, seed=300, full_range=True),
+        generate_flags(63_001, seed=301, full_range=True),
+    ])
+    ref5 = flagstat_numpy(capped).astype(np.int64)
     for i in range(2):
         with np.load(tmp_path / f"out{i}.npz") as z:
             np.testing.assert_array_equal(z["c1"], ref1)
             np.testing.assert_array_equal(z["c2"], ref2)
             np.testing.assert_array_equal(z["c3"], ref3)
             np.testing.assert_array_equal(z["c4"], ref1)
+            np.testing.assert_array_equal(z["c5"], ref5)

@@ -108,16 +108,26 @@ def test_native_out_validation():
 
 
 def test_huge_stream_cap_is_device_only():
-    """The 2^31-word int32 cap exists on the device paths; the uint64
-    host tiers must not raise it (review finding). Exercised with a
-    mocked size so no real 4 GiB array is allocated."""
+    """The 2^31-word int32 cap applies to the device paths only, and is
+    handled by CHUNKING into accumulating sub-calls (round-3: the
+    OverflowErrors are gone); the uint64 host tiers never chunk.
+    Exercised with a size-only mock array so no real 4 GiB is touched."""
     from libflagstats_tpu.ops import dispatch as D
 
-    D._check_device_cap((1 << 31) + 5, "native")
-    D._check_device_cap((1 << 31) + 5, "numpy")
+    class _Fake:
+        size = (1 << 31) + 5
+
+        def __getitem__(self, sl):
+            return np.zeros(min(sl.stop, self.size) - sl.start,
+                            dtype=np.uint16)
+
+    for impl in ("native", "numpy"):
+        assert len(list(D._device_chunks(_Fake(), impl, 8))) == 1
     for impl in ("xla", "pallas", "pallas_words"):
-        with pytest.raises(OverflowError):
-            D._check_device_cap((1 << 31) + 5, impl)
+        chunks = list(D._device_chunks(_Fake(), impl, 8))
+        assert len(chunks) == 2
+        assert sum(c.size for c in chunks) == _Fake.size
+        assert all(c.size <= D.DEVICE_WORD_CAP for c in chunks)
 
 
 def test_native_saturated_planes():
@@ -204,3 +214,54 @@ def test_multihost_file_native_single_process(tmp_path):
     C.write_framed(p, x, codec="lz4", level=1, block_bytes=1 << 17)
     got = multihost.flagstat_multihost_file(p, codec="lz4", impl="native")
     assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_perf_group_counts_software_events():
+    """The perf_event shim (io/native/perf_events.cpp; reference:
+    linux/linux-perf-events.h:16-90) must open a group, bracket a region,
+    and return per-event counts. Hardware events may be absent on
+    virtualized hosts (ENOENT — true of this box); software events
+    (task-clock) always exist on Linux, so the plumbing is fully
+    exercised either way."""
+    from libflagstats_tpu.bench import perf_native as P
+
+    g = P.PerfGroup()
+    try:
+        assert g.ok
+        assert "task_clock_ns" in g.names   # software events always open
+        g.start()
+        acc = 0
+        for i in range(200_000):
+            acc += i * i
+        res = g.stop()
+        assert res["task_clock_ns"] > 10_000   # >10us of counted CPU time
+        # a second bracket must reset, not accumulate
+        g.start()
+        res2 = g.stop()
+        assert res2["task_clock_ns"] < res["task_clock_ns"]
+    finally:
+        g.close()
+    assert acc > 0
+
+
+def test_perf_measure_native_kernels():
+    """measure() reports overhead-calibrated per-word numbers for the
+    native kernels and labels honestly whether hardware counters were
+    real (counted) or only software events opened."""
+    from libflagstats_tpu.bench import perf_native as P
+
+    rows = P.native_kernel_report(n_words=1 << 18, iters=3)
+    assert [r.name for r in rows] == ["lfs_flagstat_u16",
+                                      "lfs_pospopcnt_u16"]
+    for r in rows:
+        assert r.counted == P.hardware_available()
+        tk = r.min_per_word.get("task_clock_ns")
+        # sane per-word on-CPU time: > 0 and well under a microsecond
+        assert tk is not None and 0 < tk < 1000
+        if r.counted:
+            assert 0 < r.min_per_word["cycles"] < 1000
+            assert r.ipc and r.ipc > 0
+    report = P.format_report(rows)
+    assert "lfs_flagstat_u16" in report
+    if not P.hardware_available():
+        assert "no hardware PMU" in report

@@ -101,3 +101,14 @@ def test_sharded_explicit_mesh_fn_is_cached():
     f1 = _counter_fn_for(mesh, "xla", 8, False, False)
     f2 = _counter_fn_for(data_mesh(jax.devices()[:1]), "xla", 8, False, False)
     assert f1 is f2
+
+
+def test_sharded_chunks_past_device_cap(mesh, monkeypatch):
+    """flagstat_sharded splits >cap streams into accumulating rounds
+    (round-2 verdict next #3)."""
+    from libflagstats_tpu.ops import dispatch as D
+
+    monkeypatch.setattr(D, "DEVICE_WORD_CAP", 100_000)
+    x = generate_flags(300_007, seed=59, full_range=True)
+    got = flagstat_sharded(x, mesh=mesh, impl="xla")
+    assert_counters_equal(flagstat_numpy(x), got)

@@ -204,3 +204,51 @@ def test_stream_checkpoint_kind_mismatch(tmp_path):
     if ck4.block_index > 0:
         with pytest.raises(ValueError, match="device"):
             flagstat_stream(path, codec="lz4", impl="native", checkpoint=ck4)
+
+
+def test_stream_rolls_epochs_past_device_cap(tmp_path, monkeypatch):
+    """Streams past the int32 device cap must auto-chunk into
+    accumulating epochs instead of raising (round-2 verdict next #3):
+    with a forced tiny cap the device path rolls assembled epochs into
+    the uint64 grand total and stays bit-exact."""
+    from libflagstats_tpu.ops import dispatch as D
+
+    monkeypatch.setattr(D, "DEVICE_WORD_CAP", 150_000)
+    x = generate_flags(1_000_003, seed=37, full_range=True)
+    path = tmp_path / "cap.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+    got = flagstat_stream(path, codec="lz4", impl="xla",
+                          chunk_words=1 << 16)   # 65,536 < cap; ~7 epochs
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_stream_checkpoint_resume_across_epoch_boundary(tmp_path, monkeypatch):
+    """A checkpoint taken after an epoch rollover must persist the grand
+    total + epoch state and resume bit-exactly."""
+    import struct
+
+    from libflagstats_tpu.ops import dispatch as D
+
+    monkeypatch.setattr(D, "DEVICE_WORD_CAP", 150_000)
+    chunk_words = C.BLOCK_BYTES // 2          # block-aligned chunks
+    x = generate_flags(2_000_000, seed=38, full_range=True)
+    path = tmp_path / "full.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+
+    frames = list(C.iter_framed(path))
+    part = tmp_path / "part.lz4"
+    with open(part, "wb") as f:
+        for raw_len, payload in frames[:2]:   # 1,024,000 bytes > cap:
+            f.write(struct.pack("<ii", raw_len, len(payload)))
+            f.write(payload)                  # rollover happened already
+
+    ck = StreamCheckpoint(tmp_path / "ck.npz", every_blocks=1)
+    flagstat_stream(part, codec="lz4", impl="xla",
+                    chunk_words=chunk_words, checkpoint=ck)
+    assert ck.block_index == 2
+    assert ck.grand.sum() > 0                 # an epoch actually rolled
+
+    ck2 = StreamCheckpoint(tmp_path / "ck.npz", every_blocks=1)
+    resumed = flagstat_stream(path, codec="lz4", impl="xla",
+                              chunk_words=chunk_words, checkpoint=ck2)
+    assert_counters_equal(flagstat_numpy(x), resumed)

@@ -69,6 +69,27 @@ def main() -> int:
         print(f"[prewarm] stream chunk step (report={report}): "
               f"{time.time()-t0:.1f}s", flush=True)
 
+    # round 3: the dispatch/bench/stream paths run full-parity at the
+    # measured-best nblk=16 (config.nblk_for) — warm those programs too
+    from libflagstats_tpu.config import nblk_for
+
+    nfull = nblk_for(report=False)
+    if nfull != CONFIG.nblk:
+        for name, n in ((f"1 step nblk{nfull}", nfull * GROUP_WORDS),
+                        (f"bench 64Mi nblk{nfull}", 64 * 1024 * 1024)):
+            x = jnp.asarray(generate_flags(n, seed=0))
+            t0 = time.time()
+            jax.block_until_ready(flagstat_pallas(x, n=n, nblk=nfull))
+            print(f"[prewarm] {name} full: {time.time()-t0:.1f}s",
+                  flush=True)
+        chunk_full = nfull * GROUP_WORDS
+        step = _jit_chunk_sums("pallas", chunk_full, False, nblk=nfull)
+        xc = jnp.asarray(generate_flags(chunk_full, seed=0))
+        t0 = time.time()
+        jax.block_until_ready(step(xc, zero, zero))
+        print(f"[prewarm] stream chunk step (full, nblk={nfull}): "
+              f"{time.time()-t0:.1f}s", flush=True)
+
     x = jnp.asarray(generate_flags(8 * GROUP_WORDS, seed=0))
     t0 = time.time()
     jax.block_until_ready(pospopcnt_u16_pallas(x))
