@@ -1,0 +1,240 @@
+"""Hardware perf-counter accounting for the native host tier.
+
+Counts cycles / instructions / branch misses / cache refs+misses per
+16-bit word around the native kernels (lfs_flagstat_u16,
+lfs_pospopcnt_u16) with perf_event_open counter groups — the reference
+reports exactly this set with overhead self-calibration
+(reference: linux/linux-perf-events.h:16-90,
+linux/instrumented_benchmark.cpp:161-166, 263-268, 417-454); the round-2
+"~0.21 cycles/word" claim was wall-clock-inferred, this module replaces
+it with a counted number wherever a PMU exists.
+
+Degradation contract: virtualized hosts often expose no hardware PMU
+(perf_event_open -> ENOENT for PERF_TYPE_HARDWARE — true of this
+environment). The shim reports per-event availability (ok_mask), and
+``measure`` labels its output with which events are real; with zero
+hardware events it still counts software events (task-clock, page
+faults) so the plumbing is exercised and the caller can state "no PMU"
+honestly instead of printing inferred numbers as counted ones.
+"""
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# perf_event_attr type/config constants (linux/perf_event.h ABI)
+PERF_TYPE_HARDWARE = 0
+PERF_TYPE_SOFTWARE = 1
+HW_CPU_CYCLES = 0
+HW_INSTRUCTIONS = 1
+HW_CACHE_REFERENCES = 2
+HW_CACHE_MISSES = 3
+HW_BRANCH_MISSES = 5
+HW_REF_CPU_CYCLES = 9
+SW_TASK_CLOCK = 1          # nanoseconds of on-CPU time
+SW_PAGE_FAULTS = 2
+
+#: the reference's counter set (instrumented_benchmark.cpp:161-166)
+HARDWARE_EVENTS = [
+    ("cycles", PERF_TYPE_HARDWARE, HW_CPU_CYCLES),
+    ("instructions", PERF_TYPE_HARDWARE, HW_INSTRUCTIONS),
+    ("branch_misses", PERF_TYPE_HARDWARE, HW_BRANCH_MISSES),
+    ("cache_refs", PERF_TYPE_HARDWARE, HW_CACHE_REFERENCES),
+    ("cache_misses", PERF_TYPE_HARDWARE, HW_CACHE_MISSES),
+    ("ref_cycles", PERF_TYPE_HARDWARE, HW_REF_CPU_CYCLES),
+]
+SOFTWARE_EVENTS = [
+    ("task_clock_ns", PERF_TYPE_SOFTWARE, SW_TASK_CLOCK),
+    ("page_faults", PERF_TYPE_SOFTWARE, SW_PAGE_FAULTS),
+]
+
+
+def _lib():
+    from ..io import native_lib
+
+    return native_lib.load()
+
+
+class PerfGroup:
+    """A perf_event counter group around a code region.
+
+    ``names`` lists the events that actually opened (virtualized hosts
+    drop the hardware ones); start()/stop() bracket the measured region
+    and stop() returns {name: count}.
+    """
+
+    def __init__(self, events=None):
+        self.handle = -1
+        self.names: list[str] = []
+        lib = _lib()
+        if lib is None:
+            return
+        events = list(HARDWARE_EVENTS + SOFTWARE_EVENTS
+                      if events is None else events)
+        types = (ctypes.c_uint32 * len(events))(*[e[1] for e in events])
+        cfgs = (ctypes.c_uint64 * len(events))(*[e[2] for e in events])
+        mask = ctypes.c_uint64(0)
+        h = lib.lfs_perf_open(types, cfgs, len(events), ctypes.byref(mask))
+        if h < 0:
+            return
+        self.handle = h
+        self.names = [e[0] for i, e in enumerate(events)
+                      if mask.value & (1 << i)]
+        self._lib = lib
+        self._buf = (ctypes.c_uint64 * len(self.names))()
+
+    @property
+    def ok(self) -> bool:
+        return self.handle >= 0
+
+    @property
+    def has_hardware(self) -> bool:
+        return "cycles" in self.names
+
+    def start(self) -> None:
+        self._lib.lfs_perf_start(self.handle)
+
+    def stop(self) -> dict[str, int]:
+        n = self._lib.lfs_perf_stop(self.handle, self._buf)
+        if n != len(self.names):
+            raise RuntimeError(f"perf group read failed (rc={n})")
+        return dict(zip(self.names, list(self._buf)))
+
+    def close(self) -> None:
+        if self.handle >= 0:
+            self._lib.lfs_perf_close(self.handle)
+            self.handle = -1
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def available() -> bool:
+    g = PerfGroup()
+    try:
+        return g.ok
+    finally:
+        g.close()
+
+
+def hardware_available() -> bool:
+    g = PerfGroup()
+    try:
+        return g.ok and g.has_hardware
+    finally:
+        g.close()
+
+
+@dataclass
+class CountedRun:
+    """Per-word counted metrics for one kernel (min over iterations,
+    overhead-calibrated — the reference's discipline)."""
+
+    name: str
+    n_words: int
+    iters: int
+    counted: bool                    # True iff hardware events were real
+    events: list = field(default_factory=list)
+    min_per_word: dict = field(default_factory=dict)
+    avg_per_word: dict = field(default_factory=dict)
+    overhead: dict = field(default_factory=dict)
+
+    @property
+    def ipc(self) -> float | None:
+        c = self.min_per_word.get("cycles")
+        i = self.min_per_word.get("instructions")
+        return (i / c) if c else None
+
+
+def measure(fn, n_words: int, iters: int = 9, make_input=None,
+            events=None) -> CountedRun | None:
+    """Count the perf events around ``fn(arr)`` on fresh random data per
+    iteration (the reference draws fresh data per iteration so the
+    kernel cannot win from a warmed branch predictor / cache,
+    instrumented_benchmark.cpp:174-179); reports min and avg per word
+    minus the measured start/stop overhead (":417-454")."""
+    from ..oracle import generate_flags
+
+    g = PerfGroup(events)
+    if not g.ok:
+        return None
+    try:
+        # overhead self-calibration: min of empty start/stop pairs
+        overhead: dict[str, int] = {}
+        for _ in range(max(iters, 10)):
+            g.start()
+            res = g.stop()
+            for k, v in res.items():
+                overhead[k] = min(overhead.get(k, 1 << 62), v)
+
+        mins: dict[str, float] = {}
+        sums: dict[str, float] = {}
+        for i in range(iters):
+            arr = generate_flags(n_words, seed=1000 + i, full_range=True)
+            g.start()
+            fn(arr)
+            res = g.stop()
+            for k, v in res.items():
+                net = max(v - overhead.get(k, 0), 0)
+                mins[k] = min(mins.get(k, float("inf")), net)
+                sums[k] = sums.get(k, 0.0) + net
+        return CountedRun(
+            name=getattr(fn, "__name__", "kernel"),
+            n_words=n_words,
+            iters=iters,
+            counted=g.has_hardware,
+            events=list(g.names),
+            min_per_word={k: v / n_words for k, v in mins.items()},
+            avg_per_word={k: v / (n_words * iters) for k, v in sums.items()},
+            overhead=dict(overhead),
+        )
+    finally:
+        g.close()
+
+
+def native_kernel_report(n_words: int = 1 << 24, iters: int = 9) -> list:
+    """CountedRun rows for the native host kernels (single-thread, the
+    per-core number the reference reports)."""
+    from ..ops import native_host
+
+    if not native_host.available():
+        return []
+    rows = []
+    for name, fn in (
+        ("lfs_flagstat_u16",
+         lambda a: native_host.flagstat_native(a, threads=1)),
+        ("lfs_pospopcnt_u16",
+         lambda a: native_host.pospopcnt_native(a, threads=1)),
+    ):
+        run = measure(fn, n_words, iters=iters)
+        if run is not None:
+            run.name = name
+            rows.append(run)
+    return rows
+
+
+def format_report(rows: list) -> str:
+    """TSV table in the reference's instrumented style (one row per
+    kernel; per-word min/avg for each counted event + IPC)."""
+    if not rows:
+        return "perf_event unavailable (no native lib or no event opened)"
+    cols = rows[0].events
+    out = ["\t".join(["kernel", "words", "counted"]
+                     + [f"min_{c}/word" for c in cols] + ["IPC"])]
+    for r in rows:
+        ipc = r.ipc
+        out.append("\t".join(
+            [r.name, str(r.n_words), "hw" if r.counted else "sw-only"]
+            + [f"{r.min_per_word.get(c, float('nan')):.6g}" for c in cols]
+            + [f"{ipc:.3f}" if ipc else "n/a"]))
+    if not rows[0].counted:
+        out.append("# no hardware PMU exposed on this host "
+                   "(perf_event_open ENOENT for PERF_TYPE_HARDWARE): "
+                   "hardware columns are absent, software events only — "
+                   "cycles/word here remains wall-clock-inferred")
+    return "\n".join(out)

@@ -17,6 +17,7 @@ from pathlib import Path
 _SRCS = [
     Path(__file__).parent / "native" / "flagstats_io.cpp",
     Path(__file__).parent / "native" / "flagstats_host.cpp",
+    Path(__file__).parent / "native" / "perf_events.cpp",
 ]
 _BUILD_DIR = Path(__file__).resolve().parent.parent.parent / "build"
 # -march=native binaries are host-specific: on a shared checkout
@@ -122,4 +123,13 @@ def _bind(lib):
     lib.lfs_setop_count.restype = i64
     lib.lfs_setop_count.argtypes = [ctypes.c_void_p, ctypes.c_void_p, i64,
                                     i32, i32, ctypes.c_void_p]
+    lib.lfs_perf_open.restype = i64
+    lib.lfs_perf_open.argtypes = [ctypes.c_void_p, ctypes.c_void_p, i32,
+                                  ctypes.c_void_p]
+    lib.lfs_perf_start.restype = i32
+    lib.lfs_perf_start.argtypes = [i64]
+    lib.lfs_perf_stop.restype = i32
+    lib.lfs_perf_stop.argtypes = [i64, ctypes.c_void_p]
+    lib.lfs_perf_close.restype = None
+    lib.lfs_perf_close.argtypes = [i64]
     return lib

@@ -194,8 +194,14 @@ def test_cli_instrumented_smoke():
     out = buf.getvalue().splitlines()
     assert out[0].startswith("variant\t")
     assert len(out) >= 3           # header + numpy + xla
-    for row in out[1:]:
+    variant_rows = out[1:out.index("")] if "" in out else out[1:]
+    assert len(variant_rows) >= 2
+    for row in variant_rows:
         assert row.endswith("ok"), row
+    if "" in out:                  # native lib present: counted perf table
+        perf = out[out.index("") + 1:]
+        assert perf[0].startswith("kernel\t")
+        assert any("lfs_flagstat_u16" in r for r in perf)
 
 
 def test_cli_kernels_smoke():
