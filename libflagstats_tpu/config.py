@@ -17,14 +17,17 @@ class Config:
     editing CONFIG at runtime takes effect on the next call."""
 
     # Pallas kernel geometry: register-groups per grid step (8 = one
-    # Harley-Seal body). Measured A/B (docs/BENCHMARKS.md kernel roster,
-    # 2026-08-18/19): full-parity mode (29 streams) is reproducibly ~5%
-    # faster at nblk=16 (in-step level-16 pairing halves the cross-step
-    # state machine), while report mode (21 streams) is fastest at 8 —
-    # so the two modes carry separate knobs and dispatch reads the one
-    # matching the mode it runs (nblk_for below).
+    # Harley-Seal body). Measured A/B (docs/BENCHMARKS.md kernel roster):
+    # with the round-2 SWAR peel, full-parity mode preferred nblk=16
+    # (~5%); with the round-3 native-popcount peel (one VPU op instead
+    # of ~16) the balance flipped and nblk=8 is fastest in BOTH modes
+    # (2026-08-19 sweep: full 0.169 ms @8 vs 0.189 @16/@32) — the
+    # smaller VMEM working set wins once the peel is ~free. The two
+    # modes keep separate knobs and dispatch reads the one matching the
+    # mode it runs (nblk_for below); re-run tools/kernel_sweep.py after
+    # any kernel change.
     nblk: int = 8                      # report-mode / general default
-    nblk_full: int = 16                # full-parity (29-stream) mode
+    nblk_full: int = 8                 # full-parity (29-stream) mode
     # dispatch thresholds (words): xla_min is the shape-bucketing floor
     # for device calls; pallas_min the bit-sliced kernel's minimum
     # (floored at one legal grid step by dispatch)

@@ -14,9 +14,13 @@ executable NumPy spec):
 * the samtools flagstat logic runs in plane space at one VPU op per 32
   words (reference semantics: libflagstats.h:118-142);
 * each counted plane feeds a Harley-Seal CSA tree (v1/v2/v4/v8 carried in
-  VMEM scratch across sequential grid steps, "sixteens" peeled via SWAR
-  popcount into int32 accumulators) — the discipline of
+  VMEM scratch across sequential grid steps, "sixteens" peeled via the
+  VPU's native popcount into int32 accumulators) — the discipline of
   STORM_pospopcnt_csa_avx512 (libalgebra.h:2311-2319) on XOR/AND/OR VPU ops.
+  An opt-in two-level schedule (two_level=True) runs a second CSA tree
+  over the sixteens planes; it paid when the peel was a ~16-op SWAR
+  sequence (round 2) and costs more than it saves with the native
+  popcount (round-3 A/B in docs/BENCHMARKS.md).
 
 Zero padding is exactly neutral (a zero FLAG word counts nothing), so the
 kernels take zero-padded streams and no scalar tail loop is needed
@@ -63,11 +67,13 @@ def _transpose32(A: list[jax.Array], stages: dict[int, list[int]]) -> list[jax.A
 
 
 def _popcount32(x: jax.Array) -> jax.Array:
-    """SWAR popcount per uint32 element (the v16 'peel')."""
-    x = x - ((x >> 1) & _u32(0x55555555))
-    x = (x & _u32(0x33333333)) + ((x >> 2) & _u32(0x33333333))
-    x = (x + (x >> 4)) & _u32(0x0F0F0F0F)
-    return (x * _u32(0x01010101)) >> 24
+    """Per-element popcount of uint32 tiles (the CSA-plane 'peel').
+
+    lax.population_count lowers to the VPU's native popcount on TPU
+    (verified on hardware, round 3) — one op where the round-1/2 SWAR
+    sequence spent ~16; it also traces identically on CPU, so the jnp
+    twin stays bit-exact."""
+    return jax.lax.population_count(x)
 
 
 def _csa(v: jax.Array, a: jax.Array, b: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -104,18 +110,23 @@ def _stream_inputs_pospopcnt(rows: list[jax.Array]) -> list[jax.Array]:
     return list(zip(h1, h2))
 
 
-def _make_kernel(nblk: int, mode: str, pre: bool = False):
+def _make_kernel(nblk: int, mode: str, pre: bool = False,
+                 two_level: bool | None = None):
     """Build the Pallas kernel body for `mode` in
     {"flagstat", "flagstat_report", "pospopcnt"}; ``pre=True`` consumes
     host-pretransposed plane tiles and skips the in-VMEM transpose.
 
-    Returns (kernel, n_streams, two_level). With nblk == 8 (one
+    Returns (kernel, n_streams, n_scratch). With nblk == 8 (one
     Harley-Seal body per grid step) a SECOND Harley-Seal tree runs over
     the sixteens planes across grid steps (v16/v32 carried in VMEM
-    scratch), so the SWAR popcount peel runs every 4th step instead of
+    scratch), so the popcount peel runs every 4th step instead of
     every step — the same "fewer tree flushes" economy as the
     reference's improved3/4 single-tree variants (libflagstats.h:
-    2325-2428), applied one level up."""
+    2325-2428), applied one level up. nblk == 16 pairs the level-16
+    planes in-step and carries only the 32s across steps; nblk == 32
+    (round 3) runs the whole second level IN-step — four sixteens pair
+    to one peeled 64s plane with no cross-step pending machinery and
+    half the per-step scratch round-trips of nblk=16."""
     if mode == "flagstat":
         n_streams = B.N_STREAMS
         stages = B.pruned_pairs()
@@ -129,12 +140,22 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
         stages = {j: B.swap_pairs(j) for j, _ in B.TRANSPOSE_STAGES}
         make_streams = _stream_inputs_pospopcnt
 
-    two_level = nblk in (8, 16)
+    if two_level is None:
+        # Round-3 default: OFF. The second-level tree existed to amortize
+        # the ~16-op SWAR peel; with the native-popcount peel (1 op) the
+        # cross-step state machine costs more than it saves (alternating
+        # A/B 2026-08-19, docs/BENCHMARKS.md round-3 section). The flag
+        # stays so the two-level schedule remains buildable/testable.
+        two_level = False
+    if two_level and nblk not in (8, 16, 32):
+        raise ValueError("two_level schedules exist for nblk in (8,16,32)")
 
     def kernel(x_ref, out_ref, v1_ref, v2_ref, v4_ref, v8_ref, *extra):
         step = pl.program_id(0)
         nsteps = pl.num_programs(0)
-        if two_level:
+        if two_level and nblk == 32:
+            v16_ref, v32_ref = extra
+        elif two_level:
             v16_ref, v32_ref, s16p_ref, t32p_ref = extra
 
         @pl.when(step == 0)
@@ -219,6 +240,14 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
                     for s in range(n_streams):
                         v32_ref[s], t64 = _csa(v32_ref[s], t32p_ref[s], t32[s])
                         out_ref[s] += (_popcount32(t64) << 6).astype(jnp.int32)
+        elif two_level and nblk == 32:
+            # the whole second level runs in-step: four sixteens -> two
+            # 32s -> one peeled 64s plane, nothing pending across steps
+            for s in range(n_streams):
+                v16_ref[s], t32a = _csa(v16_ref[s], s16[s][0], s16[s][1])
+                v16_ref[s], t32b = _csa(v16_ref[s], s16[s][2], s16[s][3])
+                v32_ref[s], t64 = _csa(v32_ref[s], t32a, t32b)
+                out_ref[s] += (_popcount32(t64) << 6).astype(jnp.int32)
         elif two_level:
             # nblk == 16: two sixteens per step pair IN-step at level 16;
             # only the 32s plane needs the cross-step pending machinery.
@@ -252,9 +281,9 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
                     res += (_popcount32(v16_ref[s]) << 4) + (
                         _popcount32(v32_ref[s]) << 5)
                 out_ref[s] += res.astype(jnp.int32)
-            if two_level:
+            if two_level and nblk != 32:
                 # pending planes are live only for these step-count
-                # parities (consumed otherwise)
+                # parities (consumed otherwise); nblk=32 has no pending
                 if nblk == 8:
                     @pl.when(nsteps % 2 == 1)
                     def _pending16():
@@ -275,17 +304,20 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False):
     return kernel, n_streams, two_level
 
 
-@functools.partial(jax.jit, static_argnames=("nblk", "mode", "interpret", "pre"))
+@functools.partial(jax.jit, static_argnames=("nblk", "mode", "interpret", "pre",
+                                              "two_level"))
 def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool,
-                pre: bool = False) -> jax.Array:
+                pre: bool = False, two_level: bool | None = None) -> jax.Array:
     """xg: (groups, 32, 16, 128) uint16 — or, with pre=True,
     (groups, 32, 8, 128) uint32 host-pretransposed plane tiles;
     groups % nblk == 0."""
-    kernel, n_streams, two_level = _make_kernel(nblk, mode, pre=pre)
+    kernel, n_streams, two_level = _make_kernel(nblk, mode, pre=pre,
+                                                two_level=two_level)
     groups = xg.shape[0]
     out_rows = 16 if mode == "pospopcnt" else 32
     in_block = (nblk, REGS, SUB, LANE) if pre else (nblk, REGS, SUB16, LANE)
-    n_scratch = 8 if two_level else 4   # + v16/v32/s16-pending/t32-pending
+    # + v16/v32 (+ s16-pending/t32-pending below nblk=32)
+    n_scratch = 4 if not two_level else (6 if nblk == 32 else 8)
     out = pl.pallas_call(
         kernel,
         grid=(groups // nblk,),
@@ -328,7 +360,8 @@ def _pack_stream(x: jax.Array, nblk: int) -> jax.Array:
 
 
 def stream_sums_pallas(
-    x: jax.Array, nblk: int = 8, interpret: bool = False, report: bool = False
+    x: jax.Array, nblk: int = 8, interpret: bool = False, report: bool = False,
+    two_level: bool | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Raw stratified stream sums (C[k], F[k]) each (16,) int32, psum-mergeable.
 
@@ -341,7 +374,8 @@ def stream_sums_pallas(
         # buffer uninitialized on hardware (same guard as read_xor_pallas)
         return jnp.zeros(F.N_BITS, jnp.int32), jnp.zeros(F.N_BITS, jnp.int32)
     mode = "flagstat_report" if report else "flagstat"
-    sums = _run_kernel(_pack_stream(x, nblk), nblk, mode, interpret)
+    sums = _run_kernel(_pack_stream(x, nblk), nblk, mode, interpret,
+                       two_level=two_level)
     return _sums_to_streams(sums, report)
 
 
@@ -646,7 +680,8 @@ def flagstat_pallas_words(x: jax.Array, n=None, interpret: bool = False) -> jax.
 # the Pallas plumbing (refs, grid, scratch carry) is left to on-TPU tests.
 # ---------------------------------------------------------------------------
 
-def _stream_sums_jnp_body(xg: jax.Array, mode: str, pre: bool = False) -> jax.Array:
+def _stream_sums_jnp_body(xg: jax.Array, mode: str, pre: bool = False,
+                          two_level: bool = False) -> jax.Array:
     if mode == "flagstat":
         stages = B.pruned_pairs()
         make_streams = _stream_inputs_flagstat
@@ -698,6 +733,12 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str, pre: bool = False) -> jax.Ar
                 eightsA[s] = eights
                 continue
             v8[s], sixteens = _csa(v8[s], eightsA[s], eights)
+            if not two_level:
+                # default schedule (matches the kernel's round-3
+                # default): peel each sixteens plane immediately
+                acc[s] = acc[s] + (_popcount32(sixteens) << 4).astype(
+                    jnp.int32)
+                continue
             # second-level Harley-Seal over sixteens planes (identical
             # state machine to the two_level kernel, keyed on body index)
             if body % 2 == 0:
@@ -716,24 +757,27 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str, pre: bool = False) -> jax.Ar
             + (_popcount32(v2[s]) << 1)
             + (_popcount32(v4[s]) << 2)
             + (_popcount32(v8[s]) << 3)
-            + (_popcount32(v16[s]) << 4)
-            + (_popcount32(v32[s]) << 5)
         )
-        if nbodies % 2 == 1:
-            res = res + (_popcount32(s16p[s]) << 4)
-        if nbodies % 4 in (2, 3):
-            res = res + (_popcount32(t32p[s]) << 5)
+        if two_level:
+            res = res + (_popcount32(v16[s]) << 4) + (
+                _popcount32(v32[s]) << 5)
+            if nbodies % 2 == 1:
+                res = res + (_popcount32(s16p[s]) << 4)
+            if nbodies % 4 in (2, 3):
+                res = res + (_popcount32(t32p[s]) << 5)
         acc[s] = acc[s] + res.astype(jnp.int32)
     return jnp.stack([a.sum() for a in acc])
 
 
 def flagstat_bitsliced_jnp(x: jax.Array, n=None, nblk: int = 8,
-                           report: bool = False) -> jax.Array:
+                           report: bool = False,
+                           two_level: bool = False) -> jax.Array:
     """CPU-testable twin of flagstat_pallas (same math, no pallas_call)."""
     if n is None:
         n = x.size
     mode = "flagstat_report" if report else "flagstat"
-    sums = _stream_sums_jnp_body(_pack_stream(x, nblk), mode)
+    sums = _stream_sums_jnp_body(_pack_stream(x, nblk), mode,
+                                 two_level=two_level)
     total, fail = _sums_to_streams(sums, report)
     return assemble_counters(total, fail, n)
 

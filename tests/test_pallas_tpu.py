@@ -41,12 +41,29 @@ def test_flagstat_pallas_tpu(steps, extra):
 
 @pytest.mark.parametrize("steps", [1, 2, 3])
 def test_flagstat_pallas_nblk16_tpu(steps):
-    """nblk=16 variant: in-step level-16 pairing + cross-step 32s
-    pending machinery, every nsteps parity."""
+    """nblk=16 variant, every nsteps parity (round-3 default schedule:
+    per-body native-popcount peel, no second-level tree)."""
     n = steps * 16 * GROUP_WORDS - 99
     x = generate_flags(n, seed=n & 0xFFFF, full_range=True)
     got = np.asarray(flagstat_pallas(jnp.asarray(x), n=n, nblk=16),
                      dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+@pytest.mark.parametrize("nblk,steps", [(8, 3), (16, 2), (32, 1)])
+def test_flagstat_pallas_two_level_tpu(nblk, steps):
+    """The opt-in two-level CSA schedules (cross-step pending planes at
+    nblk=8/16, fully in-step at nblk=32) stay bit-exact — they are the
+    fallback if a future kernel change re-raises the peel cost."""
+    from libflagstats_tpu.ops.pallas_kernels import stream_sums_pallas
+    from libflagstats_tpu.ops.xla_ops import assemble_counters
+
+    n = steps * nblk * GROUP_WORDS - 777
+    x = generate_flags(n, seed=nblk + steps, full_range=True)
+    xp = np.concatenate([x, np.zeros((-n) % (nblk * GROUP_WORDS),
+                                     np.uint16)])
+    t, f = stream_sums_pallas(jnp.asarray(xp), nblk=nblk, two_level=True)
+    got = np.asarray(assemble_counters(t, f, jnp.int32(n)), dtype=np.int64)
     assert_counters_equal(flagstat_numpy(x), got)
 
 

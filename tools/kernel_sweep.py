@@ -53,7 +53,7 @@ def main() -> int:
 
     ok_all = True
     for report in (True, False):
-        for nblk in (8, 16):
+        for nblk in (8, 16, 32):
             def body(a, nblk=nblk, report=report):
                 t, f = PK.stream_sums_pallas(a, nblk=nblk, report=report)
                 return jnp.concatenate([t, f])
