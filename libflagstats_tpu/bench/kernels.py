@@ -42,6 +42,12 @@ def _bodies(n_words: int):
             bodies["pallas_nblk16"] = lambda a: jnp.concatenate(
                 PK.stream_sums_pallas(a, nblk=16)
             )
+        if n_words % (8 * PK.GROUP_WORDS) == 0:
+            # the opt-in two-level CSA schedule (round-2 default) — kept
+            # on the roster so the A/B that retired it stays reproducible
+            bodies["pallas_two_level"] = lambda a: jnp.concatenate(
+                PK.stream_sums_pallas(a, two_level=True)
+            )
         if n_words % PK.WORDS_STEP == 0:
             def words_body(a):
                 padded = a.reshape(-1, 512, 128)
