@@ -769,6 +769,109 @@ def _stream_sums_jnp_body(xg: jax.Array, mode: str, pre: bool = False,
     return jnp.stack([a.sum() for a in acc])
 
 
+# ---------------------------------------------------------------------------
+# Scan-based bit-sliced formulation in PLAIN XLA (no pallas_call): the
+# same transpose + transform + Harley-Seal body as the Pallas kernel,
+# wrapped in a lax.scan over 8-group bodies so the HLO stays one traced
+# body regardless of stream length (the jnp twin above unrolls every
+# group — fine for tests, catastrophic to compile at scale).
+#
+# KEPT AS A BENCHMARKED NEGATIVE RESULT (round 3; same class as
+# pospopcnt_u16_matmul): measured 2026-08-19 at 64Mi words, this runs at
+# 5.0 GB/s on TPU vs 65.7 for the packed-SWAR xla tier and 748 for the
+# Pallas kernel — without Pallas's explicit VMEM residency, the scan
+# carry (4 CSA levels x 29 streams of (8,128) planes) round-trips HBM
+# every body and XLA materializes the intermediates. On the CPU backend
+# it is likewise ~4x slower than packed-SWAR with minutes-long compiles.
+# This is direct evidence for WHY the hot path is a Pallas kernel rather
+# than "let XLA fuse it": the algorithm is identical, the residency is
+# not. Not registered as a dispatch tier; exercised by a TPU-gated test.
+# ---------------------------------------------------------------------------
+
+
+def _scan_mode_setup(mode: str):
+    if mode == "flagstat":
+        return (B.pruned_pairs(), _stream_inputs_flagstat, B.N_STREAMS)
+    if mode == "flagstat_report":
+        return (B.pruned_pairs(B.REPORT_NEEDED_ROWS),
+                functools.partial(_stream_inputs_flagstat, report=True),
+                B.N_REPORT_STREAMS)
+    return ({j: B.swap_pairs(j) for j, _ in B.TRANSPOSE_STAGES},
+            _stream_inputs_pospopcnt, 16)
+
+
+def _stream_sums_scan_body(mode: str):
+    stages, make_streams, n_streams = _scan_mode_setup(mode)
+
+    def body(carry, x8):
+        vs, acc = carry                       # vs: (4, S, 8, 128) uint32
+        v = [[vs[lvl, s] for s in range(n_streams)] for lvl in range(4)]
+        v1, v2, v4, v8 = v
+        twosA = [None] * n_streams
+        foursA = [None] * n_streams
+        eightsA = [None] * n_streams
+        peel = [None] * n_streams
+        for g in range(8):
+            regs = [
+                x8[g, k, 0::2, :].astype(_U32)
+                | (x8[g, k, 1::2, :].astype(_U32) << 16)
+                for k in range(REGS)
+            ]
+            rows = _transpose32(regs, stages)
+            for s, (d0, d1) in enumerate(make_streams(rows)):
+                v1[s], twos = _csa(v1[s], d0, d1)
+                if g % 2 == 0:
+                    twosA[s] = twos
+                    continue
+                v2[s], fours = _csa(v2[s], twosA[s], twos)
+                if g % 4 == 1:
+                    foursA[s] = fours
+                    continue
+                v4[s], eights = _csa(v4[s], foursA[s], fours)
+                if g % 8 == 3:
+                    eightsA[s] = eights
+                    continue
+                v8[s], sixteens = _csa(v8[s], eightsA[s], eights)
+                peel[s] = (_popcount32(sixteens) << 4).astype(jnp.int32)
+        acc = acc + jnp.stack(peel)
+        vs = jnp.stack([jnp.stack(lvl) for lvl in (v1, v2, v4, v8)])
+        return (vs, acc), None
+
+    return body, n_streams
+
+
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _stream_sums_scan(xg: jax.Array, mode: str) -> jax.Array:
+    """xg: (groups, 32, 16, 128) uint16, groups % 8 == 0 -> (S,) int32."""
+    body, n_streams = _stream_sums_scan_body(mode)
+    xb = xg.reshape(-1, 8, REGS, SUB16, LANE)
+    vs0 = jnp.zeros((4, n_streams, SUB, LANE), _U32)
+    acc0 = jnp.zeros((n_streams, SUB, LANE), jnp.int32)
+    (vs, acc), _ = jax.lax.scan(body, (vs0, acc0), xb)
+    for lvl in range(4):
+        acc = acc + (_popcount32(vs[lvl]) << lvl).astype(jnp.int32)
+    return jnp.sum(acc, axis=(1, 2))
+
+
+def stream_sums_scan(x: jax.Array, report: bool = False
+                     ) -> tuple[jax.Array, jax.Array]:
+    """(C[k], F[k]) stream sums via the scan-based bit-sliced XLA
+    formulation (portable: no Pallas). Pads to whole 8-group bodies."""
+    if x.size == 0:
+        return jnp.zeros(F.N_BITS, jnp.int32), jnp.zeros(F.N_BITS, jnp.int32)
+    mode = "flagstat_report" if report else "flagstat"
+    sums = _stream_sums_scan(_pack_stream(x, 8), mode)
+    return _sums_to_streams(sums, report)
+
+
+def flagstat_xla_scan(x: jax.Array, n=None, report: bool = False) -> jax.Array:
+    """Flagstat via the scan-based bit-sliced XLA tier -> (32,) int32."""
+    if n is None:
+        n = x.size
+    total, fail = stream_sums_scan(x, report=report)
+    return assemble_counters(total, fail, n)
+
+
 def flagstat_bitsliced_jnp(x: jax.Array, n=None, nblk: int = 8,
                            report: bool = False,
                            two_level: bool = False) -> jax.Array:

@@ -67,6 +67,19 @@ def test_flagstat_pallas_two_level_tpu(nblk, steps):
     assert_counters_equal(flagstat_numpy(x), got)
 
 
+def test_stream_sums_scan_negative_result_tier_tpu():
+    """The scan-based bit-sliced XLA formulation (the Pallas algorithm
+    without Mosaic — kept as a benchmarked negative result, see its
+    module comment) stays bit-exact on hardware."""
+    from libflagstats_tpu.ops.pallas_kernels import flagstat_xla_scan
+
+    n = 8 * GROUP_WORDS - 4321
+    x = generate_flags(n, seed=11, full_range=True)
+    xp = np.concatenate([x, np.zeros((-n) % (8 * GROUP_WORDS), np.uint16)])
+    got = np.asarray(flagstat_xla_scan(jnp.asarray(xp), n=n), dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
 def test_pospopcnt_pallas_tpu():
     n = 8 * GROUP_WORDS
     x = generate_flags(n, seed=3, full_range=True)
