@@ -86,7 +86,7 @@ def _measure_worker() -> dict:
 
         # headline (round 3): FULL-PARITY mode — all 29 streams / 32
         # counters, at the measured-best grid depth the public dispatch
-        # path now runs (CONFIG.nblk_full = 16; the reference's fastest
+        # path now runs (CONFIG.nblk_full; the reference's fastest
         # kernel is its conformant one, libflagstats.h:2325-2428, and
         # ours should be too). The 21-stream report kernel stays as a
         # secondary correctness gate.
@@ -194,6 +194,14 @@ def _measure_worker() -> dict:
         if spec and bps > spec * 1.02:
             rejected += 1
             continue
+        if not spec and bps > max(roof, roof_window) * ROOF_MARGIN:
+            # device kind not in HBM_NOMINAL: no physical cap is known,
+            # so the measured-roofline reject must stay as the backstop
+            # against caching artifacts (the round-1 7.5x failure mode) —
+            # losing BOTH gates silently would be worse than occasionally
+            # rejecting an honest quiet-instant sample
+            rejected += 1
+            continue
         if bps > max(roof, roof_window) * ROOF_MARGIN:
             # Either the kernel sample is a caching artifact, OR the
             # roofline itself was measured in a congested window. The
@@ -230,8 +238,12 @@ def _measure_worker() -> dict:
     # bracketed in-window roofline, raised by the kernel's own observed
     # read rate when that exceeds it (a conformant kernel that read the
     # bytes at X proves the floor >= X; measured read kernels only ever
-    # UNDERSTATE the ceiling). vs_roofline is therefore honest and
-    # can never exceed 1.0.
+    # UNDERSTATE the ceiling). The self-raise is bounded: accepted
+    # samples already satisfy the nominal-HBM cap (or, when the part is
+    # unknown, the measured-roofline margin), so an artifact cannot
+    # inflate the denominator past physics — and the raw in-window
+    # roofline ships alongside (window_roofline_gbs) so nothing is
+    # hidden by the cap-at-1.0 ratio.
     denom = max(roof_window, bps)
     return {
         "backend": backend,
@@ -245,6 +257,7 @@ def _measure_worker() -> dict:
         # roof_bracket); the defended multi-sample roofline is reported
         # alongside for cross-checking
         "roofline_gbs": denom / 1e9,
+        "window_roofline_gbs": roof_window / 1e9,
         "defended_roofline_gbs": roof / 1e9,
         "roofline_kind": roof_name,
         "vs_roofline": bps / denom,

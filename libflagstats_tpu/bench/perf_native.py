@@ -148,7 +148,9 @@ class CountedRun:
     def ipc(self) -> float | None:
         c = self.min_per_word.get("cycles")
         i = self.min_per_word.get("instructions")
-        return (i / c) if c else None
+        # a PMU can expose a SUBSET of hardware events (each opens
+        # independently); IPC needs both
+        return (i / c) if (c and i is not None) else None
 
 
 def measure(fn, n_words: int, iters: int = 9, make_input=None,
@@ -157,8 +159,16 @@ def measure(fn, n_words: int, iters: int = 9, make_input=None,
     iteration (the reference draws fresh data per iteration so the
     kernel cannot win from a warmed branch predictor / cache,
     instrumented_benchmark.cpp:174-179); reports min and avg per word
-    minus the measured start/stop overhead (":417-454")."""
+    minus the measured start/stop overhead (":417-454").
+
+    ``make_input``: optional (iteration) -> uint16 array factory
+    replacing the default fresh-random generator (e.g. to count a real
+    dataset)."""
     from ..oracle import generate_flags
+
+    if make_input is None:
+        def make_input(i):
+            return generate_flags(n_words, seed=1000 + i, full_range=True)
 
     g = PerfGroup(events)
     if not g.ok:
@@ -175,7 +185,7 @@ def measure(fn, n_words: int, iters: int = 9, make_input=None,
         mins: dict[str, float] = {}
         sums: dict[str, float] = {}
         for i in range(iters):
-            arr = generate_flags(n_words, seed=1000 + i, full_range=True)
+            arr = make_input(i)
             g.start()
             fn(arr)
             res = g.stop()

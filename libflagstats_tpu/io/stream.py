@@ -245,10 +245,13 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
                         buf[:rem] = buf[chunk_words:fill]
                 if epoch_words + chunk_words > _dispatch.DEVICE_WORD_CAP:
                     roll_epoch()
-                # h2d (the device_put enqueue) is timed apart from the
-                # async step dispatch so pipeline balance is observable:
-                # if h2d dominates on the TPU backend the transfer is
-                # serializing the pipeline (round-2 verdict next #5)
+                # h2d times the device_put ENQUEUE only — on async
+                # backends a near-zero h2d does NOT prove the transfer
+                # is hidden (it may be paid inside the final fetch);
+                # the overlapped-vs-serial legs of
+                # tools/pipeline_balance.py are the reliable overlap
+                # measurement. A LARGE h2d here does prove the enqueue
+                # itself blocks (round-2 verdict next #5).
                 with timer.section("h2d"):
                     dev = jnp.asarray(chunk)
                 with timer.section("dispatch"):

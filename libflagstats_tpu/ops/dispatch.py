@@ -223,7 +223,7 @@ def get_function(n_len: int, impl: str | None = None):
         )
     if impl == "pallas":
         # full-parity mode runs the measured-best grid depth
-        # (CONFIG.nblk_full = 16; A/B citation at Config.nblk)
+        # (CONFIG.nblk_full; A/B citation at Config.nblk)
         from ..config import nblk_for
 
         nblk = nblk_for(report=False)

@@ -116,7 +116,7 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False,
     {"flagstat", "flagstat_report", "pospopcnt"}; ``pre=True`` consumes
     host-pretransposed plane tiles and skips the in-VMEM transpose.
 
-    Returns (kernel, n_streams, n_scratch). With nblk == 8 (one
+    Returns (kernel, n_streams, two_level). With nblk == 8 (one
     Harley-Seal body per grid step) a SECOND Harley-Seal tree runs over
     the sixteens planes across grid steps (v16/v32 carried in VMEM
     scratch), so the popcount peel runs every 4th step instead of

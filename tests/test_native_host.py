@@ -216,15 +216,25 @@ def test_multihost_file_native_single_process(tmp_path):
     assert_counters_equal(flagstat_numpy(x), got)
 
 
+def _perf_available():
+    from libflagstats_tpu.bench import perf_native as P
+
+    return P.available()
+
+
 def test_perf_group_counts_software_events():
     """The perf_event shim (io/native/perf_events.cpp; reference:
     linux/linux-perf-events.h:16-90) must open a group, bracket a region,
     and return per-event counts. Hardware events may be absent on
     virtualized hosts (ENOENT — true of this box); software events
-    (task-clock) always exist on Linux, so the plumbing is fully
-    exercised either way."""
+    (task-clock) exist wherever perf_event_open is permitted at all, so
+    the plumbing is fully exercised either way. Hosts where the syscall
+    itself is blocked (seccomp, perf_event_paranoid >= 3) skip — the
+    library degrades there by design and cli instrumented says so."""
     from libflagstats_tpu.bench import perf_native as P
 
+    if not _perf_available():
+        pytest.skip("perf_event_open blocked on this host")
     g = P.PerfGroup()
     try:
         assert g.ok
@@ -250,6 +260,8 @@ def test_perf_measure_native_kernels():
     real (counted) or only software events opened."""
     from libflagstats_tpu.bench import perf_native as P
 
+    if not _perf_available():
+        pytest.skip("perf_event_open blocked on this host")
     rows = P.native_kernel_report(n_words=1 << 18, iters=3)
     assert [r.name for r in rows] == ["lfs_flagstat_u16",
                                       "lfs_pospopcnt_u16"]

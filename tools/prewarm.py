@@ -70,18 +70,23 @@ def main() -> int:
               f"{time.time()-t0:.1f}s", flush=True)
 
     # round 3: the dispatch/bench/stream paths run full-parity at the
-    # measured-best nblk=16 (config.nblk_for) — warm those programs too
+    # measured-best depth (config.nblk_for) — warm those programs too
+    # when it differs from the report default
     from libflagstats_tpu.config import nblk_for
 
     nfull = nblk_for(report=False)
+    n64 = 64 * 1024 * 1024
+    x = jnp.asarray(generate_flags(n64, seed=0))
+    t0 = time.time()
+    jax.block_until_ready(flagstat_pallas(x, n=n64, nblk=nfull))
+    print(f"[prewarm] bench 64Mi full (nblk={nfull}): {time.time()-t0:.1f}s",
+          flush=True)
     if nfull != CONFIG.nblk:
-        for name, n in ((f"1 step nblk{nfull}", nfull * GROUP_WORDS),
-                        (f"bench 64Mi nblk{nfull}", 64 * 1024 * 1024)):
-            x = jnp.asarray(generate_flags(n, seed=0))
-            t0 = time.time()
-            jax.block_until_ready(flagstat_pallas(x, n=n, nblk=nfull))
-            print(f"[prewarm] {name} full: {time.time()-t0:.1f}s",
-                  flush=True)
+        x = jnp.asarray(generate_flags(nfull * GROUP_WORDS, seed=0))
+        t0 = time.time()
+        jax.block_until_ready(flagstat_pallas(x, n=x.size, nblk=nfull))
+        print(f"[prewarm] 1 step nblk{nfull} full: {time.time()-t0:.1f}s",
+              flush=True)
         chunk_full = nfull * GROUP_WORDS
         step = _jit_chunk_sums("pallas", chunk_full, False, nblk=nfull)
         xc = jnp.asarray(generate_flags(chunk_full, seed=0))
