@@ -140,10 +140,35 @@ def _cmd_decompress(args):
     return 0
 
 
+def _is_bgzf(path) -> bool:
+    with open(path, "rb") as fh:
+        head = fh.read(4)
+    return len(head) == 4 and head[:2] == b"\x1f\x8b" and head[3] & 4
+
+
 def _cmd_flagstat(args):
-    arr = samio.read_binary(args.input)
+    if str(args.input).endswith(".bam") or _is_bgzf(args.input):
+        # the full `samtools flagstat <bam>` workload, samtools-free
+        # (BGZF inflate -> FLAG walk -> counting kernel; io/bamio.py)
+        from .io.bamio import read_bam_flags
+
+        arr = read_bam_flags(args.input, threads=args.threads)
+    else:
+        arr = samio.read_binary(args.input)
     counters = _flagstat_array(arr, args.impl)
     print(counters_to_report(counters).text())
+    return 0
+
+
+def _cmd_bam2flags(args):
+    """BAM -> binary uint16 FLAG column (the reference gets this via
+    `samtools view | cut -f2 | utility`, reference README.md:56)."""
+    from .io.bamio import read_bam_flags
+
+    flags_arr = read_bam_flags(args.input, threads=args.threads)
+    out = args.output or (str(args.input) + ".flags.bin")
+    flags_arr.tofile(out)
+    print(f"{out}: {flags_arr.size} FLAG words", file=sys.stderr)
     return 0
 
 
@@ -302,10 +327,20 @@ def main(argv=None) -> int:
                         "reference: flagstats.cpp clear_cache)")
     d.set_defaults(fn=_cmd_decompress)
 
-    f = sub.add_parser("flagstat", help="samtools-style report of a binary column")
+    f = sub.add_parser("flagstat", help="samtools-style report of a binary "
+                       "FLAG column or a .bam file (BGZF auto-detected)")
     f.add_argument("input")
     f.add_argument("--impl", choices=sorted(FLAGSTAT_IMPLS), default=None)
+    f.add_argument("--threads", type=int, default=0,
+                   help="BGZF inflate threads (BAM input; 0 = all cores)")
     f.set_defaults(fn=_cmd_flagstat)
+
+    b2 = sub.add_parser("bam2flags",
+                        help="extract the uint16 FLAG column from a BAM")
+    b2.add_argument("input")
+    b2.add_argument("--output", "-o")
+    b2.add_argument("--threads", type=int, default=0)
+    b2.set_defaults(fn=_cmd_bam2flags)
 
     m = sub.add_parser("inmemory", help="correctness+speed harness")
     m.add_argument("-n", type=int, default=1024 * 100)

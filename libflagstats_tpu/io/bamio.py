@@ -1,0 +1,175 @@
+"""BAM/BGZF ingest: extract the FLAG column straight from a .bam file.
+
+Beyond-reference capability: the reference's headline comparison is
+`samtools flagstat` on a BAM (30m50s for NA12878, README.md:33), but the
+reference library itself only consumes a pre-extracted binary FLAG
+column (`samtools view | cut -f2 | utility`, reference README.md:56) —
+it needs samtools upstream. This module (plus the native
+`lfs_bam_flags` walker) closes that gap: the framework reads the BAM
+container directly, so `flagstat file.bam` is self-sufficient.
+
+Format facts used (SAM/BAM spec v1.6):
+- BGZF = concatenated gzip members, each with an extra subfield
+  'BC' carrying BSIZE (total member size - 1); member payload is raw
+  DEFLATE of <= 65536 bytes; the stream ends with a fixed 28-byte EOF
+  member.
+- BAM payload: magic "BAM\\1", l_text, text, n_ref, n_ref x
+  {l_name, name, l_ref}, then alignment records of
+  {block_size:int32, ...}: FLAG is the uint16 at byte offset 14 inside
+  the record body (refID 4 + pos 4 + l_read_name 1 + mapq 1 + bin 2 +
+  n_cigar_op 2).
+
+The pure-Python reader here is the correctness reference (and the
+fallback when the native lib is absent); the native walker in
+io/native/bam_reader.cpp is the fast path (threaded BGZF inflate +
+sequential record walk). A minimal BAM writer is provided for tests and
+synthetic benchmarks — records carry no sequence/quality (l_seq = 0 is
+spec-legal), so the container cost is the per-record fixed overhead the
+FLAG walk has to skip, which is exactly what the walker needs exercised.
+"""
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+
+import numpy as np
+
+#: fixed BGZF end-of-file member (SAM spec 4.1.2)
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000")
+
+_FIXED = 32          # record bytes after block_size, before read_name
+_FLAG_OFF = 14       # offset of the uint16 FLAG inside the record body
+
+
+def _bgzf_member(payload: bytes, level: int = 6) -> bytes:
+    """One BGZF member (gzip + BC/BSIZE extra subfield) for <= 64KiB."""
+    assert len(payload) <= 65536
+    co = zlib.compressobj(level, zlib.DEFLATED, -15)  # raw deflate
+    comp = co.compress(payload) + co.flush()
+    bsize = 12 + 6 + len(comp) + 8  # header(12+xtra 6) + data + footer(8)
+    if bsize > 65536:
+        # incompressible payload: store nearly raw (level 0)
+        co = zlib.compressobj(0, zlib.DEFLATED, -15)
+        comp = co.compress(payload) + co.flush()
+        bsize = 12 + 6 + len(comp) + 8
+    head = struct.pack("<BBBBIBBHBBHH",
+                       0x1F, 0x8B, 8, 4,    # gzip magic, deflate, FEXTRA
+                       0, 0, 0xFF,          # mtime, xfl, os
+                       6,                   # XLEN
+                       ord("B"), ord("C"), 2, bsize - 1)
+    foot = struct.pack("<II", zlib.crc32(payload), len(payload) & 0xFFFFFFFF)
+    return head + comp + foot
+
+
+def write_bam(path, flags, read_name: bytes = b"r",
+              block_bytes: int = 60000, level: int = 6) -> int:
+    """Write a minimal spec-conform BAM whose records carry the given
+    FLAG values (no sequence/quality/cigar; one unmapped-style record
+    per flag). Record assembly is numpy-vectorized (a Python per-record
+    loop would make multi-hundred-Mrecord synthetic benchmarks
+    impractical). Returns the number of records written."""
+    flags = np.ascontiguousarray(np.asarray(flags, dtype=np.uint16)).ravel()
+    name = read_name + b"\x00"
+    header = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 0)
+    template = (struct.pack("<i", _FIXED + len(name))
+                + struct.pack("<iiBBHH", -1, -1, len(name), 0, 4680, 0)
+                + b"\x00\x00"                       # FLAG placeholder
+                + struct.pack("<iiii", 0, -1, -1, 0)
+                + name)
+    rec_len = len(template)
+    chunk_records = max(1, (1 << 22) // rec_len)    # ~4 MB of raw records
+
+    with open(path, "wb") as fh:
+        buf = bytearray(header)
+        for start in range(0, flags.size, chunk_records):
+            part = flags[start:start + chunk_records]
+            recs = np.broadcast_to(
+                np.frombuffer(template, dtype=np.uint8),
+                (part.size, rec_len)).copy()
+            recs[:, 18:20] = part.view(np.uint8).reshape(-1, 2)
+            buf += recs.tobytes()
+            while len(buf) >= block_bytes:
+                fh.write(_bgzf_member(bytes(buf[:block_bytes]),
+                                      level=level))
+                del buf[:block_bytes]
+        while buf:
+            fh.write(_bgzf_member(bytes(buf[:block_bytes]), level=level))
+            del buf[:block_bytes]
+        fh.write(BGZF_EOF)
+    return int(flags.size)
+
+
+def read_bam_flags_py(path, max_records: int | None = None) -> np.ndarray:
+    """Pure-Python FLAG-column extraction from a BAM (the correctness
+    reference for the native walker). Streams the decompressed payload;
+    memory stays O(block)."""
+    flags: list[int] = []
+    with gzip.open(path, "rb") as fh:
+        magic = fh.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"not a BAM file (magic {magic!r})")
+        (l_text,) = struct.unpack("<i", fh.read(4))
+        fh.read(l_text)
+        (n_ref,) = struct.unpack("<i", fh.read(4))
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", fh.read(4))
+            fh.read(l_name + 4)
+        while True:
+            bs = fh.read(4)
+            if len(bs) < 4:
+                break
+            (block_size,) = struct.unpack("<i", bs)
+            if block_size < _FIXED:
+                raise ValueError(f"corrupt record (block_size {block_size})")
+            body = fh.read(block_size)
+            if len(body) < block_size:
+                raise ValueError("truncated BAM record")
+            flags.append(struct.unpack_from("<H", body, _FLAG_OFF)[0])
+            if max_records is not None and len(flags) >= max_records:
+                break
+    return np.asarray(flags, dtype=np.uint16)
+
+
+def read_bam_flags(path, threads: int = 0) -> np.ndarray:
+    """FLAG column of a BAM file -> uint16 array.
+
+    Native threaded walker when the native lib is present (BGZF blocks
+    inflate in parallel, records walk sequentially with cross-block
+    carry), pure Python otherwise."""
+    from . import native_lib
+
+    lib = native_lib.load()
+    if lib is None or not hasattr(lib, "lfs_bam_flags"):
+        return read_bam_flags_py(path)
+    import ctypes
+    import os
+
+    size = os.path.getsize(path)
+    if size == 0:
+        raise ValueError("empty BAM file")
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    addr = mm.ctypes.data
+    bound = lib.lfs_bam_bound(addr, size)
+    if bound < 0:
+        raise ValueError(f"BAM parse failed (rc={bound}) — file "
+                         "corrupt, truncated, or not BGZF")
+    out = np.empty(bound, dtype=np.uint16)
+    got = lib.lfs_bam_flags(
+        addr, size, out.ctypes.data_as(ctypes.c_void_p), bound, threads)
+    if got < 0:
+        raise ValueError(f"BAM walk failed (rc={got}) — file "
+                         "corrupt, truncated, or not BGZF")
+    return out[:got].copy()
+
+
+def flagstat_bam(path, threads: int = 0, impl: str | None = None):
+    """samtools-flagstat counters straight from a BAM file.
+
+    The full `samtools flagstat <bam>` workload (the reference's 30m50s
+    baseline) with no samtools in the loop: BGZF inflate -> FLAG walk ->
+    the dispatched counting kernel."""
+    from ..ops.dispatch import flagstats_u16
+
+    return flagstats_u16(read_bam_flags(path, threads=threads), impl=impl)

@@ -1,0 +1,329 @@
+// BAM/BGZF FLAG-column walker (native fast path of io/bamio.py).
+//
+// Beyond-reference capability: the reference consumes a pre-extracted
+// FLAG column and leans on samtools for the BAM itself (reference
+// README.md:56); this walker reads the BAM container directly so the
+// framework's `flagstat file.bam` is self-sufficient. Design:
+//
+//   phase A  scan BGZF member headers off the mmapped file (no inflate:
+//            each gzip member carries its total size in the 'BC' extra
+//            subfield and its uncompressed size in the ISIZE footer) —
+//            this yields an independent work list;
+//   phase B  inflate members in PARALLEL (raw DEFLATE, bounded window
+//            of in-flight buffers) — BGZF blocks are independent, which
+//            is the same block-parallelism samtools itself uses;
+//   phase C  a sequential incremental parser walks the decompressed
+//            byte stream in member order (records are variable-length,
+//            so record discovery is inherently sequential — but it is
+//            ~2 loads + a bounds check per record, GB/s-class) and
+//            extracts the uint16 FLAG at offset 14 of each record body.
+//
+// SAM/BAM spec v1.6 layout facts are documented in io/bamio.py.
+
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int64_t kMinRecord = 37;  // block_size(4) + fixed(32) + name(>=1)
+
+struct Member {
+    int64_t comp_off;   // offset of the DEFLATE payload in the file
+    int64_t comp_len;
+    int64_t raw_len;    // ISIZE (uncompressed payload size)
+};
+
+// Scan the BGZF member chain. Returns 0 or a negative error.
+int scan_members(const uint8_t* d, int64_t n, std::vector<Member>& out) {
+    int64_t off = 0;
+    while (off < n) {
+        if (n - off < 18) return -2;                   // truncated header
+        if (d[off] != 0x1F || d[off + 1] != 0x8B || d[off + 2] != 8 ||
+            !(d[off + 3] & 4))
+            return -3;                                 // not BGZF
+        uint16_t xlen;
+        std::memcpy(&xlen, d + off + 10, 2);
+        if (n - off < 12 + xlen + 8) return -2;
+        // find the BC subfield inside the extra area
+        int64_t x = off + 12, xend = x + xlen;
+        int64_t bsize = -1;
+        while (x + 4 <= xend) {
+            uint16_t slen;
+            std::memcpy(&slen, d + x + 2, 2);
+            if (d[x] == 'B' && d[x + 1] == 'C' && slen == 2) {
+                uint16_t bs;
+                std::memcpy(&bs, d + x + 4, 2);
+                bsize = (int64_t)bs + 1;
+                break;
+            }
+            x += 4 + slen;
+        }
+        if (bsize < 12 + xlen + 8) return -3;          // no/invalid BC
+        if (off + bsize > n) return -2;                // truncated member
+        uint32_t isize;
+        std::memcpy(&isize, d + off + bsize - 4, 4);
+        if (isize > 65536u) return -3;                 // spec cap
+        Member m;
+        m.comp_off = off + 12 + xlen;
+        m.comp_len = bsize - 12 - xlen - 8;
+        m.raw_len = isize;
+        out.push_back(m);
+        off += bsize;
+    }
+    return 0;
+}
+
+int inflate_member(const uint8_t* src, int64_t comp_len, uint8_t* dst,
+                   int64_t raw_len) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) return -4;
+    zs.next_in = const_cast<Bytef*>(src);
+    zs.avail_in = (uInt)comp_len;
+    zs.next_out = dst;
+    zs.avail_out = (uInt)raw_len;
+    int rc = inflate(&zs, Z_FINISH);
+    int64_t got = (int64_t)zs.total_out;
+    inflateEnd(&zs);
+    if (rc != Z_STREAM_END || got != raw_len) return -4;
+    return 0;
+}
+
+// Incremental BAM parser over an in-order sequence of byte chunks.
+struct Parser {
+    enum State {
+        MAGIC,      // need 8: "BAM\1" + l_text
+        SKIP_TEXT,
+        NREF,       // need 4
+        LNAME,      // need 4 (per ref)
+        SKIP_NAME,  // l_name + 4 (l_ref)
+        REC_SIZE,   // need 4
+        REC_HEAD,   // need 16 of the record body (flag at 14..15)
+        SKIP_REC,   // rest of the record
+        FAILED,
+    };
+    State state = MAGIC;
+    uint8_t pend[16];
+    int pend_len = 0;
+    int64_t skip = 0;
+    int64_t nref_left = 0;
+    int64_t rec_body = 0;
+    uint16_t* out;
+    int64_t cap;
+    int64_t count = 0;
+    int err = 0;
+
+    void fail(int e) { state = FAILED; err = e; }
+
+    // gather `need` bytes into pend across chunk boundaries; returns
+    // true when pend holds `need` bytes (and resets pend_len)
+    bool gather(const uint8_t*& p, const uint8_t* end, int need) {
+        int take = (int)((end - p) < (need - pend_len) ? (end - p)
+                                                       : (need - pend_len));
+        std::memcpy(pend + pend_len, p, take);
+        pend_len += take;
+        p += take;
+        if (pend_len < need) return false;
+        pend_len = 0;
+        return true;
+    }
+
+    void feed(const uint8_t* p, int64_t len) {
+        const uint8_t* end = p + len;
+        while (p < end && state != FAILED) {
+            switch (state) {
+            case MAGIC: {
+                if (!gather(p, end, 8)) return;
+                if (std::memcmp(pend, "BAM\x01", 4) != 0) return fail(-3);
+                int32_t l_text;
+                std::memcpy(&l_text, pend + 4, 4);
+                if (l_text < 0) return fail(-3);
+                skip = l_text;
+                state = SKIP_TEXT;
+                break;
+            }
+            case SKIP_TEXT: {
+                int64_t take = end - p < skip ? end - p : skip;
+                p += take;
+                skip -= take;
+                if (skip == 0) state = NREF;
+                break;
+            }
+            case NREF: {
+                if (!gather(p, end, 4)) return;
+                int32_t n_ref;
+                std::memcpy(&n_ref, pend, 4);
+                if (n_ref < 0) return fail(-3);
+                nref_left = n_ref;
+                state = nref_left ? LNAME : REC_SIZE;
+                break;
+            }
+            case LNAME: {
+                if (!gather(p, end, 4)) return;
+                int32_t l_name;
+                std::memcpy(&l_name, pend, 4);
+                if (l_name < 0) return fail(-3);
+                skip = (int64_t)l_name + 4;
+                state = SKIP_NAME;
+                break;
+            }
+            case SKIP_NAME: {
+                int64_t take = end - p < skip ? end - p : skip;
+                p += take;
+                skip -= take;
+                if (skip == 0) state = --nref_left ? LNAME : REC_SIZE;
+                break;
+            }
+            case REC_SIZE: {
+                // fast path: whole records inside this chunk walk in a
+                // tight loop (~2 loads + a jump per record) — the state
+                // machine below only handles chunk-boundary crossings
+                if (pend_len == 0) {
+                    while (end - p >= 20) {
+                        int32_t bs;
+                        std::memcpy(&bs, p, 4);
+                        if (bs < 33) return fail(-3);
+                        if (end - p < 4 + (int64_t)bs) break;
+                        if (count >= cap) return fail(-5);
+                        uint16_t flag;
+                        std::memcpy(&flag, p + 4 + 14, 2);
+                        out[count++] = flag;
+                        p += 4 + (int64_t)bs;
+                    }
+                    if (p >= end) return;
+                }
+                if (!gather(p, end, 4)) return;
+                int32_t bs;
+                std::memcpy(&bs, pend, 4);
+                if (bs < 33) return fail(-3);  // fixed 32 + name >= 1
+                rec_body = bs;
+                state = REC_HEAD;
+                break;
+            }
+            case REC_HEAD: {
+                if (!gather(p, end, 16)) return;
+                if (count >= cap) return fail(-5);
+                uint16_t flag;
+                std::memcpy(&flag, pend + 14, 2);
+                out[count++] = flag;
+                skip = rec_body - 16;
+                state = SKIP_REC;
+                break;
+            }
+            case SKIP_REC: {
+                int64_t take = end - p < skip ? end - p : skip;
+                p += take;
+                skip -= take;
+                if (skip == 0) state = REC_SIZE;
+                break;
+            }
+            case FAILED:
+                return;
+            }
+        }
+    }
+
+    // true iff the stream may legally end here (no partial anything)
+    bool clean_end() const {
+        return state == REC_SIZE && pend_len == 0 && err == 0;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Upper bound on the number of records (for output allocation): scans
+// only the BGZF headers. Returns the bound, or a negative error.
+int64_t lfs_bam_bound(const uint8_t* data, int64_t n_bytes) {
+    std::vector<Member> members;
+    int rc = scan_members(data, n_bytes, members);
+    if (rc != 0) return rc;
+    int64_t raw = 0;
+    for (const Member& m : members) raw += m.raw_len;
+    return raw / kMinRecord + 1;
+}
+
+// Extract the FLAG column. Returns the number of flags written, or a
+// negative error (-2 truncated, -3 malformed, -4 inflate failure,
+// -5 output capacity exceeded).
+int64_t lfs_bam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
+                      int64_t cap, int32_t threads) {
+    std::vector<Member> members;
+    int rc = scan_members(data, n_bytes, members);
+    if (rc != 0) return rc;
+    if (threads <= 0) {
+        unsigned hw = std::thread::hardware_concurrency();
+        threads = hw ? (int32_t)hw : 1;
+    }
+
+    Parser parser;
+    parser.out = out;
+    parser.cap = cap;
+
+    const int64_t window = (int64_t)threads * 8;
+    const int64_t n_members = (int64_t)members.size();
+    const size_t wcap = (size_t)std::min<int64_t>(window, n_members);
+    // double-buffered windows: the pool inflates window i while the
+    // main thread walks window i-1, so the (inherently sequential)
+    // record walk is hidden behind the (parallel) inflate
+    std::vector<std::vector<uint8_t>> bufs[2] = {
+        std::vector<std::vector<uint8_t>>(wcap),
+        std::vector<std::vector<uint8_t>>(wcap)};
+    std::vector<int> infl_rc[2] = {std::vector<int>(wcap, 0),
+                                   std::vector<int>(wcap, 0)};
+
+    auto inflate_window = [&](int slot, int64_t base, int64_t batch) {
+        std::atomic<int64_t> next(0);
+        auto work = [&]() {
+            for (;;) {
+                int64_t i = next.fetch_add(1);
+                if (i >= batch) return;
+                const Member& m = members[base + i];
+                bufs[slot][i].resize((size_t)m.raw_len);
+                infl_rc[slot][i] = m.raw_len == 0 ? 0 : inflate_member(
+                    data + m.comp_off, m.comp_len, bufs[slot][i].data(),
+                    m.raw_len);
+            }
+        };
+        int nt = (int)std::min<int64_t>(threads, batch);
+        std::vector<std::thread> pool;
+        for (int t = 1; t < nt; t++) pool.emplace_back(work);
+        work();
+        for (auto& th : pool) th.join();
+        for (int64_t i = 0; i < batch; i++)
+            if (infl_rc[slot][i] != 0) return infl_rc[slot][i];
+        return 0;
+    };
+    auto walk_window = [&](int slot, int64_t batch) {
+        for (int64_t i = 0; i < batch && !parser.err; i++)
+            if (!bufs[slot][i].empty())
+                parser.feed(bufs[slot][i].data(),
+                            (int64_t)bufs[slot][i].size());
+    };
+
+    int slot = 0;
+    int64_t prev_batch = 0;
+    for (int64_t base = 0; base < n_members && !parser.err; base += window) {
+        int64_t batch = std::min<int64_t>(window, n_members - base);
+        int infl_err = 0;
+        std::thread producer([&]() { infl_err = inflate_window(slot, base,
+                                                               batch); });
+        walk_window(1 - slot, prev_batch);   // overlaps the inflate
+        producer.join();
+        if (infl_err) return infl_err;
+        prev_batch = batch;
+        slot = 1 - slot;
+    }
+    walk_window(1 - slot, prev_batch);       // drain the last window
+    if (parser.err) return parser.err;
+    if (!parser.clean_end()) return -2;  // mid-record EOF: truncated
+    return parser.count;
+}
+
+}  // extern "C"

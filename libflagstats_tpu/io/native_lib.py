@@ -18,6 +18,7 @@ _SRCS = [
     Path(__file__).parent / "native" / "flagstats_io.cpp",
     Path(__file__).parent / "native" / "flagstats_host.cpp",
     Path(__file__).parent / "native" / "perf_events.cpp",
+    Path(__file__).parent / "native" / "bam_reader.cpp",
 ]
 _BUILD_DIR = Path(__file__).resolve().parent.parent.parent / "build"
 # -march=native binaries are host-specific: on a shared checkout
@@ -47,7 +48,8 @@ def _build() -> Path:
     try:
         cmd = [
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-            *(str(s) for s in _SRCS), "-o", tmp, "-lzstd", "-pthread",
+            *(str(s) for s in _SRCS), "-o", tmp, "-lzstd", "-lz",
+            "-pthread",
         ]
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, _LIB_PATH)
@@ -132,4 +134,9 @@ def _bind(lib):
     lib.lfs_perf_stop.argtypes = [i64, ctypes.c_void_p]
     lib.lfs_perf_close.restype = None
     lib.lfs_perf_close.argtypes = [i64]
+    lib.lfs_bam_bound.restype = i64
+    lib.lfs_bam_bound.argtypes = [ctypes.c_void_p, i64]
+    lib.lfs_bam_flags.restype = i64
+    lib.lfs_bam_flags.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p,
+                                  i64, i32]
     return lib

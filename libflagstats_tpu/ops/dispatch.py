@@ -83,14 +83,18 @@ POSPOPCNT_XLA_MIN_CPU = 1 << 17
 # 1.08 Gwords/s 1T / 2.31 Gwords/s 4T; pospopcnt 3.7 / 8.2 Gwords/s —
 # i.e. 64Mi words in 29 ms (flagstat) / 8 ms (pospopcnt) vs the
 # measured ~62-70 ms single-call device WALL through this tunnel
-# (table above), so with the native lib present the host tier wins
-# every sweep-measured size. The thresholds below EXTRAPOLATE the
-# flat device wall beyond 64Mi (native grows linearly, the device wall
-# grows with H2D): re-derive with tools/crossover_sweep.py (it prints a
-# native column + suggested NATIVE_DEVICE_MIN when the lib is present)
-# on a co-located TPU, where the device should win from ~1Mi words.
-NATIVE_DEVICE_MIN_TPU = 1 << 28             # flagstat: ~116 ms native 4T
-POSPOPCNT_NATIVE_DEVICE_MIN_TPU = 1 << 29   # pospopcnt: ~65 ms native 4T
+# (table above). Round-2 extrapolated a FLAT device wall and set the
+# crossover at 2^28; a round-3 direct measurement falsified that:
+# an 824M-word single call took ~60 s on the device path (the tunnel's
+# H2D bandwidth binds, ~26 MB/s of uint16 in that window) vs 0.35 s
+# native — through a remote tunnel the host tier wins at EVERY size
+# (and, unlike the device paths, counts in uint64 with no cap), so the
+# crossover is effectively disabled here. On a co-located TPU re-derive
+# with tools/crossover_sweep.py (it prints a native column + suggested
+# NATIVE_DEVICE_MIN when the lib is present); there the device should
+# win from ~1Mi words.
+NATIVE_DEVICE_MIN_TPU = 1 << 62
+POSPOPCNT_NATIVE_DEVICE_MIN_TPU = 1 << 62
 
 
 def pallas_min(nblk: int = 8) -> int:
@@ -178,8 +182,11 @@ def auto_impl(n_len: int) -> str:
     if native_host.available():
         # the native host tier replaces numpy and pushes the device
         # crossover up ~256x (NATIVE_DEVICE_MIN_TPU citation above);
-        # on the CPU backend it beats the XLA tier at every size
-        if backend() != "tpu" or n_len < NATIVE_DEVICE_MIN_TPU:
+        # on the CPU backend it beats the XLA tier at every size.
+        # Size checked FIRST: below the crossover the backend is
+        # irrelevant, and probing it initializes JAX (~5 s through this
+        # environment's tunnel) — a pure-host call must not pay that
+        if n_len < NATIVE_DEVICE_MIN_TPU or backend() != "tpu":
             return "native"
     elif n_len < device_min():
         return "numpy"
@@ -194,7 +201,9 @@ def pospopcnt_auto_impl(n_len: int) -> str:
     libalgebra.h:3519-3543, re-measured for this stack — see the
     POSPOPCNT_* threshold citations above)."""
     if native_host.available():
-        if backend() != "tpu" or n_len < POSPOPCNT_NATIVE_DEVICE_MIN_TPU:
+        # size first: see auto_impl (a host-sized call must not pay
+        # backend init)
+        if n_len < POSPOPCNT_NATIVE_DEVICE_MIN_TPU or backend() != "tpu":
             return "native"
     if backend() == "tpu":
         # two tiers, not three: the device crossover (4Mi) sits above

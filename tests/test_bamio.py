@@ -1,0 +1,138 @@
+"""BAM/BGZF ingest (io/bamio.py + io/native/bam_reader.cpp).
+
+Beyond-reference surface: the reference needs samtools to extract the
+FLAG column from a BAM (reference README.md:56); this framework reads
+the container directly. Differential discipline: the pure-Python reader
+is the correctness reference for the native threaded walker, and both
+are checked against the flags that were written.
+"""
+import struct
+
+import numpy as np
+import pytest
+
+from libflagstats_tpu.io import bamio
+from libflagstats_tpu.ops import native_host
+from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
+from conftest import assert_counters_equal
+
+
+@pytest.mark.parametrize("n", [0, 1, 1000, 123_457])
+def test_bam_roundtrip_python(tmp_path, n):
+    x = generate_flags(n, seed=n + 1, full_range=True)
+    p = tmp_path / "t.bam"
+    assert bamio.write_bam(p, x) == n
+    got = bamio.read_bam_flags_py(p)
+    np.testing.assert_array_equal(got, x)
+
+
+@pytest.mark.skipif(not native_host.available(),
+                    reason="native host library unavailable")
+@pytest.mark.parametrize("n", [0, 1, 1000, 500_003])
+def test_bam_native_matches_python(tmp_path, n):
+    """The threaded native walker must agree with the Python reference,
+    including sizes that exercise cross-block record carry (records are
+    38 bytes; 60,000-byte BGZF payloads never align)."""
+    x = generate_flags(n, seed=n + 7, full_range=True)
+    p = tmp_path / "t.bam"
+    bamio.write_bam(p, x)
+    got = bamio.read_bam_flags(p)
+    np.testing.assert_array_equal(got, x)
+    np.testing.assert_array_equal(got, bamio.read_bam_flags_py(p))
+
+
+def test_bam_long_read_names_and_refs(tmp_path):
+    """Headers with reference entries and long read names (variable
+    record sizes) exercise every parser state."""
+    x = generate_flags(10_000, seed=3, full_range=True)
+    p = tmp_path / "t.bam"
+    bamio.write_bam(p, x, read_name=b"read_with_a_much_longer_name_000")
+    np.testing.assert_array_equal(bamio.read_bam_flags_py(p), x)
+    if native_host.available():
+        np.testing.assert_array_equal(bamio.read_bam_flags(p), x)
+
+
+def test_flagstat_bam_end_to_end(tmp_path):
+    x = generate_flags(300_000, seed=11, full_range=True)
+    p = tmp_path / "t.bam"
+    bamio.write_bam(p, x)
+    got = bamio.flagstat_bam(p)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_bam_corruption_is_rejected(tmp_path):
+    """Truncated and corrupted containers must raise, never return
+    plausible-looking partial counts silently."""
+    x = generate_flags(100_000, seed=13, full_range=True)
+    p = tmp_path / "t.bam"
+    bamio.write_bam(p, x)
+    data = p.read_bytes()
+
+    trunc = tmp_path / "trunc.bam"
+    trunc.write_bytes(data[: len(data) // 2])
+    with pytest.raises((ValueError, EOFError)):
+        bamio.read_bam_flags(trunc)
+    with pytest.raises((ValueError, EOFError)):
+        bamio.read_bam_flags_py(trunc)
+
+    notbam = tmp_path / "not.bam"
+    notbam.write_bytes(b"\x00" * 1000)
+    with pytest.raises((ValueError, OSError)):
+        bamio.read_bam_flags(notbam)
+
+    # valid BGZF whose payload is not BAM
+    gz = tmp_path / "gz.bam"
+    gz.write_bytes(bamio._bgzf_member(b"nope" * 10) + bamio.BGZF_EOF)
+    with pytest.raises(ValueError):
+        bamio.read_bam_flags(gz)
+    with pytest.raises(ValueError):
+        bamio.read_bam_flags_py(gz)
+
+
+def test_cli_flagstat_bam_and_bam2flags(tmp_path, capsys):
+    from libflagstats_tpu.cli import main
+
+    x = generate_flags(50_000, seed=17, full_range=True)
+    p = tmp_path / "t.bam"
+    bamio.write_bam(p, x)
+    assert main(["flagstat", str(p)]) == 0
+    out = capsys.readouterr().out
+    ref = flagstat_numpy(x)
+    n_pass, n_fail = int(ref[9]), int(ref[25])
+    assert f"{n_pass} + {n_fail} in total" in out
+
+    dest = tmp_path / "col.bin"
+    assert main(["bam2flags", str(p), "-o", str(dest)]) == 0
+    np.testing.assert_array_equal(np.fromfile(dest, dtype=np.uint16), x)
+
+
+def test_bgzf_members_are_spec_conform(tmp_path):
+    """Every member must carry the BC/BSIZE subfield and a correct CRC —
+    i.e. be readable by any external BGZF implementation (stock gzip
+    validates CRCs on read)."""
+    import gzip
+    import zlib
+
+    x = generate_flags(20_000, seed=19)
+    p = tmp_path / "t.bam"
+    bamio.write_bam(p, x)
+    data = p.read_bytes()
+    # walk members by BSIZE and re-validate each independently
+    off = 0
+    members = 0
+    while off < len(data):
+        assert data[off:off + 2] == b"\x1f\x8b"
+        xlen = struct.unpack_from("<H", data, off + 10)[0]
+        assert data[off + 12:off + 14] == b"BC"
+        bsize = struct.unpack_from("<H", data, off + 16)[0] + 1
+        comp = data[off + 12 + xlen: off + bsize - 8]
+        crc, isize = struct.unpack_from("<II", data, off + bsize - 8)
+        raw = zlib.decompress(comp, -15)
+        assert len(raw) == isize and zlib.crc32(raw) == crc
+        off += bsize
+        members += 1
+    assert members >= 2          # payload member(s) + EOF
+    assert data.endswith(bamio.BGZF_EOF)
+    with gzip.open(p, "rb") as fh:   # stock-gzip readability incl. CRCs
+        assert fh.read(4) == b"BAM\x01"
