@@ -72,3 +72,10 @@ asan:
 	  libflagstats_tpu/io/native/flagstats_host.cpp \
 	  -o build/host_kernel_test_scalar -pthread
 	./build/host_kernel_test_scalar
+	# BAM/BGZF walker fuzz: the walker parses untrusted containers
+	g++ -O1 -g -fsanitize=address,undefined,pointer-overflow -std=c++17 \
+	  -march=native \
+	  libflagstats_tpu/io/native/tests/bam_fuzz_test.cpp \
+	  libflagstats_tpu/io/native/bam_reader.cpp \
+	  -o build/bam_fuzz_test -lz -pthread
+	./build/bam_fuzz_test

@@ -1,0 +1,181 @@
+// ASan/UBSan fuzz of the BAM/BGZF walker (bam_reader.cpp) against
+// corrupted containers — the walker parses untrusted input (lengths,
+// subfield offsets, record sizes all attacker-controlled), so every
+// error path must fail with a negative rc, never a read past the
+// mapped file or the output buffer. Same discipline as the LZ4 fuzz
+// (asan_fuzz_test.cpp).
+//
+// Build/run: `make asan` (this file is compiled with
+// -fsanitize=address,undefined,pointer-overflow).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <vector>
+
+#include <zlib.h>
+
+extern "C" {
+int64_t lfs_bam_bound(const uint8_t* data, int64_t n_bytes);
+int64_t lfs_bam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
+                      int64_t cap, int32_t threads);
+}
+
+namespace {
+
+std::mt19937_64 rng(12345);
+
+// Build one BGZF member around `payload` (mirrors io/bamio.py).
+std::vector<uint8_t> bgzf_member(const std::vector<uint8_t>& payload) {
+    uLongf cap = compressBound((uLong)payload.size()) + 64;
+    std::vector<uint8_t> comp(cap);
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+    zs.next_in = const_cast<Bytef*>(payload.data());
+    zs.avail_in = (uInt)payload.size();
+    zs.next_out = comp.data();
+    zs.avail_out = (uInt)cap;
+    deflate(&zs, Z_FINISH);
+    comp.resize(zs.total_out);
+    deflateEnd(&zs);
+
+    std::vector<uint8_t> m;
+    uint16_t bsize = (uint16_t)(12 + 6 + comp.size() + 8 - 1);
+    const uint8_t head[12] = {0x1F, 0x8B, 8, 4, 0, 0, 0, 0, 0, 0xFF, 6, 0};
+    m.insert(m.end(), head, head + 12);
+    m.push_back('B');
+    m.push_back('C');
+    m.push_back(2);
+    m.push_back(0);
+    m.push_back((uint8_t)(bsize & 0xFF));
+    m.push_back((uint8_t)(bsize >> 8));
+    m.insert(m.end(), comp.begin(), comp.end());
+    uint32_t crc = (uint32_t)crc32(0, payload.data(), (uInt)payload.size());
+    uint32_t isize = (uint32_t)payload.size();
+    for (int i = 0; i < 4; i++) m.push_back((uint8_t)(crc >> (8 * i)));
+    for (int i = 0; i < 4; i++) m.push_back((uint8_t)(isize >> (8 * i)));
+    return m;
+}
+
+std::vector<uint8_t> make_bam(int n_records) {
+    std::vector<uint8_t> raw;
+    auto put32 = [&](int32_t v) {
+        for (int i = 0; i < 4; i++) raw.push_back((uint8_t)(v >> (8 * i)));
+    };
+    raw.insert(raw.end(), {'B', 'A', 'M', 1});
+    put32(0);   // l_text
+    put32(0);   // n_ref
+    for (int r = 0; r < n_records; r++) {
+        put32(34);                     // block_size: 32 fixed + "r\0"
+        put32(-1);                     // refID
+        put32(-1);                     // pos
+        raw.push_back(2);              // l_read_name
+        raw.push_back(0);              // mapq
+        raw.push_back(0x48);           // bin lo
+        raw.push_back(0x12);           // bin hi
+        raw.push_back(0);              // n_cigar lo
+        raw.push_back(0);              // n_cigar hi
+        uint16_t flag = (uint16_t)(rng() & 0xFFF);
+        raw.push_back((uint8_t)(flag & 0xFF));
+        raw.push_back((uint8_t)(flag >> 8));
+        put32(0);                      // l_seq
+        put32(-1);                     // next_refID
+        put32(-1);                     // next_pos
+        put32(0);                      // tlen
+        raw.push_back('r');
+        raw.push_back(0);
+    }
+    std::vector<uint8_t> file;
+    for (size_t off = 0; off < raw.size(); off += 50000) {
+        size_t take = std::min<size_t>(50000, raw.size() - off);
+        std::vector<uint8_t> chunk(raw.begin() + off,
+                                   raw.begin() + off + take);
+        auto m = bgzf_member(chunk);
+        file.insert(file.end(), m.begin(), m.end());
+    }
+    static const uint8_t eof[28] = {
+        0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
+        0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+        0, 0, 0, 0, 0, 0, 0, 0};
+    file.insert(file.end(), eof, eof + 28);
+    return file;
+}
+
+int64_t walk(const std::vector<uint8_t>& f, std::vector<uint16_t>& out) {
+    int64_t bound = lfs_bam_bound(f.data(), (int64_t)f.size());
+    if (bound < 0) return bound;
+    out.assign((size_t)bound, 0);
+    return lfs_bam_flags(f.data(), (int64_t)f.size(), out.data(), bound, 2);
+}
+
+}  // namespace
+
+int main() {
+    // 1) clean container parses exactly
+    auto good = make_bam(25000);
+    std::vector<uint16_t> out;
+    int64_t n = walk(good, out);
+    if (n != 25000) {
+        std::fprintf(stderr, "clean walk returned %lld\n", (long long)n);
+        return 1;
+    }
+
+    // 2) truncations at every granularity — must return an error or a
+    //    smaller count, never crash/overread
+    for (int i = 0; i < 3000; i++) {
+        size_t cut = rng() % good.size();
+        std::vector<uint8_t> t(good.begin(), good.begin() + cut);
+        walk(t, out);
+    }
+
+    // 3) random byte corruptions (headers, subfields, lengths, payload)
+    for (int i = 0; i < 6000; i++) {
+        auto c = good;
+        int hits = 1 + (int)(rng() % 8);
+        for (int h = 0; h < hits; h++)
+            c[rng() % c.size()] ^= (uint8_t)(1 + (rng() % 255));
+        walk(c, out);
+    }
+
+    // 4) corrupt + truncate combined
+    for (int i = 0; i < 2000; i++) {
+        auto c = good;
+        c[rng() % c.size()] ^= 0xFF;
+        c.resize(1 + rng() % c.size());
+        walk(c, out);
+    }
+
+    // 5) hostile hand-built containers: absurd lengths in valid BGZF
+    {
+        std::vector<uint8_t> raw = {'B', 'A', 'M', 1,
+                                    0xFF, 0xFF, 0xFF, 0x7F};  // l_text=2^31-1
+        auto f = bgzf_member(raw);
+        walk(f, out);
+        raw = {'B', 'A', 'M', 1, 0, 0, 0, 0, 0xFF, 0xFF, 0xFF, 0x7F};  // n_ref
+        f = bgzf_member(raw);
+        walk(f, out);
+        raw = {'B', 'A', 'M', 1, 0, 0, 0, 0, 0, 0, 0, 0,
+               0xFF, 0xFF, 0xFF, 0x7F};  // record block_size = 2^31-1
+        f = bgzf_member(raw);
+        walk(f, out);
+    }
+
+    // 6) output-capacity enforcement: cap smaller than the record count
+    {
+        std::vector<uint16_t> tiny(16);
+        int64_t rc = lfs_bam_flags(good.data(), (int64_t)good.size(),
+                                   tiny.data(), (int64_t)tiny.size(), 2);
+        if (rc != -5) {
+            std::fprintf(stderr, "cap overflow not detected (rc=%lld)\n",
+                         (long long)rc);
+            return 1;
+        }
+    }
+
+    std::printf("bam fuzz OK: 1 clean + 11000 corrupted/truncated + "
+                "hostile containers, no sanitizer findings\n");
+    return 0;
+}
