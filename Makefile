@@ -79,3 +79,10 @@ asan:
 	  libflagstats_tpu/io/native/bam_reader.cpp \
 	  -o build/bam_fuzz_test -lz -pthread
 	./build/bam_fuzz_test
+	# SAM-text parser fuzz: untrusted text input
+	g++ -O1 -g -fsanitize=address,undefined,pointer-overflow -std=c++17 \
+	  -march=native \
+	  libflagstats_tpu/io/native/tests/sam_fuzz_test.cpp \
+	  libflagstats_tpu/io/native/sam_reader.cpp \
+	  -o build/sam_fuzz_test -pthread
+	./build/sam_fuzz_test

@@ -140,32 +140,24 @@ def _cmd_decompress(args):
     return 0
 
 
-def _is_bgzf(path) -> bool:
-    with open(path, "rb") as fh:
-        head = fh.read(4)
-    return len(head) == 4 and head[:2] == b"\x1f\x8b" and head[3] & 4
-
-
 def _cmd_flagstat(args):
-    if str(args.input).endswith(".bam") or _is_bgzf(args.input):
-        # the full `samtools flagstat <bam>` workload, samtools-free
-        # (BGZF inflate -> FLAG walk -> counting kernel; io/bamio.py)
-        from .io.bamio import read_bam_flags
+    # the full `samtools flagstat <file>` workload, samtools-free, on
+    # any supported container: .bam (BGZF walk, io/bamio.py),
+    # .sam/.sam.gz/bare text column (io/samio.py), raw binary column
+    from .io import read_flags_auto
 
-        arr = read_bam_flags(args.input, threads=args.threads)
-    else:
-        arr = samio.read_binary(args.input)
+    arr = read_flags_auto(args.input, threads=args.threads)
     counters = _flagstat_array(arr, args.impl)
     print(counters_to_report(counters).text())
     return 0
 
 
 def _cmd_bam2flags(args):
-    """BAM -> binary uint16 FLAG column (the reference gets this via
+    """BAM/SAM -> binary uint16 FLAG column (the reference gets this via
     `samtools view | cut -f2 | utility`, reference README.md:56)."""
-    from .io.bamio import read_bam_flags
+    from .io import read_flags_auto
 
-    flags_arr = read_bam_flags(args.input, threads=args.threads)
+    flags_arr = read_flags_auto(args.input, threads=args.threads)
     out = args.output or (str(args.input) + ".flags.bin")
     flags_arr.tofile(out)
     print(f"{out}: {flags_arr.size} FLAG words", file=sys.stderr)
@@ -377,7 +369,14 @@ def main(argv=None) -> int:
     k.set_defaults(fn=_cmd_kernels)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except (ValueError, OSError) as e:
+        # bad/corrupt/missing input: one clean line, nonzero rc — the
+        # reference's run_screaming pattern (flagstats.cpp:105-108).
+        # Unexpected exception classes still traceback.
+        print(f"libflagstats_tpu: error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

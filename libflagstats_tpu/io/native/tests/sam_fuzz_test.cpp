@@ -1,0 +1,120 @@
+// ASan/UBSan fuzz of the SAM-text FLAG parser (sam_reader.cpp) —
+// the parser walks untrusted text (tab/newline placement, digit runs,
+// binary garbage all attacker-controlled), so every malformed shape
+// must return -3/-5, never read past the buffer or write past the
+// output. Same discipline as the BAM walker fuzz (bam_fuzz_test.cpp).
+//
+// Build/run: `make asan`.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <string>
+#include <vector>
+
+extern "C" {
+int64_t lfs_sam_bound(const uint8_t* data, int64_t n_bytes);
+int64_t lfs_sam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
+                      int64_t cap, int32_t threads);
+}
+
+namespace {
+
+std::mt19937_64 rng(54321);
+
+std::string make_sam(int n_records, std::vector<uint16_t>& flags) {
+    std::string s = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n";
+    flags.clear();
+    char line[128];
+    for (int i = 0; i < n_records; i++) {
+        uint16_t f = (uint16_t)(rng() & 0xFFFF);
+        flags.push_back(f);
+        std::snprintf(line, sizeof(line),
+                      "read%d\t%u\t*\t0\t0\t*\t*\t0\t0\t*\t*\n", i, f);
+        s += line;
+    }
+    return s;
+}
+
+int64_t parse(const std::string& s, std::vector<uint16_t>& out,
+              int32_t threads = 3) {
+    // exact-length heap buffer so ASan sees any 1-byte overread
+    std::vector<uint8_t> buf(s.begin(), s.end());
+    int64_t bound = lfs_sam_bound(buf.data(), (int64_t)buf.size());
+    if (bound < 0) return bound;
+    out.assign((size_t)bound, 0);
+    return lfs_sam_flags(buf.data(), (int64_t)buf.size(), out.data(), bound,
+                         threads);
+}
+
+}  // namespace
+
+int main() {
+    // 1) clean text parses exactly (threads > 1 exercises range splits)
+    std::vector<uint16_t> want;
+    auto good = make_sam(30000, want);
+    std::vector<uint16_t> out;
+    int64_t n = parse(good, out);
+    if (n != (int64_t)want.size() ||
+        std::memcmp(out.data(), want.data(), want.size() * 2) != 0) {
+        std::fprintf(stderr, "clean parse returned %lld\n", (long long)n);
+        return 1;
+    }
+
+    // 2) truncations at every granularity
+    for (int i = 0; i < 3000; i++) {
+        std::string t = good.substr(0, rng() % good.size());
+        parse(t, out);
+    }
+
+    // 3) random byte corruptions (tabs, digits, newlines, binary junk)
+    for (int i = 0; i < 6000; i++) {
+        auto c = good;
+        int hits = 1 + (int)(rng() % 8);
+        for (int h = 0; h < hits; h++)
+            c[rng() % c.size()] = (char)(rng() & 0xFF);
+        parse(c, out);
+    }
+
+    // 4) hostile hand-built lines
+    {
+        const char* cases[] = {
+            "",                          // empty
+            "\n\n\n",                    // only newlines
+            "\t\t\t\n",                  // only tabs
+            "q\t99999999999999999999\n", // digit run far past uint16
+            "q\t65536\n",                // one past the cap
+            "q\t65535\n",                // at the cap
+            "q\t\n",                     // empty FLAG field
+            "q\t5",                      // no trailing newline
+            "q\t5\r",                    // bare CR end
+            "@only\theader\tlines\n@x\n",
+            "\xff\xfe\x00\x01binary\tgarbage",
+        };
+        for (const char* c : cases) parse(std::string(c), out);
+        // a single giant line with no newline at all (range-split probe
+        // finds no '\n')
+        std::string giant(5 << 20, 'A');
+        giant[100] = '\t';
+        parse(giant, out);
+    }
+
+    // 5) output-capacity enforcement
+    {
+        std::vector<uint8_t> buf(good.begin(), good.end());
+        std::vector<uint16_t> tiny(16);
+        int64_t rc = lfs_sam_flags(buf.data(), (int64_t)buf.size(),
+                                   tiny.data(), (int64_t)tiny.size(), 3);
+        if (rc != -5) {
+            std::fprintf(stderr, "cap overflow not detected (rc=%lld)\n",
+                         (long long)rc);
+            return 1;
+        }
+    }
+
+    std::printf("sam fuzz OK: 1 clean + 9000 corrupted/truncated + hostile "
+                "lines, no sanitizer findings\n");
+    return 0;
+}

@@ -19,6 +19,7 @@ _SRCS = [
     Path(__file__).parent / "native" / "flagstats_host.cpp",
     Path(__file__).parent / "native" / "perf_events.cpp",
     Path(__file__).parent / "native" / "bam_reader.cpp",
+    Path(__file__).parent / "native" / "sam_reader.cpp",
 ]
 _BUILD_DIR = Path(__file__).resolve().parent.parent.parent / "build"
 # -march=native binaries are host-specific: on a shared checkout
@@ -138,5 +139,10 @@ def _bind(lib):
     lib.lfs_bam_bound.argtypes = [ctypes.c_void_p, i64]
     lib.lfs_bam_flags.restype = i64
     lib.lfs_bam_flags.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p,
+                                  i64, i32]
+    lib.lfs_sam_bound.restype = i64
+    lib.lfs_sam_bound.argtypes = [ctypes.c_void_p, i64]
+    lib.lfs_sam_flags.restype = i64
+    lib.lfs_sam_flags.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p,
                                   i64, i32]
     return lib

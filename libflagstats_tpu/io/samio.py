@@ -6,9 +6,17 @@ TPU-framework equivalents of the reference's tiny drivers:
   `samtools view | cut -f 2 | utility > flags.bin`, README.md:56)
 * generate: uniform-random FLAG words in [0, 4096)
   (reference: benchmark/generate.cpp:7-18)
+
+Beyond the reference: direct SAM ingest. The reference needs
+`samtools view | cut -f2` upstream before `utility` can run; here
+``read_sam_flags`` parses the FLAG field (column 2) straight out of
+.sam / .sam.gz (gzip or BGZF) files, with a threaded native parser
+(io/native/sam_reader.cpp) and this module's pure-Python reader as the
+differential reference — the same two-tier discipline as io/bamio.py.
 """
 from __future__ import annotations
 
+import gzip
 import sys
 
 import numpy as np
@@ -80,6 +88,141 @@ def generate_binary(n: int, path, seed: int | None = None,
     with open(path, "wb") as f:
         f.write(vals.astype("<u2").tobytes())
     return vals
+
+
+def is_gzip(path) -> bool:
+    """True for any gzip container (plain .gz and BGZF both start
+    1f 8b)."""
+    with open(path, "rb") as fh:
+        return fh.read(2) == b"\x1f\x8b"
+
+
+def write_sam(path, flags, with_header: bool = True) -> int:
+    """Minimal spec-shaped SAM text whose records carry the given FLAG
+    values (11 mandatory fields, unmapped-style records) — the test /
+    synthetic-benchmark twin of bamio.write_bam. Returns the record
+    count."""
+    flags = np.asarray(flags, dtype=np.uint16).ravel()
+    chunk = 1 << 18
+    with open(path, "w", newline="") as fh:
+        if with_header:
+            fh.write("@HD\tVN:1.6\tSO:unsorted\n")
+            fh.write("@PG\tID:lfs\tPN:libflagstats_tpu\n")
+        for start in range(0, flags.size, chunk):
+            part = flags[start:start + chunk].tolist()
+            fh.write("".join(
+                f"r{start + i}\t{v}\t*\t0\t0\t*\t*\t0\t0\t*\t*\n"
+                for i, v in enumerate(part)))
+    return int(flags.size)
+
+
+def _parse_sam_line(line: str) -> int | None:
+    """One SAM text line -> FLAG value, None for header/empty lines,
+    ValueError for anything malformed (strictness matches the native
+    parser: column 2 must be bare ASCII digits <= 65535)."""
+    # strip one "\n" then at most one "\r" — exactly what the native
+    # parser does, so a stray mid-junk "\r\r\n" tail misparses (errors)
+    # identically in both readers
+    if line.endswith("\n"):
+        line = line[:-1]
+    if line.endswith("\r"):
+        line = line[:-1]
+    if not line or line[0] == "@":
+        return None
+    fields = line.split("\t")
+    # a tabless line must be a bare FLAG integer (the cut -f2 column
+    # shape the reference's `utility` consumes, reference README.md:56)
+    tok = fields[1] if len(fields) >= 2 else fields[0]
+    if not (tok.isascii() and tok.isdigit()):
+        raise ValueError(f"SAM FLAG field is not a number: {tok[:80]!r}")
+    v = int(tok)
+    if v > 0xFFFF:
+        raise ValueError(f"SAM FLAG out of uint16 range: {v}")
+    return v
+
+
+def read_sam_flags_py(path) -> np.ndarray:
+    """Pure-Python FLAG-column extraction from SAM text (plain or
+    gzip/BGZF) — the correctness reference for the native parser."""
+    opener = gzip.open if is_gzip(path) else open
+    out: list[int] = []
+    # latin-1: strictness lives in the FLAG field only — the native
+    # parser doesn't inspect other fields' bytes, so neither should
+    # this. newline="\n": universal-newline mode would treat a lone
+    # "\r" as a line break, which the native parser does not.
+    with opener(path, "rt", encoding="latin-1", newline="\n") as fh:
+        for line in fh:
+            v = _parse_sam_line(line)
+            if v is not None:
+                out.append(v)
+    return np.asarray(out, dtype=np.uint16)
+
+
+def _parse_sam_buffer(lib, buf, n_bytes: int, threads: int) -> np.ndarray:
+    """Run the native parser over one in-memory text buffer."""
+    import ctypes
+
+    addr = (buf.ctypes.data if isinstance(buf, np.ndarray)
+            else ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p))
+    cap = lib.lfs_sam_bound(addr, n_bytes)
+    out = np.empty(int(cap), dtype=np.uint16)
+    got = lib.lfs_sam_flags(addr, n_bytes,
+                            out.ctypes.data_as(ctypes.c_void_p),
+                            int(cap), threads)
+    if got < 0:
+        raise ValueError(f"SAM parse failed (rc={got}) — malformed FLAG "
+                         "column (see sam_reader.cpp parse contract)")
+    return out[:got].copy()
+
+
+def read_sam_flags(path, threads: int = 0) -> np.ndarray:
+    """FLAG column of a SAM text file (.sam, .sam.gz, BGZF) -> uint16.
+
+    Native threaded parser when the native lib is present; gzip input is
+    stream-inflated in bounded chunks (Python's gzip handles the
+    multi-member BGZF chain) with partial lines carried across chunk
+    boundaries, so memory stays O(chunk) regardless of file size."""
+    from . import native_lib
+
+    lib = native_lib.load()
+    if lib is None or not hasattr(lib, "lfs_sam_flags"):
+        return read_sam_flags_py(path)
+    if is_gzip(path):
+        parts: list[np.ndarray] = []
+        carry = b""
+        with gzip.open(path, "rb") as fh:
+            while True:
+                chunk = fh.read(1 << 23)
+                if not chunk:
+                    break
+                chunk = carry + chunk
+                cut = chunk.rfind(b"\n")
+                if cut == -1:
+                    carry = chunk
+                    continue
+                carry = chunk[cut + 1:]
+                parts.append(_parse_sam_buffer(lib, chunk[:cut + 1],
+                                               cut + 1, threads))
+        if carry:
+            parts.append(_parse_sam_buffer(lib, carry, len(carry), threads))
+        return (np.concatenate(parts) if parts
+                else np.zeros(0, dtype=np.uint16))
+    import os
+
+    size = os.path.getsize(path)
+    if size == 0:
+        return np.zeros(0, dtype=np.uint16)
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    return _parse_sam_buffer(lib, mm, size, threads)
+
+
+def flagstat_sam(path, threads: int = 0, impl: str | None = None):
+    """samtools-flagstat counters straight from a SAM text file — the
+    `samtools flagstat <sam>` workload with no samtools in the loop
+    (the .sam twin of bamio.flagstat_bam)."""
+    from ..ops.dispatch import flagstats_u16
+
+    return flagstats_u16(read_sam_flags(path, threads=threads), impl=impl)
 
 
 def read_binary(path, mmap: bool = True) -> np.ndarray:

@@ -1,0 +1,232 @@
+"""SAM-text ingest (io/samio.py read_sam_flags + io/native/sam_reader.cpp).
+
+Beyond-reference surface: the reference consumes SAM text only after
+`samtools view | cut -f2` reduces it to a bare column (reference
+README.md:56); this framework parses the FLAG field out of .sam /
+.sam.gz directly. Differential discipline mirrors test_bamio.py: the
+pure-Python reader is the correctness reference for the threaded native
+parser, and both are checked against the flags that were written.
+"""
+import gzip
+
+import numpy as np
+import pytest
+
+from libflagstats_tpu.io import bamio, read_flags_auto, samio
+from libflagstats_tpu.ops import native_host
+from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
+from conftest import assert_counters_equal
+
+NATIVE = native_host.available()
+
+
+def _both_readers(path):
+    got_py = samio.read_sam_flags_py(path)
+    got = samio.read_sam_flags(path)
+    np.testing.assert_array_equal(got, got_py)
+    return got
+
+
+@pytest.mark.parametrize("n", [0, 1, 1000, 123_457])
+def test_sam_roundtrip(tmp_path, n):
+    x = generate_flags(n, seed=n + 1, full_range=True)
+    p = tmp_path / "t.sam"
+    assert samio.write_sam(p, x) == n
+    np.testing.assert_array_equal(_both_readers(p), x)
+
+
+def test_sam_gzip_roundtrip(tmp_path):
+    """Plain-gzip .sam.gz: the native path stream-inflates in chunks
+    with partial-line carry; size chosen so several 8 MiB chunks split
+    mid-line."""
+    x = generate_flags(400_003, seed=5, full_range=True)
+    plain = tmp_path / "t.sam"
+    samio.write_sam(plain, x)
+    gz = tmp_path / "t.sam.gz"
+    with open(plain, "rb") as src, gzip.open(gz, "wb", compresslevel=1) as dst:
+        while True:
+            b = src.read(1 << 20)
+            if not b:
+                break
+            dst.write(b)
+    np.testing.assert_array_equal(_both_readers(gz), x)
+
+
+def test_sam_bgzf_roundtrip(tmp_path):
+    """BGZF-compressed SAM (bgzip-style concatenated members) — the
+    shape a real `bgzip file.sam` produces."""
+    x = generate_flags(50_000, seed=7, full_range=True)
+    plain = tmp_path / "t.sam"
+    samio.write_sam(plain, x)
+    data = plain.read_bytes()
+    gz = tmp_path / "t.sam.gz"
+    with open(gz, "wb") as fh:
+        for off in range(0, len(data), 60000):
+            fh.write(bamio._bgzf_member(data[off:off + 60000]))
+        fh.write(bamio.BGZF_EOF)
+    np.testing.assert_array_equal(_both_readers(gz), x)
+
+
+def test_bare_column_text(tmp_path):
+    """A tabless FLAG-per-line file (the `cut -f2` shape the reference's
+    utility consumes) parses through the same reader."""
+    x = generate_flags(10_000, seed=9, full_range=True)
+    p = tmp_path / "col.txt"
+    p.write_text("\n".join(str(v) for v in x.tolist()) + "\n")
+    np.testing.assert_array_equal(_both_readers(p), x)
+
+
+def test_sam_edge_shapes(tmp_path):
+    """Header-only, empty, no trailing newline, \\r\\n endings, empty
+    lines, FLAG at the uint16 boundary."""
+    p = tmp_path / "e.sam"
+
+    p.write_text("@HD\tVN:1.6\n@SQ\tSN:c\tLN:5\n")
+    assert _both_readers(p).size == 0
+
+    p.write_text("")
+    assert _both_readers(p).size == 0
+
+    p.write_text("r1\t77\t*\t0\t0\t*\t*\t0\t0\t*\t*")  # no trailing \n
+    np.testing.assert_array_equal(_both_readers(p), [77])
+
+    p.write_bytes(b"r1\t65535\t*\r\nr2\t0\t*\r\n\r\n")
+    np.testing.assert_array_equal(_both_readers(p), [65535, 0])
+
+
+def test_sam_malformed_is_rejected(tmp_path):
+    """A count must never be built from a misparsed stream: non-numeric
+    FLAG, out-of-range FLAG, and missing column 2 all raise in BOTH
+    readers."""
+    p = tmp_path / "bad.sam"
+    for body in [
+        "r1\tx77\t*\n",           # non-numeric
+        "r1\t65536\t*\n",         # > uint16
+        "r1\t7 7\t*\n",           # junk after digits
+        "r1\t\t*\n",              # empty FLAG field
+        "readname_no_tab_not_a_number\n",
+    ]:
+        p.write_text(body)
+        with pytest.raises(ValueError):
+            samio.read_sam_flags_py(p)
+        with pytest.raises(ValueError):
+            samio.read_sam_flags(p)
+
+
+@pytest.mark.skipif(not NATIVE, reason="native host library unavailable")
+def test_native_threaded_range_split(tmp_path):
+    """Force the multi-range native path (>= 4 MiB per range) and check
+    record order is preserved across range boundaries."""
+    n = 300_000
+    x = generate_flags(n, seed=11, full_range=True)
+    p = tmp_path / "big.sam"
+    # pad QNAMEs so the file comfortably exceeds one 4 MiB range
+    with open(p, "w") as fh:
+        pad = "q" * 40
+        fh.write("".join(f"{pad}{i}\t{v}\t*\t0\t0\t*\t*\t0\t0\t*\t*\n"
+                         for i, v in enumerate(x.tolist())))
+    assert p.stat().st_size > (1 << 22)
+    got = samio.read_sam_flags(p, threads=4)
+    np.testing.assert_array_equal(got, x)
+
+
+@pytest.mark.skipif(not NATIVE, reason="native host library unavailable")
+def test_differential_fuzz_py_vs_native(tmp_path):
+    """Seeded adversarial text through BOTH readers: they must agree on
+    accept/reject and on every accepted FLAG sequence (the native parser
+    and the Python reference implement one contract, not two)."""
+    rng = np.random.default_rng(20260820)
+    alphabet = np.frombuffer(b"0123456789\t\n\r@rxyz \xff", np.uint8)
+    p = tmp_path / "fz.sam"
+    for trial in range(800):
+        n = int(rng.integers(0, 200))
+        p.write_bytes(bytes(rng.choice(alphabet, n)))
+        try:
+            ra = ("ok", samio.read_sam_flags_py(p).tolist())
+        except ValueError:
+            ra = ("err",)
+        try:
+            rb = ("ok", samio.read_sam_flags(p).tolist())
+        except ValueError:
+            rb = ("err",)
+        assert ra == rb, (trial, p.read_bytes(), ra, rb)
+
+
+def test_flagstat_sam_end_to_end(tmp_path):
+    x = generate_flags(200_000, seed=13, full_range=True)
+    p = tmp_path / "t.sam"
+    samio.write_sam(p, x)
+    assert_counters_equal(flagstat_numpy(x), samio.flagstat_sam(p))
+
+
+def test_read_flags_auto_routing(tmp_path):
+    """The sniffing reader must route BAM-in-gzip to the BAM walker,
+    other gzip to the SAM parser, .sam to the SAM parser, and default
+    to raw binary."""
+    x = generate_flags(5_000, seed=17, full_range=True)
+
+    b = tmp_path / "t.bam"
+    bamio.write_bam(b, x)
+    np.testing.assert_array_equal(read_flags_auto(b), x)
+
+    s = tmp_path / "t.sam"
+    samio.write_sam(s, x)
+    np.testing.assert_array_equal(read_flags_auto(s), x)
+
+    gz = tmp_path / "t.sam.gz"
+    with gzip.open(gz, "wb") as fh:
+        fh.write(s.read_bytes())
+    np.testing.assert_array_equal(read_flags_auto(gz), x)
+
+    raw = tmp_path / "t.bin"
+    x.astype("<u2").tofile(raw)
+    np.testing.assert_array_equal(read_flags_auto(raw), x)
+
+    # framed compressed columns (the reference's own container format)
+    from libflagstats_tpu.io import codec
+
+    for codec_name, ext in (("lz4", ".lz4"), ("zstd", ".zst")):
+        framed = tmp_path / f"t{ext}"
+        codec.write_framed(framed, x, codec=codec_name)
+        np.testing.assert_array_equal(read_flags_auto(framed), x)
+
+
+def test_cli_flagstat_sam(tmp_path, capsys):
+    from libflagstats_tpu.cli import main
+
+    x = generate_flags(30_000, seed=19, full_range=True)
+    p = tmp_path / "t.sam"
+    samio.write_sam(p, x)
+    assert main(["flagstat", str(p)]) == 0
+    out = capsys.readouterr().out
+    ref = flagstat_numpy(x)
+    assert f"{int(ref[9])} + {int(ref[25])} in total" in out
+
+    gz = tmp_path / "t.sam.gz"
+    with gzip.open(gz, "wb") as fh:
+        fh.write(p.read_bytes())
+    assert main(["flagstat", str(gz)]) == 0
+    out = capsys.readouterr().out
+    assert f"{int(ref[9])} + {int(ref[25])} in total" in out
+
+    # sam -> binary column via the (now format-agnostic) bam2flags
+    dest = tmp_path / "col.bin"
+    assert main(["bam2flags", str(p), "-o", str(dest)]) == 0
+    np.testing.assert_array_equal(np.fromfile(dest, dtype=np.uint16), x)
+
+
+def test_cli_input_errors_are_clean(tmp_path, capsys):
+    """Bad input exits rc=1 with a one-line error (the reference's
+    run_screaming pattern), never a report and never a traceback."""
+    from libflagstats_tpu.cli import main
+
+    bad = tmp_path / "bad.sam"
+    bad.write_text("r1\tnotanumber\t*\n")
+    assert main(["flagstat", str(bad)]) == 1
+    captured = capsys.readouterr()
+    assert "in total" not in captured.out
+    assert "error:" in captured.err
+
+    assert main(["flagstat", str(tmp_path / "missing.bin")]) == 1
+    assert "error:" in capsys.readouterr().err
