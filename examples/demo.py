@@ -37,3 +37,21 @@ print("\nstreaming accumulation matches:", True)
 
 # 4. raw positional popcount
 print("pospopcnt:", lfs.pospopcnt_u16(flags))
+
+# 5. container ingest: the same counters straight from .bam / .sam /
+#    .sam.gz files (beyond the reference, which needs samtools +
+#    `cut -f2` upstream) — one sniffing reader for every format
+import tempfile  # noqa: E402
+
+from libflagstats_tpu.io import bamio, read_flags_auto, samio  # noqa: E402
+
+with tempfile.TemporaryDirectory() as td:
+    bam = Path(td) / "demo.bam"
+    sam = Path(td) / "demo.sam"
+    bamio.write_bam(bam, flags)
+    samio.write_sam(sam, flags)
+    for path in (bam, sam):
+        assert (read_flags_auto(path) == flags).all()
+    assert (bamio.flagstat_bam(bam) == counters).all()
+    assert (samio.flagstat_sam(sam) == counters).all()
+    print("container ingest (.bam/.sam) matches:", True)

@@ -49,7 +49,11 @@ def _cmd_utility(args):
 
 
 def _cmd_compress(args):
-    flags_arr = samio.read_binary(args.input)
+    # any container in (.bam/.sam[.gz]/binary), framed stream out — so
+    # `compress x.bam` builds the reference's benchmark format directly
+    from .io import read_flags_auto
+
+    flags_arr = read_flags_auto(args.input, threads=args.threads)
     out = args.output or C.codec_filename(args.input, args.codec, args.level)
     t0 = time.perf_counter()
     info = C.write_framed(out, flags_arr, codec=args.codec, level=args.level,
@@ -289,8 +293,11 @@ def main(argv=None) -> int:
     u.add_argument("--output", "-o")
     u.set_defaults(fn=_cmd_utility)
 
-    c = sub.add_parser("compress", help="binary column -> framed stream")
+    c = sub.add_parser("compress",
+                       help="column (binary/.bam/.sam[.gz]) -> framed stream")
     c.add_argument("input")
+    c.add_argument("--threads", type=int, default=0,
+                   help="ingest threads (container inputs)")
     c.add_argument("--codec", choices=["raw", "lz4", "zstd"], default="lz4")
     c.add_argument("--level", type=int, default=1)
     c.add_argument("--block-bytes", type=int, default=None,

@@ -216,6 +216,20 @@ def test_cli_flagstat_sam(tmp_path, capsys):
     np.testing.assert_array_equal(np.fromfile(dest, dtype=np.uint16), x)
 
 
+def test_cli_compress_from_container(tmp_path, capsys):
+    """`compress x.bam` builds the reference's framed benchmark format
+    straight from a container (no intermediate binary column)."""
+    from libflagstats_tpu.cli import main
+    from libflagstats_tpu.io import codec
+
+    x = generate_flags(40_000, seed=23, full_range=True)
+    b = tmp_path / "t.bam"
+    bamio.write_bam(b, x)
+    out = tmp_path / "t.lz4"
+    assert main(["compress", str(b), "--codec", "lz4", "-o", str(out)]) == 0
+    np.testing.assert_array_equal(codec.read_framed(out, "lz4"), x)
+
+
 def test_cli_input_errors_are_clean(tmp_path, capsys):
     """Bad input exits rc=1 with a one-line error (the reference's
     run_screaming pattern), never a report and never a traceback."""
