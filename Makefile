@@ -84,5 +84,5 @@ asan:
 	  -march=native \
 	  libflagstats_tpu/io/native/tests/sam_fuzz_test.cpp \
 	  libflagstats_tpu/io/native/sam_reader.cpp \
-	  -o build/sam_fuzz_test -pthread
+	  -o build/sam_fuzz_test -lz -pthread
 	./build/sam_fuzz_test

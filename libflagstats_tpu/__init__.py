@@ -14,6 +14,8 @@ Public API:
   counters_to_report(c)    samtools flagstat report object
   popcnt / intersect_count / union_count / diff_count
                            set-algebra bitmap counts (libalgebra.h:500-3398)
+  flagstat_file(path)      counters straight from any container
+                           (.bam/.sam[.gz]/framed .lz4/.zst/raw binary)
 """
 from __future__ import annotations
 
@@ -44,6 +46,16 @@ def flagstat_sharded(values, **kwargs):
     from .parallel.sharded import flagstat_sharded as _fs
 
     return _fs(values, **kwargs)
+
+
+def flagstat_file(path, threads: int = 0, impl: str | None = None):
+    """32-counter vector straight from any supported container — the
+    `samtools flagstat <file>` workload with no samtools in the loop
+    (format sniffed by io.read_flags_auto: .bam, .sam[.gz], framed
+    .lz4/.zst, raw binary column)."""
+    from .io import read_flags_auto
+
+    return flagstats_u16(read_flags_auto(path, threads=threads), impl=impl)
 
 __version__ = "0.1.0"
 

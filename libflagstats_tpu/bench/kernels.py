@@ -113,7 +113,64 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
             f"{name}\t{n_words}\t{t*1e6:.1f}\t{n_words/t/1e6:.0f}\t"
             f"{gbs:.1f}\t{frac}{'' if gated_ok else '!'}"
         )
+    lines += _setop_rows(x_host, n_words, roof, iters=iters, check=check)
     if roof:
         lines.append(
             f"[roofline:{roof_kind}]\t{n_words}\t-\t-\t{roof/1e9:.1f}\t1.000")
     return lines
+
+
+def _setop_rows(x_host, n_words: int, roof, iters: int,
+                check: bool) -> list[str]:
+    """Set-algebra device-tier rows (reference: STORM_popcnt /
+    STORM_intersect_count, libalgebra.h:500-3398): the fused
+    population_count+sum reduce, measured with the same gated fits.
+    One 1-stream row and one 2-stream row characterize the family
+    (union/diff are the same op count as intersect)."""
+    a_host = x_host.view(np.uint32)              # 2*n_words bytes, 32-bit lanes
+    rng = np.random.default_rng(1)
+    b_host = rng.integers(0, 1 << 32, size=a_host.size, dtype=np.uint32)
+    a = jax.block_until_ready(jnp.asarray(a_host))
+    b = jax.block_until_ready(jnp.asarray(b_host))
+
+    # a.size = n_words/2 lanes x <=32 bits < 2^31: one int32 reduce is
+    # exact (the library path chunks at 2^25 lanes for the same reason);
+    # above that, skip the rows rather than time a wrapping reduce
+    if a_host.size > (1 << 25):
+        return [f"setop_popcnt\t{n_words}\tskipped: >2^25 lanes "
+                "(library path chunks; roster measures the chunk shape)"]
+
+    def popcnt_body(v):
+        return jnp.sum(jax.lax.population_count(v).astype(jnp.int32))
+
+    def intersect_body(v):
+        return jnp.sum(jax.lax.population_count(
+            jnp.bitwise_and(v, b)).astype(jnp.int32))
+
+    rows = []
+    for name, body, nb, expect in (
+        ("setop_popcnt", popcnt_body, 2 * n_words, (a_host,)),
+        ("setop_intersect", intersect_body, 4 * n_words,
+         (a_host, b_host)),
+    ):
+        if check:
+            want = _host_popcount(expect[0] & expect[1]
+                                  if len(expect) == 2 else expect[0])
+            got = int(jax.jit(body)(a))
+            if got != want:
+                rows.append(f"{name}\t{n_words}\tMISMATCH")
+                continue
+        fit = gated_kernel_time_fit(body, a, roof_bytes_per_s=roof,
+                                    n_bytes=nb, iters=iters)
+        t = fit.slope_s
+        frac = f"{nb / t / roof:.3f}" if roof else "n/a"
+        rows.append(
+            f"{name}\t{n_words}\t{t*1e6:.1f}\t{n_words/t/1e6:.0f}\t"
+            f"{nb/t/1e9:.1f}\t{frac}{'' if fit.gate_passed else '!'}")
+    return rows
+
+
+def _host_popcount(u32: np.ndarray) -> int:
+    if hasattr(np, "bitwise_count"):             # numpy >= 2
+        return int(np.bitwise_count(u32).sum(dtype=np.int64))
+    return int(np.unpackbits(u32.view(np.uint8)).sum(dtype=np.int64))

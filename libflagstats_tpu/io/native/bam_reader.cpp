@@ -26,73 +26,15 @@
 #include <thread>
 #include <vector>
 
-#include <zlib.h>
+#include "bgzf.h"
 
 namespace {
 
+using lfs_bgzf::Member;
+using lfs_bgzf::inflate_member;
+using lfs_bgzf::scan_members;
+
 constexpr int64_t kMinRecord = 37;  // block_size(4) + fixed(32) + name(>=1)
-
-struct Member {
-    int64_t comp_off;   // offset of the DEFLATE payload in the file
-    int64_t comp_len;
-    int64_t raw_len;    // ISIZE (uncompressed payload size)
-};
-
-// Scan the BGZF member chain. Returns 0 or a negative error.
-int scan_members(const uint8_t* d, int64_t n, std::vector<Member>& out) {
-    int64_t off = 0;
-    while (off < n) {
-        if (n - off < 18) return -2;                   // truncated header
-        if (d[off] != 0x1F || d[off + 1] != 0x8B || d[off + 2] != 8 ||
-            !(d[off + 3] & 4))
-            return -3;                                 // not BGZF
-        uint16_t xlen;
-        std::memcpy(&xlen, d + off + 10, 2);
-        if (n - off < 12 + xlen + 8) return -2;
-        // find the BC subfield inside the extra area
-        int64_t x = off + 12, xend = x + xlen;
-        int64_t bsize = -1;
-        while (x + 4 <= xend) {
-            uint16_t slen;
-            std::memcpy(&slen, d + x + 2, 2);
-            if (d[x] == 'B' && d[x + 1] == 'C' && slen == 2) {
-                uint16_t bs;
-                std::memcpy(&bs, d + x + 4, 2);
-                bsize = (int64_t)bs + 1;
-                break;
-            }
-            x += 4 + slen;
-        }
-        if (bsize < 12 + xlen + 8) return -3;          // no/invalid BC
-        if (off + bsize > n) return -2;                // truncated member
-        uint32_t isize;
-        std::memcpy(&isize, d + off + bsize - 4, 4);
-        if (isize > 65536u) return -3;                 // spec cap
-        Member m;
-        m.comp_off = off + 12 + xlen;
-        m.comp_len = bsize - 12 - xlen - 8;
-        m.raw_len = isize;
-        out.push_back(m);
-        off += bsize;
-    }
-    return 0;
-}
-
-int inflate_member(const uint8_t* src, int64_t comp_len, uint8_t* dst,
-                   int64_t raw_len) {
-    z_stream zs;
-    std::memset(&zs, 0, sizeof(zs));
-    if (inflateInit2(&zs, -15) != Z_OK) return -4;
-    zs.next_in = const_cast<Bytef*>(src);
-    zs.avail_in = (uInt)comp_len;
-    zs.next_out = dst;
-    zs.avail_out = (uInt)raw_len;
-    int rc = inflate(&zs, Z_FINISH);
-    int64_t got = (int64_t)zs.total_out;
-    inflateEnd(&zs);
-    if (rc != Z_STREAM_END || got != raw_len) return -4;
-    return 0;
-}
 
 // Incremental BAM parser over an in-order sequence of byte chunks.
 struct Parser {

@@ -33,6 +33,8 @@
 #include <thread>
 #include <vector>
 
+#include "bgzf.h"
+
 namespace {
 
 // Parse [p, end) (starting at a line boundary) into out.
@@ -134,6 +136,125 @@ int64_t lfs_sam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
         count += (int64_t)v.size();
     }
     return count;
+}
+
+// BGZF-compressed SAM (`bgzip file.sam` — the standard pipeline shape):
+// members inflate in PARALLEL (double-buffered windows, exactly the
+// BAM walker's scheme, bam_reader.cpp) while the main thread parses the
+// previous window's text with partial lines carried across member
+// boundaries. The whole decompressed stream never materializes.
+// Returns the flag count, or a negative error (-2 truncated,
+// -3 malformed SAM, -4 inflate failure, -5 capacity exceeded,
+// -6 not BGZF — callers fall back to a generic gzip stream path).
+int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
+                           uint16_t* out, int64_t cap, int32_t threads) {
+    std::vector<lfs_bgzf::Member> members;
+    int src = lfs_bgzf::scan_members(data, n_bytes, members);
+    if (src == -3) return -6;       // plain gzip / not BGZF: caller falls back
+    if (src != 0) return src;
+    if (threads <= 0) {
+        unsigned hw = std::thread::hardware_concurrency();
+        threads = hw ? (int32_t)hw : 1;
+    }
+
+    const int64_t window = (int64_t)threads * 8;
+    const int64_t n_members = (int64_t)members.size();
+    const size_t wcap = (size_t)std::min<int64_t>(
+        std::max<int64_t>(window, 1), std::max<int64_t>(n_members, 1));
+    std::vector<std::vector<uint8_t>> bufs[2] = {
+        std::vector<std::vector<uint8_t>>(wcap),
+        std::vector<std::vector<uint8_t>>(wcap)};
+    std::vector<int> infl_rc[2] = {std::vector<int>(wcap, 0),
+                                   std::vector<int>(wcap, 0)};
+
+    auto inflate_window = [&](int slot, int64_t base, int64_t batch) {
+        std::atomic<int64_t> next(0);
+        auto work = [&]() {
+            for (;;) {
+                int64_t i = next.fetch_add(1);
+                if (i >= batch) return;
+                const lfs_bgzf::Member& m = members[base + i];
+                bufs[slot][i].resize((size_t)m.raw_len);
+                infl_rc[slot][i] = m.raw_len == 0 ? 0 : lfs_bgzf::inflate_member(
+                    data + m.comp_off, m.comp_len, bufs[slot][i].data(),
+                    m.raw_len);
+            }
+        };
+        int nt = (int)std::min<int64_t>(threads, batch);
+        std::vector<std::thread> pool;
+        for (int t = 1; t < nt; t++) pool.emplace_back(work);
+        work();
+        for (auto& th : pool) th.join();
+        for (int64_t i = 0; i < batch; i++)
+            if (infl_rc[slot][i] != 0) return infl_rc[slot][i];
+        return 0;
+    };
+
+    std::vector<uint16_t> acc;      // parsed flags, in stream order
+    std::vector<uint8_t> carry;     // partial trailing line
+    int perr = 0;
+    auto parse_buf = [&](const uint8_t* p, int64_t len) {
+        if (perr || len == 0) return;
+        const uint8_t* end = p + len;
+        if (!carry.empty()) {
+            const uint8_t* nl =
+                (const uint8_t*)memchr(p, '\n', (size_t)len);
+            if (!nl) {                       // still no line end: keep carrying
+                carry.insert(carry.end(), p, end);
+                return;
+            }
+            carry.insert(carry.end(), p, nl + 1);
+            perr = parse_range(carry.data(), carry.data() + carry.size(),
+                               acc);
+            carry.clear();
+            if (perr) return;
+            p = nl + 1;
+        }
+        // parse the whole-line body directly; hold the unterminated tail
+        const uint8_t* last = end;
+        while (last > p && last[-1] != '\n') --last;
+        perr = parse_range(p, last, acc);
+        if (!perr && last < end) carry.assign(last, end);
+    };
+    auto walk_window = [&](int slot, int64_t batch) {
+        for (int64_t i = 0; i < batch && !perr; i++)
+            parse_buf(bufs[slot][i].data(), (int64_t)bufs[slot][i].size());
+    };
+
+    int slot = 0;
+    int64_t prev_batch = 0;
+    for (int64_t base = 0; base < n_members && !perr; base += window) {
+        int64_t batch = std::min<int64_t>(window, n_members - base);
+        int infl_err = 0;
+        std::thread producer([&]() { infl_err = inflate_window(slot, base,
+                                                               batch); });
+        walk_window(1 - slot, prev_batch);   // overlaps the inflate
+        producer.join();
+        if (infl_err) return infl_err;
+        prev_batch = batch;
+        slot = 1 - slot;
+    }
+    walk_window(1 - slot, prev_batch);       // drain the last window
+    if (!perr && !carry.empty())             // final unterminated line
+        perr = parse_range(carry.data(), carry.data() + carry.size(), acc);
+    if (perr) return perr;
+    if ((int64_t)acc.size() > cap) return -5;
+    if (!acc.empty())
+        std::memcpy(out, acc.data(), acc.size() * sizeof(uint16_t));
+    return (int64_t)acc.size();
+}
+
+// Total decompressed size of a BGZF chain (output-allocation bound for
+// lfs_bgzf_sam_flags callers: <= one flag per text line, and a line is
+// >= 4 bytes — "q\t0\n"). Negative error; -6 if not BGZF.
+int64_t lfs_bgzf_raw_size(const uint8_t* data, int64_t n_bytes) {
+    std::vector<lfs_bgzf::Member> members;
+    int rc = lfs_bgzf::scan_members(data, n_bytes, members);
+    if (rc == -3) return -6;
+    if (rc != 0) return rc;
+    int64_t raw = 0;
+    for (const auto& m : members) raw += m.raw_len;
+    return raw;
 }
 
 }  // extern "C"

@@ -14,10 +14,15 @@
 #include <string>
 #include <vector>
 
+#include <zlib.h>
+
 extern "C" {
 int64_t lfs_sam_bound(const uint8_t* data, int64_t n_bytes);
 int64_t lfs_sam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
                       int64_t cap, int32_t threads);
+int64_t lfs_bgzf_raw_size(const uint8_t* data, int64_t n_bytes);
+int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
+                           uint16_t* out, int64_t cap, int32_t threads);
 }
 
 namespace {
@@ -47,6 +52,58 @@ int64_t parse(const std::string& s, std::vector<uint16_t>& out,
     out.assign((size_t)bound, 0);
     return lfs_sam_flags(buf.data(), (int64_t)buf.size(), out.data(), bound,
                          threads);
+}
+
+// One BGZF member around payload (mirrors bam_fuzz_test.cpp).
+std::vector<uint8_t> bgzf_member(const uint8_t* payload, size_t len) {
+    uLongf cap = compressBound((uLong)len) + 64;
+    std::vector<uint8_t> comp(cap);
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY);
+    zs.next_in = const_cast<Bytef*>(payload);
+    zs.avail_in = (uInt)len;
+    zs.next_out = comp.data();
+    zs.avail_out = (uInt)cap;
+    deflate(&zs, Z_FINISH);
+    comp.resize(zs.total_out);
+    deflateEnd(&zs);
+
+    std::vector<uint8_t> m;
+    uint16_t bsize = (uint16_t)(12 + 6 + comp.size() + 8 - 1);
+    const uint8_t head[12] = {0x1F, 0x8B, 8, 4, 0, 0, 0, 0, 0, 0xFF, 6, 0};
+    m.insert(m.end(), head, head + 12);
+    m.push_back('B');
+    m.push_back('C');
+    m.push_back(2);
+    m.push_back(0);
+    m.push_back((uint8_t)(bsize & 0xFF));
+    m.push_back((uint8_t)(bsize >> 8));
+    m.insert(m.end(), comp.begin(), comp.end());
+    uint32_t crc = (uint32_t)crc32(0, payload, (uInt)len);
+    for (int i = 0; i < 4; i++) m.push_back((uint8_t)(crc >> (8 * i)));
+    for (int i = 0; i < 4; i++) m.push_back((uint8_t)(len >> (8 * i)));
+    return m;
+}
+
+std::vector<uint8_t> bgzf_compress(const std::string& text,
+                                   size_t block = 50000) {
+    std::vector<uint8_t> f;
+    for (size_t off = 0; off < text.size(); off += block) {
+        size_t take = std::min(block, text.size() - off);
+        auto m = bgzf_member((const uint8_t*)text.data() + off, take);
+        f.insert(f.end(), m.begin(), m.end());
+    }
+    return f;
+}
+
+int64_t parse_bgzf(const std::vector<uint8_t>& f, std::vector<uint16_t>& out,
+                   int32_t threads = 3) {
+    int64_t raw = lfs_bgzf_raw_size(f.data(), (int64_t)f.size());
+    if (raw < 0) return raw;
+    out.assign((size_t)(raw / 2 + 1), 0);
+    return lfs_bgzf_sam_flags(f.data(), (int64_t)f.size(), out.data(),
+                              (int64_t)out.size(), threads);
 }
 
 }  // namespace
@@ -114,7 +171,42 @@ int main() {
         }
     }
 
-    std::printf("sam fuzz OK: 1 clean + 9000 corrupted/truncated + hostile "
-                "lines, no sanitizer findings\n");
+    // 6) BGZF-SAM walker: clean parse exact (members split lines), then
+    //    fuzzed containers and the capacity path
+    {
+        auto gz = bgzf_compress(good);
+        std::vector<uint16_t> bout;
+        int64_t bn = parse_bgzf(gz, bout);
+        if (bn != (int64_t)want.size() ||
+            std::memcmp(bout.data(), want.data(), want.size() * 2) != 0) {
+            std::fprintf(stderr, "clean bgzf parse returned %lld\n",
+                         (long long)bn);
+            return 1;
+        }
+        for (int i = 0; i < 2000; i++) {
+            std::vector<uint8_t> t(gz.begin(),
+                                   gz.begin() + rng() % gz.size());
+            parse_bgzf(t, bout);
+        }
+        for (int i = 0; i < 4000; i++) {
+            auto c = gz;
+            int hits = 1 + (int)(rng() % 8);
+            for (int h = 0; h < hits; h++)
+                c[rng() % c.size()] ^= (uint8_t)(1 + (rng() % 255));
+            parse_bgzf(c, bout);
+        }
+        std::vector<uint16_t> tiny(16);
+        int64_t rc = lfs_bgzf_sam_flags(gz.data(), (int64_t)gz.size(),
+                                        tiny.data(), 16, 3);
+        if (rc != -5) {
+            std::fprintf(stderr, "bgzf cap overflow not detected "
+                         "(rc=%lld)\n", (long long)rc);
+            return 1;
+        }
+    }
+
+    std::printf("sam fuzz OK: 1 clean + 9000 text + 6000 BGZF "
+                "corrupted/truncated + hostile lines, no sanitizer "
+                "findings\n");
     return 0;
 }

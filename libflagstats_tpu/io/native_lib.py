@@ -145,4 +145,9 @@ def _bind(lib):
     lib.lfs_sam_flags.restype = i64
     lib.lfs_sam_flags.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p,
                                   i64, i32]
+    lib.lfs_bgzf_raw_size.restype = i64
+    lib.lfs_bgzf_raw_size.argtypes = [ctypes.c_void_p, i64]
+    lib.lfs_bgzf_sam_flags.restype = i64
+    lib.lfs_bgzf_sam_flags.argtypes = [ctypes.c_void_p, i64,
+                                       ctypes.c_void_p, i64, i32]
     return lib

@@ -175,6 +175,37 @@ def _parse_sam_buffer(lib, buf, n_bytes: int, threads: int) -> np.ndarray:
     return out[:got].copy()
 
 
+def _read_bgzf_sam_native(lib, path, threads: int) -> np.ndarray | None:
+    """BGZF-compressed SAM via the native parallel-inflate walker
+    (lfs_bgzf_sam_flags — the same double-buffered window scheme as the
+    BAM walker). Returns None when the file is gzip-but-not-BGZF, so
+    the caller falls back to the generic stream-inflate path."""
+    import ctypes
+    import os
+
+    if not hasattr(lib, "lfs_bgzf_sam_flags"):
+        return None
+    size = os.path.getsize(path)
+    if size == 0:
+        return np.zeros(0, dtype=np.uint16)
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    addr = mm.ctypes.data
+    raw = lib.lfs_bgzf_raw_size(addr, size)
+    if raw == -6:
+        return None
+    if raw < 0:
+        raise ValueError(f"BGZF scan failed (rc={raw}) — file corrupt "
+                         "or truncated")
+    cap = raw // 2 + 1           # a flag-yielding line is >= 2 bytes ("0\n")
+    out = np.empty(int(cap), dtype=np.uint16)
+    got = lib.lfs_bgzf_sam_flags(
+        addr, size, out.ctypes.data_as(ctypes.c_void_p), int(cap), threads)
+    if got < 0:
+        raise ValueError(f"BGZF SAM parse failed (rc={got}) — malformed "
+                         "FLAG column or corrupt container")
+    return out[:got].copy()
+
+
 def read_sam_flags(path, threads: int = 0) -> np.ndarray:
     """FLAG column of a SAM text file (.sam, .sam.gz, BGZF) -> uint16.
 
@@ -188,6 +219,9 @@ def read_sam_flags(path, threads: int = 0) -> np.ndarray:
     if lib is None or not hasattr(lib, "lfs_sam_flags"):
         return read_sam_flags_py(path)
     if is_gzip(path):
+        got = _read_bgzf_sam_native(lib, path, threads)
+        if got is not None:      # BGZF: parallel-inflate walker handled it
+            return got
         parts: list[np.ndarray] = []
         carry = b""
         with gzip.open(path, "rb") as fh:

@@ -122,25 +122,29 @@ def test_refcache_key_depends_on_semantics_source(tmp_path, monkeypatch):
 
 def test_kernels_roster_runs_on_cpu(tmp_path):
     """`cli kernels` row assembly end-to-end on the CPU backend: header,
-    one gate-annotated xla row (the only CPU body), correctness check
-    against the cached oracle, and the roofline footer when the defended
-    roofline produced a number. Gate outcome itself is host-load
-    dependent, so only the row STRUCTURE is asserted. cache_dir keeps
-    the test's reference files out of the repo's load-bearing
-    .jax_cache."""
+    the gate-annotated xla row (the only CPU flagstat body) plus the two
+    set-algebra rows, correctness checks against the cached oracle /
+    host popcount, and the roofline footer when the defended roofline
+    produced a number. Gate outcome itself is host-load dependent, so
+    only the row STRUCTURE is asserted. cache_dir keeps the test's
+    reference files out of the repo's load-bearing .jax_cache."""
     from libflagstats_tpu.bench import kernels
 
     lines = kernels.run(n_words=65536, iters=2, cache_dir=str(tmp_path))
     assert lines[0] == kernels.HEADER
     rows = [l for l in lines[1:] if not l.startswith("[roofline")]
-    assert len(rows) == 1 and rows[0].startswith("xla\t65536\t")
-    cols = rows[0].split("\t")
-    assert len(cols) == 6 and "MISMATCH" not in rows[0]
-    float(cols[2])                      # time_us parses
-    # the vs_roofline column may be any of: '0.123', '0.123!' (gate
-    # failed), 'n/a' (no roofline), 'n/a!' (no roofline AND gate failed)
-    vs = cols[5].rstrip("!")
-    assert vs == "n/a" or float(vs) > 0
+    assert [r.split("\t")[0] for r in rows] == [
+        "xla", "setop_popcnt", "setop_intersect"]
+    for row in rows:
+        cols = row.split("\t")
+        assert len(cols) == 6 and "MISMATCH" not in row
+        assert cols[1] == "65536"
+        float(cols[2])                  # time_us parses
+        # the vs_roofline column may be any of: '0.123', '0.123!' (gate
+        # failed), 'n/a' (no roofline), 'n/a!' (no roofline AND gate
+        # failed)
+        vs = cols[5].rstrip("!")
+        assert vs == "n/a" or float(vs) > 0
     assert len(list(tmp_path.glob("bench_*.npy"))) == 2
 
 

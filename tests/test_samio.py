@@ -68,6 +68,35 @@ def test_sam_bgzf_roundtrip(tmp_path):
     np.testing.assert_array_equal(_both_readers(gz), x)
 
 
+@pytest.mark.skipif(not NATIVE, reason="native host library unavailable")
+def test_bgzf_takes_the_walker_plain_gz_falls_back(tmp_path):
+    """Routing pin: BGZF .sam.gz must go through the parallel-inflate
+    walker (lfs_bgzf_sam_flags); plain gzip must make it return None so
+    the generic stream path runs."""
+    from libflagstats_tpu.io import native_lib
+
+    lib = native_lib.load()
+    x = generate_flags(30_000, seed=31, full_range=True)
+    plain = tmp_path / "t.sam"
+    samio.write_sam(plain, x)
+    data = plain.read_bytes()
+
+    bgz = tmp_path / "b.sam.gz"
+    with open(bgz, "wb") as fh:
+        for off in range(0, len(data), 60000):
+            fh.write(bamio._bgzf_member(data[off:off + 60000]))
+        fh.write(bamio.BGZF_EOF)
+    got = samio._read_bgzf_sam_native(lib, bgz, 0)
+    assert got is not None
+    np.testing.assert_array_equal(got, x)
+
+    gz = tmp_path / "p.sam.gz"
+    with gzip.open(gz, "wb") as fh:
+        fh.write(data)
+    assert samio._read_bgzf_sam_native(lib, gz, 0) is None
+    np.testing.assert_array_equal(samio.read_sam_flags(gz), x)
+
+
 def test_bare_column_text(tmp_path):
     """A tabless FLAG-per-line file (the `cut -f2` shape the reference's
     utility consumes) parses through the same reader."""
@@ -214,6 +243,20 @@ def test_cli_flagstat_sam(tmp_path, capsys):
     dest = tmp_path / "col.bin"
     assert main(["bam2flags", str(p), "-o", str(dest)]) == 0
     np.testing.assert_array_equal(np.fromfile(dest, dtype=np.uint16), x)
+
+
+def test_flagstat_file_top_level(tmp_path):
+    """lfs.flagstat_file: one call, any container."""
+    import libflagstats_tpu as lfs
+
+    x = generate_flags(20_000, seed=29, full_range=True)
+    ref = flagstat_numpy(x)
+    b = tmp_path / "t.bam"
+    bamio.write_bam(b, x)
+    s = tmp_path / "t.sam"
+    samio.write_sam(s, x)
+    for p in (b, s):
+        assert_counters_equal(ref, lfs.flagstat_file(p))
 
 
 def test_cli_compress_from_container(tmp_path, capsys):
