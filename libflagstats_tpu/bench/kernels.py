@@ -127,18 +127,24 @@ def _setop_rows(x_host, n_words: int, roof, iters: int,
     population_count+sum reduce, measured with the same gated fits.
     One 1-stream row and one 2-stream row characterize the family
     (union/diff are the same op count as intersect)."""
+    def skip_rows(reason: str) -> list[str]:
+        # well-formed 6-column rows so table consumers never break
+        return [f"{name}\t{n_words}\tskipped:{reason}\t-\t-\t-"
+                for name in ("setop_popcnt", "setop_intersect")]
+
+    if n_words % 2:                              # uint32 view needs even words
+        return skip_rows("odd word count")
+    # lanes x <=32 bits must stay < 2^31 for one exact int32 reduce (the
+    # library path chunks at 2^25 lanes for the same reason); above
+    # that, skip rather than time a wrapping reduce
+    if n_words // 2 > (1 << 25):
+        return skip_rows(">2^25 lanes (library path chunks)")
+
     a_host = x_host.view(np.uint32)              # 2*n_words bytes, 32-bit lanes
     rng = np.random.default_rng(1)
     b_host = rng.integers(0, 1 << 32, size=a_host.size, dtype=np.uint32)
     a = jax.block_until_ready(jnp.asarray(a_host))
     b = jax.block_until_ready(jnp.asarray(b_host))
-
-    # a.size = n_words/2 lanes x <=32 bits < 2^31: one int32 reduce is
-    # exact (the library path chunks at 2^25 lanes for the same reason);
-    # above that, skip the rows rather than time a wrapping reduce
-    if a_host.size > (1 << 25):
-        return [f"setop_popcnt\t{n_words}\tskipped: >2^25 lanes "
-                "(library path chunks; roster measures the chunk shape)"]
 
     def popcnt_body(v):
         return jnp.sum(jax.lax.population_count(v).astype(jnp.int32))

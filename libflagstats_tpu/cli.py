@@ -376,12 +376,15 @@ def main(argv=None) -> int:
     k.set_defaults(fn=_cmd_kernels)
 
     args = p.parse_args(argv)
+    import zlib
+
     try:
         return args.fn(args)
-    except (ValueError, OSError) as e:
+    except (ValueError, OSError, EOFError, zlib.error) as e:
         # bad/corrupt/missing input: one clean line, nonzero rc — the
         # reference's run_screaming pattern (flagstats.cpp:105-108).
-        # Unexpected exception classes still traceback.
+        # EOFError/zlib.error are what truncated/garbled gzip streams
+        # raise mid-read. Unexpected exception classes still traceback.
         print(f"libflagstats_tpu: error: {e}", file=sys.stderr)
         return 1
 

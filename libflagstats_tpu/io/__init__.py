@@ -36,17 +36,23 @@ def read_flags_auto(path, threads: int = 0):
 
     name = str(path)
     if samio.is_gzip(path):
+        import gzip
         import zlib
 
-        with open(path, "rb") as fh:
-            d = zlib.decompressobj(31)
-            peek = b""
-            while len(peek) < 4:
-                raw = fh.read(1 << 16)
-                if not raw:
-                    break
-                peek += d.decompress(raw, 4 - len(peek))
-        if peek[:4] == b"BAM\x01":
+        try:
+            with gzip.open(path, "rb") as fh:
+                peek = fh.read(4)
+        except (OSError, EOFError, zlib.error):
+            # gzip magic but not a decodable gzip stream. A raw binary
+            # FLAG column can legally start with the word 0x8b1f (bytes
+            # 1f 8b) — route it as binary unless the name insists on
+            # gzip, in which case fail cleanly.
+            if name.endswith(".gz"):
+                raise ValueError(
+                    f"{name}: gzip magic but undecodable stream — "
+                    "corrupt or truncated gzip") from None
+            return samio.read_binary(path)
+        if peek == b"BAM\x01":
             from .bamio import read_bam_flags
 
             return read_bam_flags(path, threads=threads)

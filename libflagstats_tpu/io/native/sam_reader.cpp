@@ -193,6 +193,12 @@ int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
     std::vector<uint16_t> acc;      // parsed flags, in stream order
     std::vector<uint8_t> carry;     // partial trailing line
     int perr = 0;
+    // cap is enforced INCREMENTALLY (not post-hoc): a tiny cap must
+    // bound both the work and acc's memory, like lfs_sam_flags and the
+    // BAM walker's per-record check
+    auto check_cap = [&]() {
+        if (!perr && (int64_t)acc.size() > cap) perr = -5;
+    };
     auto parse_buf = [&](const uint8_t* p, int64_t len) {
         if (perr || len == 0) return;
         const uint8_t* end = p + len;
@@ -207,6 +213,7 @@ int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
             perr = parse_range(carry.data(), carry.data() + carry.size(),
                                acc);
             carry.clear();
+            check_cap();
             if (perr) return;
             p = nl + 1;
         }
@@ -215,6 +222,7 @@ int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
         while (last > p && last[-1] != '\n') --last;
         perr = parse_range(p, last, acc);
         if (!perr && last < end) carry.assign(last, end);
+        check_cap();
     };
     auto walk_window = [&](int slot, int64_t batch) {
         for (int64_t i = 0; i < batch && !perr; i++)
@@ -235,10 +243,11 @@ int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
         slot = 1 - slot;
     }
     walk_window(1 - slot, prev_batch);       // drain the last window
-    if (!perr && !carry.empty())             // final unterminated line
+    if (!perr && !carry.empty()) {           // final unterminated line
         perr = parse_range(carry.data(), carry.data() + carry.size(), acc);
+        check_cap();
+    }
     if (perr) return perr;
-    if ((int64_t)acc.size() > cap) return -5;
     if (!acc.empty())
         std::memcpy(out, acc.data(), acc.size() * sizeof(uint16_t));
     return (int64_t)acc.size();

@@ -135,22 +135,27 @@ int main() {
         parse(c, out);
     }
 
-    // 4) hostile hand-built lines
+    // 4) hostile hand-built lines (sizeof-based lengths: embedded NULs
+    //    must reach the parser, not truncate the std::string)
     {
-        const char* cases[] = {
-            "",                          // empty
-            "\n\n\n",                    // only newlines
-            "\t\t\t\n",                  // only tabs
-            "q\t99999999999999999999\n", // digit run far past uint16
-            "q\t65536\n",                // one past the cap
-            "q\t65535\n",                // at the cap
-            "q\t\n",                     // empty FLAG field
-            "q\t5",                      // no trailing newline
-            "q\t5\r",                    // bare CR end
-            "@only\theader\tlines\n@x\n",
-            "\xff\xfe\x00\x01binary\tgarbage",
+#define CASE(lit) std::string(lit, sizeof(lit) - 1)
+        const std::string cases[] = {
+            CASE(""),                          // empty
+            CASE("\n\n\n"),                    // only newlines
+            CASE("\t\t\t\n"),                  // only tabs
+            CASE("q\t99999999999999999999\n"), // digit run far past uint16
+            CASE("q\t65536\n"),                // one past the cap
+            CASE("q\t65535\n"),                // at the cap
+            CASE("q\t\n"),                     // empty FLAG field
+            CASE("q\t5"),                      // no trailing newline
+            CASE("q\t5\r"),                    // bare CR end
+            CASE("@only\theader\tlines\n@x\n"),
+            CASE("\xff\xfe\x00\x01binary\tgarbage"),  // interior NUL + tab
+            CASE("q\x00x\t7\n"),               // NUL inside QNAME
+            CASE("q\t7\x00\n"),                // NUL after digits
         };
-        for (const char* c : cases) parse(std::string(c), out);
+#undef CASE
+        for (const std::string& c : cases) parse(c, out);
         // a single giant line with no newline at all (range-split probe
         // finds no '\n')
         std::string giant(5 << 20, 'A');

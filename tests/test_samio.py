@@ -275,7 +275,8 @@ def test_cli_compress_from_container(tmp_path, capsys):
 
 def test_cli_input_errors_are_clean(tmp_path, capsys):
     """Bad input exits rc=1 with a one-line error (the reference's
-    run_screaming pattern), never a report and never a traceback."""
+    run_screaming pattern), never a report and never a traceback —
+    including corrupt/truncated gzip (zlib.error / EOFError paths)."""
     from libflagstats_tpu.cli import main
 
     bad = tmp_path / "bad.sam"
@@ -287,3 +288,38 @@ def test_cli_input_errors_are_clean(tmp_path, capsys):
 
     assert main(["flagstat", str(tmp_path / "missing.bin")]) == 1
     assert "error:" in capsys.readouterr().err
+
+    garbled = tmp_path / "garbled.sam.gz"
+    garbled.write_bytes(b"\x1f\x8b" + b"\x99" * 64)
+    assert main(["flagstat", str(garbled)]) == 1
+    assert "error:" in capsys.readouterr().err
+
+    truncated = tmp_path / "trunc.sam.gz"
+    with gzip.open(tmp_path / "whole.sam.gz", "wb") as fh:
+        fh.write(b"r1\t77\t*\n" * 1000)
+    truncated.write_bytes((tmp_path / "whole.sam.gz").read_bytes()[:40])
+    assert main(["flagstat", str(truncated)]) == 1
+    assert "error:" in capsys.readouterr().err
+
+
+def test_raw_binary_with_gzip_magic_word(tmp_path):
+    """A legal raw FLAG column whose first word is 0x8b1f (bytes 1f 8b)
+    must still route as binary, not die in a gzip decoder."""
+    x = np.array([0x8B1F, 77, 99, 4095], dtype=np.uint16)
+    p = tmp_path / "t.bin"
+    x.astype("<u2").tofile(p)
+    np.testing.assert_array_equal(read_flags_auto(p), x)
+
+
+def test_setop_rows_skip_shapes():
+    """Odd word counts and >2^25-lane inputs must yield well-formed
+    6-column skip rows for BOTH setop kernels, never crash the roster."""
+    from libflagstats_tpu.bench import kernels
+
+    for n in (65537, 1 << 27):
+        rows = kernels._setop_rows(None, n, None, iters=1, check=False)
+        assert [r.split("\t")[0] for r in rows] == [
+            "setop_popcnt", "setop_intersect"]
+        for r in rows:
+            cols = r.split("\t")
+            assert len(cols) == 6 and cols[2].startswith("skipped:")
