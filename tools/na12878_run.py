@@ -11,6 +11,11 @@ reference's own timing of this workload is 0.72 s over LZ4-HC,
 README.md:35).
 
 Usage: python tools/na12878_run.py [--scale 1] [--codec lz4] [--keep]
+
+`--container bam|sam|sam.gz` runs the same conformance check through
+the container-ingest path instead (BGZF/SAM walkers + read_flags_auto,
+the `samtools flagstat <file>` workload end-to-end) — the reproducible
+form of the round-3 BAM/SAM full-scale runs in docs/BENCHMARKS.md.
 """
 from __future__ import annotations
 
@@ -35,6 +40,10 @@ def main() -> int:
     ap.add_argument("--threads", type=int, default=0)
     ap.add_argument("--chunk-words", type=int, default=None,
                     help="device chunk size (default: one kernel grid step)")
+    ap.add_argument("--container", default=None,
+                    choices=["bam", "sam", "sam.gz"],
+                    help="run through the container-ingest path instead "
+                         "of the framed stream")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -49,6 +58,10 @@ def main() -> int:
 
     wd = Path(args.workdir)
     wd.mkdir(parents=True, exist_ok=True)
+
+    if args.container:
+        return _container_run(args, wd)
+
     # the cache name must carry every knob that changes the bytes —
     # reusing a level-1 stream for a --level 19 run would silently
     # record the wrong codec's timings
@@ -105,6 +118,82 @@ def main() -> int:
           f"824.5M reads over LZ4-HC)")
     if not args.keep:
         stream_path.unlink(missing_ok=True)
+    return 0 if ok else 1
+
+
+def _check_report(counters, scale: int) -> bool:
+    from libflagstats_tpu.datasets import na12878_report_values
+    from libflagstats_tpu.report import counters_to_report
+
+    rep = counters_to_report(counters)
+    expected = na12878_report_values(scale_divisor=scale)
+    checks = {
+        "total": rep.total[0], "supplementary": rep.supplementary[0],
+        "mapped": rep.mapped[0],
+        "paired_in_sequencing": rep.paired_in_sequencing[0],
+        "read1": rep.read1[0], "read2": rep.read2[0],
+        "properly_paired": rep.properly_paired[0],
+        "both_mapped": rep.both_mapped[0], "singletons": rep.singletons[0],
+        "secondary": rep.secondary[0], "duplicates": rep.duplicates[0],
+    }
+    print(rep.text())
+    ok = all(checks[k] == expected[k] for k in checks)
+    print(f"[check] published-report match: {ok}")
+    return ok
+
+
+def _container_run(args, wd: Path) -> int:
+    """Full `samtools flagstat <container>` conformance: synthesize the
+    column, build the container, count straight from it."""
+    from libflagstats_tpu import flagstat_file
+    from libflagstats_tpu.datasets import synth_na12878
+
+    path = wd / f"na12878_s{args.scale}.{args.container}"
+    if path.exists():
+        print(f"[gen] reusing {path}", flush=True)
+    else:
+        t0 = time.perf_counter()
+        arr, _ = synth_na12878(scale_divisor=args.scale, seed=0)
+        print(f"[gen] {arr.size:,} words in {time.perf_counter()-t0:.1f}s",
+              flush=True)
+        t0 = time.perf_counter()
+        if args.container == "bam":
+            from libflagstats_tpu.io.bamio import write_bam
+
+            write_bam(path, arr, level=1)
+        else:
+            from libflagstats_tpu.io.samio import write_sam
+
+            sam_tmp = path if args.container == "sam" else (
+                wd / f"na12878_s{args.scale}.sam.tmp")
+            write_sam(sam_tmp, arr)
+            if args.container == "sam.gz":
+                from libflagstats_tpu.io.bamio import BGZF_EOF, _bgzf_member
+
+                data = np.memmap(sam_tmp, dtype=np.uint8, mode="r")
+                with open(path, "wb") as fh:
+                    for off in range(0, len(data), 60000):
+                        fh.write(_bgzf_member(
+                            data[off:off + 60000].tobytes(), level=1))
+                    fh.write(BGZF_EOF)
+                del data
+                sam_tmp.unlink()
+        print(f"[container] {path.name}: "
+              f"{path.stat().st_size/1e9:.2f} GB in "
+              f"{time.perf_counter()-t0:.1f}s", flush=True)
+        del arr
+
+    t0 = time.perf_counter()
+    counters = flagstat_file(path, threads=args.threads, impl=args.impl)
+    t_run = time.perf_counter() - t0
+
+    ok = _check_report(counters, args.scale)
+    n = int(np.asarray(counters, dtype=np.uint64)[9])
+    print(f"[time] flagstat({path.name}) {t_run:.2f}s "
+          f"({n/t_run/1e6:.0f} Mrec/s end-to-end; samtools published "
+          f"30m50s for the full BAM)")
+    if not args.keep:
+        path.unlink(missing_ok=True)
     return 0 if ok else 1
 
 
