@@ -77,6 +77,7 @@ asan:
 	  -march=native \
 	  libflagstats_tpu/io/native/tests/bam_fuzz_test.cpp \
 	  libflagstats_tpu/io/native/bam_reader.cpp \
+	  libflagstats_tpu/io/native/flagstats_host.cpp \
 	  -o build/bam_fuzz_test -lz -pthread
 	./build/bam_fuzz_test
 	# SAM-text parser fuzz: untrusted text input
@@ -84,5 +85,6 @@ asan:
 	  -march=native \
 	  libflagstats_tpu/io/native/tests/sam_fuzz_test.cpp \
 	  libflagstats_tpu/io/native/sam_reader.cpp \
+	  libflagstats_tpu/io/native/flagstats_host.cpp \
 	  -o build/sam_fuzz_test -lz -pthread
 	./build/sam_fuzz_test

@@ -51,10 +51,21 @@ def flagstat_sharded(values, **kwargs):
 def flagstat_file(path, threads: int = 0, impl: str | None = None):
     """32-counter vector straight from any supported container — the
     `samtools flagstat <file>` workload with no samtools in the loop
-    (format sniffed by io.read_flags_auto: .bam, .sam[.gz], framed
-    .lz4/.zst, raw binary column)."""
-    from .io import read_flags_auto
+    (format sniffed by io.sniff_format: .bam, .sam[.gz], framed
+    .lz4/.zst, raw binary column). BAM and BGZF-SAM take the fused
+    native walk+count (O(window) memory at any size); the rest read
+    the column then count."""
+    from .io import read_flags_auto, sniff_format
 
+    kind = sniff_format(path)
+    if kind == "bam":
+        from .io.bamio import flagstat_bam
+
+        return flagstat_bam(path, threads=threads, impl=impl)
+    if kind == "sam":
+        from .io.samio import flagstat_sam
+
+        return flagstat_sam(path, threads=threads, impl=impl)
     return flagstats_u16(read_flags_auto(path, threads=threads), impl=impl)
 
 __version__ = "0.1.0"

@@ -146,12 +146,13 @@ def _cmd_decompress(args):
 
 def _cmd_flagstat(args):
     # the full `samtools flagstat <file>` workload, samtools-free, on
-    # any supported container: .bam (BGZF walk, io/bamio.py),
-    # .sam/.sam.gz/bare text column (io/samio.py), raw binary column
-    from .io import read_flags_auto
+    # any supported container: .bam / BGZF .sam.gz (fused native
+    # walk+count, O(window) memory), .sam/bare text column, framed
+    # .lz4/.zst, raw binary column
+    from . import flagstat_file
 
-    arr = read_flags_auto(args.input, threads=args.threads)
-    counters = _flagstat_array(arr, args.impl)
+    counters = flagstat_file(args.input, threads=args.threads,
+                             impl=args.impl)
     print(counters_to_report(counters).text())
     return 0
 

@@ -19,18 +19,17 @@ from .samio import (  # noqa: F401
 )
 
 
-def read_flags_auto(path, threads: int = 0):
-    """FLAG column from any supported container, by content sniff:
+def sniff_format(path) -> str:
+    """Classify a container by content (extension only as tiebreak):
 
-    * gzip/BGZF whose payload starts ``BAM\\x01`` -> BAM walker
-      (io/bamio.py);
-    * any other gzip -> SAM text / bare FLAG column, stream-inflated
-      (samio.read_sam_flags);
-    * plain ``.sam`` / ``.txt`` -> SAM text / bare FLAG column;
-    * ``.lz4`` / ``.zst`` -> framed compressed column (the reference's
-      own container, flagstats.cpp:136-138), threaded decode;
-    * anything else -> raw little-endian uint16 binary column
-      (the reference's only input format, reference README.md:56).
+    * gzip/BGZF whose payload starts ``BAM\\x01`` -> ``"bam"``
+      (io/bamio.py walker);
+    * any other gzip, or plain ``.sam`` / ``.txt`` -> ``"sam"``
+      (SAM text / bare FLAG column, io/samio.py);
+    * ``.lz4`` / ``.zst`` -> ``"framed-lz4"`` / ``"framed-zstd"``
+      (the reference's own container, flagstats.cpp:136-138);
+    * anything else -> ``"binary"`` (raw little-endian uint16 column,
+      the reference's only input format, reference README.md:56).
     """
     from . import samio
 
@@ -51,22 +50,36 @@ def read_flags_auto(path, threads: int = 0):
                 raise ValueError(
                     f"{name}: gzip magic but undecodable stream — "
                     "corrupt or truncated gzip") from None
-            return samio.read_binary(path)
-        if peek == b"BAM\x01":
-            from .bamio import read_bam_flags
-
-            return read_bam_flags(path, threads=threads)
-        return samio.read_sam_flags(path, threads=threads)
+            return "binary"
+        return "bam" if peek == b"BAM\x01" else "sam"
     if name.endswith(".bam"):
         # a non-gzip .bam is corrupt; the walker raises the right error
+        return "bam"
+    if name.endswith((".sam", ".txt")):
+        return "sam"
+    if name.endswith(".lz4"):
+        return "framed-lz4"
+    if name.endswith(".zst"):
+        return "framed-zstd"
+    return "binary"
+
+
+def read_flags_auto(path, threads: int = 0):
+    """FLAG column from any supported container (see sniff_format)."""
+    kind = sniff_format(path)
+    if kind == "bam":
         from .bamio import read_bam_flags
 
         return read_bam_flags(path, threads=threads)
-    if name.endswith((".sam", ".txt")):
-        return samio.read_sam_flags(path, threads=threads)
-    if name.endswith((".lz4", ".zst")):
+    if kind == "sam":
+        from .samio import read_sam_flags
+
+        return read_sam_flags(path, threads=threads)
+    if kind.startswith("framed-"):
         from .codec import read_framed
 
-        codec = "lz4" if name.endswith(".lz4") else "zstd"
-        return read_framed(path, codec, n_threads=threads)
-    return samio.read_binary(path)
+        return read_framed(path, kind.removeprefix("framed-"),
+                           n_threads=threads)
+    from .samio import read_binary
+
+    return read_binary(path)

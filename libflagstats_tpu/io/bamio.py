@@ -168,8 +168,31 @@ def flagstat_bam(path, threads: int = 0, impl: str | None = None):
     """samtools-flagstat counters straight from a BAM file.
 
     The full `samtools flagstat <bam>` workload (the reference's 30m50s
-    baseline) with no samtools in the loop: BGZF inflate -> FLAG walk ->
-    the dispatched counting kernel."""
+    baseline) with no samtools in the loop. Default path is the FUSED
+    native walk+count (`lfs_bam_flagstat`): the FLAG column never
+    materializes — records drain through a bounded chunk buffer into
+    the accumulating host kernel, so memory stays O(inflate window) at
+    any BAM size. Forcing a non-native ``impl`` (or lacking the native
+    lib) falls back to walk-then-count."""
+    from .. import flags as F
     from ..ops.dispatch import flagstats_u16
+    from . import native_lib
 
+    lib = native_lib.load()
+    if impl in (None, "native") and lib is not None and hasattr(
+            lib, "lfs_bam_flagstat"):
+        import ctypes
+        import os
+
+        size = os.path.getsize(path)
+        if size:
+            mm = np.memmap(path, dtype=np.uint8, mode="r")
+            counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
+            got = lib.lfs_bam_flagstat(
+                mm.ctypes.data, size,
+                counters.ctypes.data_as(ctypes.c_void_p), threads, 0)
+            if got < 0:
+                raise ValueError(f"BAM walk failed (rc={got}) — file "
+                                 "corrupt, truncated, or not BGZF")
+            return counters
     return flagstats_u16(read_bam_flags(path, threads=threads), impl=impl)

@@ -23,10 +23,14 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <thread>
 #include <vector>
 
 #include "bgzf.h"
+
+extern "C" int64_t lfs_flagstat_u16(const uint16_t* data, int64_t n,
+                                    uint64_t* flags, int n_threads);
 
 namespace {
 
@@ -59,8 +63,22 @@ struct Parser {
     int64_t cap;
     int64_t count = 0;
     int err = 0;
+    // Fused-counting hook: when out fills, consume out[0..count) and
+    // reset count (return 0) — lets a bounded chunk buffer stand in for
+    // the whole column (lfs_bam_flagstat). Absent -> cap is hard (-5).
+    std::function<int()> on_full;
 
     void fail(int e) { state = FAILED; err = e; }
+
+    // true iff a slot is free after (possibly) draining via on_full
+    bool make_room() {
+        if (count < cap) return true;
+        if (!on_full) { fail(-5); return false; }
+        int rc = on_full();
+        if (rc) { fail(rc); return false; }
+        if (count >= cap) { fail(-5); return false; }
+        return true;
+    }
 
     // gather `need` bytes into pend across chunk boundaries; returns
     // true when pend holds `need` bytes (and resets pend_len)
@@ -131,7 +149,7 @@ struct Parser {
                         std::memcpy(&bs, p, 4);
                         if (bs < 33) return fail(-3);
                         if (end - p < 4 + (int64_t)bs) break;
-                        if (count >= cap) return fail(-5);
+                        if (!make_room()) return;
                         uint16_t flag;
                         std::memcpy(&flag, p + 4 + 14, 2);
                         out[count++] = flag;
@@ -149,7 +167,7 @@ struct Parser {
             }
             case REC_HEAD: {
                 if (!gather(p, end, 16)) return;
-                if (count >= cap) return fail(-5);
+                if (!make_room()) return;
                 uint16_t flag;
                 std::memcpy(&flag, pend + 14, 2);
                 out[count++] = flag;
@@ -176,26 +194,13 @@ struct Parser {
     }
 };
 
-}  // namespace
-
-extern "C" {
-
-// Upper bound on the number of records (for output allocation): scans
-// only the BGZF headers. Returns the bound, or a negative error.
-int64_t lfs_bam_bound(const uint8_t* data, int64_t n_bytes) {
-    std::vector<Member> members;
-    int rc = scan_members(data, n_bytes, members);
-    if (rc != 0) return rc;
-    int64_t raw = 0;
-    for (const Member& m : members) raw += m.raw_len;
-    return raw / kMinRecord + 1;
-}
-
-// Extract the FLAG column. Returns the number of flags written, or a
-// negative error (-2 truncated, -3 malformed, -4 inflate failure,
-// -5 output capacity exceeded).
-int64_t lfs_bam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
-                      int64_t cap, int32_t threads) {
+// Shared walk driver: scan the member chain, then double-buffered
+// windows — the pool inflates window i while the main thread walks
+// window i-1, so the (inherently sequential) record walk is hidden
+// behind the (parallel) inflate. Returns 0 or a negative error
+// (inflate failures, the parser's own error, truncated EOF).
+int walk_bam(const uint8_t* data, int64_t n_bytes, Parser& parser,
+             int32_t threads) {
     std::vector<Member> members;
     int rc = scan_members(data, n_bytes, members);
     if (rc != 0) return rc;
@@ -204,16 +209,10 @@ int64_t lfs_bam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
         threads = hw ? (int32_t)hw : 1;
     }
 
-    Parser parser;
-    parser.out = out;
-    parser.cap = cap;
-
     const int64_t window = (int64_t)threads * 8;
     const int64_t n_members = (int64_t)members.size();
-    const size_t wcap = (size_t)std::min<int64_t>(window, n_members);
-    // double-buffered windows: the pool inflates window i while the
-    // main thread walks window i-1, so the (inherently sequential)
-    // record walk is hidden behind the (parallel) inflate
+    const size_t wcap = (size_t)std::min<int64_t>(
+        std::max<int64_t>(window, 1), std::max<int64_t>(n_members, 1));
     std::vector<std::vector<uint8_t>> bufs[2] = {
         std::vector<std::vector<uint8_t>>(wcap),
         std::vector<std::vector<uint8_t>>(wcap)};
@@ -265,7 +264,68 @@ int64_t lfs_bam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
     walk_window(1 - slot, prev_batch);       // drain the last window
     if (parser.err) return parser.err;
     if (!parser.clean_end()) return -2;  // mid-record EOF: truncated
+    return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Upper bound on the number of records (for output allocation): scans
+// only the BGZF headers. Returns the bound, or a negative error.
+int64_t lfs_bam_bound(const uint8_t* data, int64_t n_bytes) {
+    std::vector<Member> members;
+    int rc = scan_members(data, n_bytes, members);
+    if (rc != 0) return rc;
+    int64_t raw = 0;
+    for (const Member& m : members) raw += m.raw_len;
+    return raw / kMinRecord + 1;
+}
+
+// Extract the FLAG column. Returns the number of flags written, or a
+// negative error (-2 truncated, -3 malformed, -4 inflate failure,
+// -5 output capacity exceeded).
+int64_t lfs_bam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
+                      int64_t cap, int32_t threads) {
+    Parser parser;
+    parser.out = out;
+    parser.cap = cap;
+    int rc = walk_bam(data, n_bytes, parser, threads);
+    if (rc != 0) return rc;
     return parser.count;
+}
+
+// Fused walk+count: the FLAG column never materializes — records drain
+// through a bounded chunk buffer into the accumulating host counting
+// kernel (flagstats_host.cpp lfs_flagstat_u16; the derived pass-total
+// is += n_chunk - fail_chunk per flush, exact under summation by the
+// block-accumulate contract, reference: flagstats.cpp:311-332). Memory
+// stays O(inflate window + chunk) at any BAM size. Returns the record
+// count, or a negative error (-7: counting kernel failure).
+int64_t lfs_bam_flagstat(const uint8_t* data, int64_t n_bytes,
+                         uint64_t* counters, int32_t threads,
+                         int64_t chunk_flags) {
+    if (chunk_flags <= 0) chunk_flags = 1 << 22;   // 4Mi flags = 8 MB
+    std::vector<uint16_t> chunk((size_t)chunk_flags);
+    Parser parser;
+    parser.out = chunk.data();
+    parser.cap = (int64_t)chunk.size();
+    int64_t total = 0;
+    parser.on_full = [&]() {
+        if (lfs_flagstat_u16(parser.out, parser.count, counters, 1))
+            return -7;
+        total += parser.count;
+        parser.count = 0;
+        return 0;
+    };
+    int rc = walk_bam(data, n_bytes, parser, threads);
+    if (rc != 0) return rc;
+    if (parser.count) {
+        if (lfs_flagstat_u16(parser.out, parser.count, counters, 1))
+            return -7;
+        total += parser.count;
+    }
+    return total;
 }
 
 }  // extern "C"

@@ -35,6 +35,9 @@
 
 #include "bgzf.h"
 
+extern "C" int64_t lfs_flagstat_u16(const uint16_t* data, int64_t n,
+                                    uint64_t* flags, int n_threads);
+
 namespace {
 
 // Parse [p, end) (starting at a line boundary) into out.
@@ -143,11 +146,18 @@ int64_t lfs_sam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
 // BAM walker's scheme, bam_reader.cpp) while the main thread parses the
 // previous window's text with partial lines carried across member
 // boundaries. The whole decompressed stream never materializes.
+// Two modes: column mode (counters == nullptr) writes flags to
+// out[0..cap); fused mode drains the parse buffer into the
+// accumulating host counting kernel every ~4Mi flags, so neither the
+// text nor the column ever materializes (O(window + chunk) memory).
 // Returns the flag count, or a negative error (-2 truncated,
 // -3 malformed SAM, -4 inflate failure, -5 capacity exceeded,
-// -6 not BGZF — callers fall back to a generic gzip stream path).
-int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
-                           uint16_t* out, int64_t cap, int32_t threads) {
+// -6 not BGZF — callers fall back to a generic gzip stream path,
+// -7 counting kernel failure).
+static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
+                             uint16_t* out, int64_t cap,
+                             uint64_t* counters, int32_t threads,
+                             int64_t chunk_flags) {
     std::vector<lfs_bgzf::Member> members;
     int src = lfs_bgzf::scan_members(data, n_bytes, members);
     if (src == -3) return -6;       // plain gzip / not BGZF: caller falls back
@@ -193,11 +203,24 @@ int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
     std::vector<uint16_t> acc;      // parsed flags, in stream order
     std::vector<uint8_t> carry;     // partial trailing line
     int perr = 0;
-    // cap is enforced INCREMENTALLY (not post-hoc): a tiny cap must
-    // bound both the work and acc's memory, like lfs_sam_flags and the
-    // BAM walker's per-record check
+    int64_t total = 0;              // fused mode: flags already counted
+    // column mode: cap is enforced INCREMENTALLY (not post-hoc) — a
+    // tiny cap must bound both the work and acc's memory, like
+    // lfs_sam_flags and the BAM walker's per-record check. Fused mode
+    // drains acc into the counting kernel instead.
+    const size_t kFlush = (size_t)(chunk_flags > 0 ? chunk_flags
+                                                    : int64_t(1) << 22);
     auto check_cap = [&]() {
-        if (!perr && (int64_t)acc.size() > cap) perr = -5;
+        if (perr) return;
+        if (counters) {
+            if (acc.size() < kFlush) return;
+            if (lfs_flagstat_u16(acc.data(), (int64_t)acc.size(),
+                                 counters, 1)) { perr = -7; return; }
+            total += (int64_t)acc.size();
+            acc.clear();
+        } else if ((int64_t)acc.size() > cap) {
+            perr = -5;
+        }
     };
     auto parse_buf = [&](const uint8_t* p, int64_t len) {
         if (perr || len == 0) return;
@@ -248,9 +271,33 @@ int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
         check_cap();
     }
     if (perr) return perr;
+    if (counters) {                          // fused mode: final drain
+        if (!acc.empty()) {
+            if (lfs_flagstat_u16(acc.data(), (int64_t)acc.size(),
+                                 counters, 1))
+                return -7;
+            total += (int64_t)acc.size();
+        }
+        return total;
+    }
     if (!acc.empty())
         std::memcpy(out, acc.data(), acc.size() * sizeof(uint16_t));
     return (int64_t)acc.size();
+}
+
+int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
+                           uint16_t* out, int64_t cap, int32_t threads) {
+    return bgzf_sam_walk(data, n_bytes, out, cap, nullptr, threads, 0);
+}
+
+// Fused BGZF-SAM flagstat: parallel inflate -> line parse -> counting
+// kernel, O(window + chunk) memory at any file size (the .sam.gz twin
+// of lfs_bam_flagstat). Returns the record count or a negative error.
+int64_t lfs_bgzf_sam_flagstat(const uint8_t* data, int64_t n_bytes,
+                              uint64_t* counters, int32_t threads,
+                              int64_t chunk_flags) {
+    return bgzf_sam_walk(data, n_bytes, nullptr, 0, counters, threads,
+                         chunk_flags);
 }
 
 // Total decompressed size of a BGZF chain (output-allocation bound for

@@ -21,6 +21,9 @@ extern "C" {
 int64_t lfs_bam_bound(const uint8_t* data, int64_t n_bytes);
 int64_t lfs_bam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
                       int64_t cap, int32_t threads);
+int64_t lfs_bam_flagstat(const uint8_t* data, int64_t n_bytes,
+                         uint64_t* counters, int32_t threads,
+                         int64_t chunk_flags);
 }
 
 namespace {
@@ -161,6 +164,26 @@ int main() {
                0xFF, 0xFF, 0xFF, 0x7F};  // record block_size = 2^31-1
         f = bgzf_member(raw);
         walk(f, out);
+    }
+
+    // 5b) fused walk+count (tiny chunk -> many flushes) on clean and
+    //      corrupted containers
+    {
+        uint64_t counters[32] = {0};
+        int64_t fn = lfs_bam_flagstat(good.data(), (int64_t)good.size(),
+                                      counters, 3, 997);
+        if (fn != 25000) {
+            std::fprintf(stderr, "fused bam count returned %lld\n",
+                         (long long)fn);
+            return 1;
+        }
+        for (int i = 0; i < 1500; i++) {
+            auto c = good;
+            c[rng() % c.size()] ^= (uint8_t)(1 + (rng() % 255));
+            c.resize(1 + rng() % c.size());
+            uint64_t cnt[32] = {0};
+            lfs_bam_flagstat(c.data(), (int64_t)c.size(), cnt, 2, 997);
+        }
     }
 
     // 6) output-capacity enforcement: cap smaller than the record count

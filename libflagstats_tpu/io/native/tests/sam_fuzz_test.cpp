@@ -23,6 +23,9 @@ int64_t lfs_sam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
 int64_t lfs_bgzf_raw_size(const uint8_t* data, int64_t n_bytes);
 int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
                            uint16_t* out, int64_t cap, int32_t threads);
+int64_t lfs_bgzf_sam_flagstat(const uint8_t* data, int64_t n_bytes,
+                              uint64_t* counters, int32_t threads,
+                              int64_t chunk_flags);
 }
 
 namespace {
@@ -199,6 +202,23 @@ int main() {
             for (int h = 0; h < hits; h++)
                 c[rng() % c.size()] ^= (uint8_t)(1 + (rng() % 255));
             parse_bgzf(c, bout);
+        }
+        // fused walk+count (tiny chunk -> many flushes) on clean and
+        // corrupted containers
+        uint64_t counters[32] = {0};
+        int64_t fn = lfs_bgzf_sam_flagstat(gz.data(), (int64_t)gz.size(),
+                                           counters, 3, 997);
+        if (fn != (int64_t)want.size()) {
+            std::fprintf(stderr, "fused bgzf count returned %lld\n",
+                         (long long)fn);
+            return 1;
+        }
+        for (int i = 0; i < 1500; i++) {
+            auto c = gz;
+            c[rng() % c.size()] ^= (uint8_t)(1 + (rng() % 255));
+            c.resize(1 + rng() % c.size());
+            uint64_t cnt[32] = {0};
+            lfs_bgzf_sam_flagstat(c.data(), (int64_t)c.size(), cnt, 2, 997);
         }
         std::vector<uint16_t> tiny(16);
         int64_t rc = lfs_bgzf_sam_flags(gz.data(), (int64_t)gz.size(),

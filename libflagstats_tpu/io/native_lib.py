@@ -150,4 +150,10 @@ def _bind(lib):
     lib.lfs_bgzf_sam_flags.restype = i64
     lib.lfs_bgzf_sam_flags.argtypes = [ctypes.c_void_p, i64,
                                        ctypes.c_void_p, i64, i32]
+    lib.lfs_bam_flagstat.restype = i64
+    lib.lfs_bam_flagstat.argtypes = [ctypes.c_void_p, i64,
+                                     ctypes.c_void_p, i32, i64]
+    lib.lfs_bgzf_sam_flagstat.restype = i64
+    lib.lfs_bgzf_sam_flagstat.argtypes = [ctypes.c_void_p, i64,
+                                          ctypes.c_void_p, i32, i64]
     return lib

@@ -246,7 +246,9 @@ def test_cli_flagstat_sam(tmp_path, capsys):
 
 
 def test_flagstat_file_top_level(tmp_path):
-    """lfs.flagstat_file: one call, any container."""
+    """lfs.flagstat_file: one call, any container — and the fused
+    native walk+count paths (BAM, BGZF-SAM) agree bit-exactly with the
+    read-then-count fallback (impl='numpy' forces it)."""
     import libflagstats_tpu as lfs
 
     x = generate_flags(20_000, seed=29, full_range=True)
@@ -255,8 +257,62 @@ def test_flagstat_file_top_level(tmp_path):
     bamio.write_bam(b, x)
     s = tmp_path / "t.sam"
     samio.write_sam(s, x)
-    for p in (b, s):
-        assert_counters_equal(ref, lfs.flagstat_file(p))
+    data = s.read_bytes()
+    bgz = tmp_path / "t.sam.gz"
+    with open(bgz, "wb") as fh:
+        for off in range(0, len(data), 60000):
+            fh.write(bamio._bgzf_member(data[off:off + 60000]))
+        fh.write(bamio.BGZF_EOF)
+    for p in (b, s, bgz):
+        assert_counters_equal(ref, lfs.flagstat_file(p))           # fused
+        assert_counters_equal(ref, lfs.flagstat_file(p, impl="numpy"))
+
+
+@pytest.mark.skipif(not NATIVE, reason="native host library unavailable")
+def test_fused_container_counting_matches_column_path(tmp_path):
+    """The fused walkers (lfs_bam_flagstat / lfs_bgzf_sam_flagstat)
+    must produce the exact counters of walk-then-count. A forced tiny
+    chunk (1009 flags) drives hundreds of flushes, pinning the
+    per-chunk derived pass-total summation (counter 9 is += n_chunk -
+    fail_chunk per flush; exact under summation by the
+    block-accumulate contract)."""
+    import ctypes
+
+    from libflagstats_tpu import flags as F
+    from libflagstats_tpu.io import native_lib
+
+    lib = native_lib.load()
+    x = generate_flags(300_007, seed=37, full_range=True)
+    ref = flagstat_numpy(x)
+    b = tmp_path / "t.bam"
+    bamio.write_bam(b, x)
+    assert_counters_equal(ref, bamio.flagstat_bam(b))   # default chunk
+
+    s = tmp_path / "t.sam"
+    samio.write_sam(s, x)
+    data = s.read_bytes()
+    bgz = tmp_path / "t.sam.gz"
+    with open(bgz, "wb") as fh:
+        for off in range(0, len(data), 60000):
+            fh.write(bamio._bgzf_member(data[off:off + 60000]))
+        fh.write(bamio.BGZF_EOF)
+    assert_counters_equal(ref, samio.flagstat_sam(bgz))  # default chunk
+
+    # forced tiny chunk: hundreds of flushes, same counters bit-exact
+    for path, fn in ((b, lib.lfs_bam_flagstat),
+                     (bgz, lib.lfs_bgzf_sam_flagstat)):
+        mm = np.memmap(path, dtype=np.uint8, mode="r")
+        counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
+        got = fn(mm.ctypes.data, mm.size,
+                 counters.ctypes.data_as(ctypes.c_void_p), 2, 1009)
+        assert got == x.size
+        assert_counters_equal(ref, counters)
+
+    # plain gzip still routes through the stream fallback
+    gz = tmp_path / "p.sam.gz"
+    with gzip.open(gz, "wb") as fh:
+        fh.write(data)
+    assert_counters_equal(ref, samio.flagstat_sam(gz))
 
 
 def test_cli_compress_from_container(tmp_path, capsys):
