@@ -66,7 +66,8 @@ def flagstat_file(path, threads: int = 0, impl: str | None = None):
         from .io.samio import flagstat_sam
 
         return flagstat_sam(path, threads=threads, impl=impl)
-    return flagstats_u16(read_flags_auto(path, threads=threads), impl=impl)
+    return flagstats_u16(read_flags_auto(path, threads=threads, kind=kind),
+                         impl=impl)
 
 __version__ = "0.1.0"
 

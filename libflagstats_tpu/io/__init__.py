@@ -64,9 +64,10 @@ def sniff_format(path) -> str:
     return "binary"
 
 
-def read_flags_auto(path, threads: int = 0):
-    """FLAG column from any supported container (see sniff_format)."""
-    kind = sniff_format(path)
+def read_flags_auto(path, threads: int = 0, kind: str | None = None):
+    """FLAG column from any supported container (see sniff_format).
+    Pass ``kind`` when the format was already sniffed."""
+    kind = kind or sniff_format(path)
     if kind == "bam":
         from .bamio import read_bam_flags
 

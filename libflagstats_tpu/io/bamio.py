@@ -174,25 +174,12 @@ def flagstat_bam(path, threads: int = 0, impl: str | None = None):
     the accumulating host kernel, so memory stays O(inflate window) at
     any BAM size. Forcing a non-native ``impl`` (or lacking the native
     lib) falls back to walk-then-count."""
-    from .. import flags as F
     from ..ops.dispatch import flagstats_u16
     from . import native_lib
 
-    lib = native_lib.load()
-    if impl in (None, "native") and lib is not None and hasattr(
-            lib, "lfs_bam_flagstat"):
-        import ctypes
-        import os
-
-        size = os.path.getsize(path)
-        if size:
-            mm = np.memmap(path, dtype=np.uint8, mode="r")
-            counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
-            got = lib.lfs_bam_flagstat(
-                mm.ctypes.data, size,
-                counters.ctypes.data_as(ctypes.c_void_p), threads, 0)
-            if got < 0:
-                raise ValueError(f"BAM walk failed (rc={got}) — file "
-                                 "corrupt, truncated, or not BGZF")
+    if impl in (None, "native"):
+        counters = native_lib.fused_flagstat("lfs_bam_flagstat", path,
+                                             threads)
+        if counters is not None:
             return counters
     return flagstats_u16(read_bam_flags(path, threads=threads), impl=impl)

@@ -63,6 +63,39 @@ def _build() -> Path:
     return _LIB_PATH
 
 
+def fused_flagstat(symbol: str, path, threads: int,
+                   fallback_rcs: tuple[int, ...] = ()):
+    """Shared driver for the fused container-counting entries
+    (lfs_bam_flagstat / lfs_bgzf_sam_flagstat): mmap the file, call the
+    walker with a zeroed uint64[32] counter vector, map errors.
+
+    Returns the counters, or None when the lib/symbol is unavailable,
+    the file is empty, or the walker returned one of ``fallback_rcs``
+    (e.g. -6 = gzip-but-not-BGZF) — the caller then takes its
+    read-then-count path. Other negative rcs raise ValueError."""
+    import ctypes
+
+    import numpy as np
+
+    lib = load()
+    if lib is None or not hasattr(lib, symbol):
+        return None
+    size = os.path.getsize(path)
+    if size == 0:
+        return None
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    counters = np.zeros(32, dtype=np.uint64)
+    got = getattr(lib, symbol)(
+        mm.ctypes.data, size, counters.ctypes.data_as(ctypes.c_void_p),
+        threads, 0)
+    if got >= 0:
+        return counters
+    if got in fallback_rcs:
+        return None
+    raise ValueError(f"{symbol} failed (rc={got}) — file corrupt, "
+                     "truncated, or malformed")
+
+
 def load():
     """Return the ctypes lib or None if unavailable."""
     global _lib, _load_error

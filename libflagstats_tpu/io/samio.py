@@ -258,29 +258,15 @@ def flagstat_sam(path, threads: int = 0, impl: str | None = None):
     text nor the FLAG column materializes, O(window) memory at any
     size. Other inputs (or a forced non-native ``impl``) read the
     column then count."""
-    from .. import flags as F
     from ..ops.dispatch import flagstats_u16
     from . import native_lib
 
-    lib = native_lib.load()
-    if (impl in (None, "native") and lib is not None
-            and hasattr(lib, "lfs_bgzf_sam_flagstat") and is_gzip(path)):
-        import ctypes
-        import os
-
-        size = os.path.getsize(path)
-        if size:
-            mm = np.memmap(path, dtype=np.uint8, mode="r")
-            counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
-            got = lib.lfs_bgzf_sam_flagstat(
-                mm.ctypes.data, size,
-                counters.ctypes.data_as(ctypes.c_void_p), threads, 0)
-            if got >= 0:
-                return counters
-            if got != -6:     # -6 = plain gzip: stream path below
-                raise ValueError(f"BGZF SAM parse failed (rc={got}) — "
-                                 "malformed FLAG column or corrupt "
-                                 "container")
+    if impl in (None, "native") and is_gzip(path):
+        # -6 = plain gzip, not BGZF: the stream path below handles it
+        counters = native_lib.fused_flagstat("lfs_bgzf_sam_flagstat", path,
+                                             threads, fallback_rcs=(-6,))
+        if counters is not None:
+            return counters
     return flagstats_u16(read_sam_flags(path, threads=threads), impl=impl)
 
 

@@ -54,7 +54,6 @@ def main() -> int:
     from libflagstats_tpu.datasets import na12878_report_values, synth_na12878
     from libflagstats_tpu.io import codec as C
     from libflagstats_tpu.io.stream import flagstat_stream
-    from libflagstats_tpu.report import counters_to_report
 
     wd = Path(args.workdir)
     wd.mkdir(parents=True, exist_ok=True)
@@ -99,20 +98,9 @@ def main() -> int:
                                threads=args.threads, chunk_words=args.chunk_words)
     t_run = time.perf_counter() - t0
 
-    rep = counters_to_report(counters)
+    ok = _check_report(counters, args.scale)
     expected = na12878_report_values(scale_divisor=args.scale)
-    checks = {
-        "total": rep.total[0], "supplementary": rep.supplementary[0],
-        "mapped": rep.mapped[0], "paired_in_sequencing": rep.paired_in_sequencing[0],
-        "read1": rep.read1[0], "read2": rep.read2[0],
-        "properly_paired": rep.properly_paired[0],
-        "both_mapped": rep.both_mapped[0], "singletons": rep.singletons[0],
-        "secondary": rep.secondary[0], "duplicates": rep.duplicates[0],
-    }
-    ok = all(checks[k] == expected[k] for k in checks)
     n = expected["total"]
-    print(rep.text())
-    print(f"[check] published-report match: {ok}")
     print(f"[time] warm(compile) {t_warm:.2f}s; steady run {t_run:.2f}s "
           f"({n/t_run/1e6:.0f} Mwords/s end-to-end; reference: 0.72s for "
           f"824.5M reads over LZ4-HC)")
@@ -188,7 +176,8 @@ def _container_run(args, wd: Path) -> int:
     t_run = time.perf_counter() - t0
 
     ok = _check_report(counters, args.scale)
-    n = int(np.asarray(counters, dtype=np.uint64)[9])
+    c = np.asarray(counters, dtype=np.uint64)
+    n = int(c[9] + c[25])        # pass + fail record totals
     print(f"[time] flagstat({path.name}) {t_run:.2f}s "
           f"({n/t_run/1e6:.0f} Mrec/s end-to-end; samtools published "
           f"30m50s for the full BAM)")
