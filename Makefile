@@ -30,7 +30,8 @@ clean:
 	rm -rf build .pytest_cache
 	find . -name __pycache__ -type d -exec rm -rf {} +
 
-# ThreadSanitizer stress of the parallel framed-stream decoder
+# ThreadSanitizer stress of the parallel framed-stream decoder and the
+# container walkers (producer/pool/main-thread window handoffs)
 tsan:
 	mkdir -p build
 	g++ -O1 -g -fsanitize=thread -std=c++17 -march=native \
@@ -39,6 +40,13 @@ tsan:
 	  libflagstats_tpu/io/native/flagstats_host.cpp \
 	  -o build/tsan_decode_test -lzstd -pthread
 	./build/tsan_decode_test
+	g++ -O1 -g -fsanitize=thread -std=c++17 -march=native \
+	  libflagstats_tpu/io/native/tests/tsan_walker_test.cpp \
+	  libflagstats_tpu/io/native/bam_reader.cpp \
+	  libflagstats_tpu/io/native/sam_reader.cpp \
+	  libflagstats_tpu/io/native/flagstats_host.cpp \
+	  -o build/tsan_walker_test -lz -pthread
+	./build/tsan_walker_test
 
 # ASan/UBSan fuzz of the LZ4 decoder against corrupted inputs, plus
 # the host flagstat/pospopcnt kernels over exact-length buffers
