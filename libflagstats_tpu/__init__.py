@@ -66,6 +66,14 @@ def flagstat_file(path, threads: int = 0, impl: str | None = None):
         from .io.samio import flagstat_sam
 
         return flagstat_sam(path, threads=threads, impl=impl)
+    if kind.startswith("framed-"):
+        # the streaming pipeline (fused native mmap->decode->count off
+        # device; overlapped decode-ahead on device) — never decodes
+        # the whole column into memory
+        from .io.stream import flagstat_stream
+
+        return flagstat_stream(path, codec=kind.removeprefix("framed-"),
+                               impl=impl, threads=threads)
     return flagstats_u16(read_flags_auto(path, threads=threads, kind=kind),
                          impl=impl)
 

@@ -267,6 +267,18 @@ def test_flagstat_file_top_level(tmp_path):
         assert_counters_equal(ref, lfs.flagstat_file(p))           # fused
         assert_counters_equal(ref, lfs.flagstat_file(p, impl="numpy"))
 
+    # framed streams route through the streaming pipeline
+    from libflagstats_tpu.io import codec
+
+    for codec_name, ext in (("lz4", ".lz4"), ("zstd", ".zst")):
+        framed = tmp_path / f"t{ext}"
+        codec.write_framed(framed, x, codec=codec_name)
+        assert_counters_equal(ref, lfs.flagstat_file(framed))
+
+    raw = tmp_path / "t.bin"
+    x.astype("<u2").tofile(raw)
+    assert_counters_equal(ref, lfs.flagstat_file(raw))
+
 
 @pytest.mark.skipif(not NATIVE, reason="native host library unavailable")
 def test_fused_container_counting_matches_column_path(tmp_path):
