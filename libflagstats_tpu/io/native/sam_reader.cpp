@@ -150,18 +150,33 @@ int64_t lfs_sam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
 // out[0..cap); fused mode drains the parse buffer into the
 // accumulating host counting kernel every ~4Mi flags, so neither the
 // text nor the column ever materializes (O(window + chunk) memory).
-// Returns the flag count, or a negative error (-2 truncated,
+// Member-range sharding (m_start/m_stop; m_stop < 0 = end): a shard
+// owns every line whose first byte lies in its members' decompressed
+// byte range. Locally decidable: if the last decompressed byte BEFORE
+// the range is '\n', the range begins at a line start (no skip);
+// otherwise the head partial line belongs to the previous shard (skip
+// through the first '\n'). A line spilling past the range end is
+// finished by reading into the following members (each shard inflates
+// at most one extra member at the head and the spill at the tail), so
+// P shards over one .sam.gz count every line exactly once — the
+// text-split discipline of distributed line readers, applied to BGZF
+// members. Returns the flag count, or a negative error (-2 truncated,
 // -3 malformed SAM, -4 inflate failure, -5 capacity exceeded,
 // -6 not BGZF — callers fall back to a generic gzip stream path,
-// -7 counting kernel failure).
+// -7 counting kernel failure, -8 invalid member range).
 static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
                              uint16_t* out, int64_t cap,
                              uint64_t* counters, int32_t threads,
-                             int64_t chunk_flags) {
+                             int64_t chunk_flags,
+                             int64_t m_start, int64_t m_stop) {
     std::vector<lfs_bgzf::Member> members;
     int src = lfs_bgzf::scan_members(data, n_bytes, members);
     if (src == -3) return -6;       // plain gzip / not BGZF: caller falls back
     if (src != 0) return src;
+    if (m_stop < 0) m_stop = (int64_t)members.size();
+    if (m_start < 0 || m_start > m_stop ||
+        m_stop > (int64_t)members.size())
+        return -8;
     if (threads <= 0) {
         unsigned hw = std::thread::hardware_concurrency();
         threads = hw ? (int32_t)hw : 1;
@@ -200,6 +215,22 @@ static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
         return 0;
     };
 
+    // head line-boundary probe: does the shard start mid-line?
+    bool skipping = false;
+    if (m_start > 0) {
+        int64_t j = m_start - 1;
+        while (j >= 0 && members[(size_t)j].raw_len == 0) --j;
+        if (j >= 0) {
+            std::vector<uint8_t> tmp((size_t)members[(size_t)j].raw_len);
+            if (lfs_bgzf::inflate_member(
+                    data + members[(size_t)j].comp_off,
+                    members[(size_t)j].comp_len, tmp.data(),
+                    (int64_t)tmp.size()) != 0)
+                return -4;
+            skipping = tmp.back() != '\n';
+        }
+    }
+
     std::vector<uint16_t> acc;      // parsed flags, in stream order
     std::vector<uint8_t> carry;     // partial trailing line
     int perr = 0;
@@ -224,6 +255,17 @@ static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
     };
     auto parse_buf = [&](const uint8_t* p, int64_t len) {
         if (perr || len == 0) return;
+        if (skipping) {
+            // head bytes through the first '\n' belong to the previous
+            // shard (it reads into our members to finish its line)
+            const uint8_t* nl =
+                (const uint8_t*)memchr(p, '\n', (size_t)len);
+            if (!nl) return;
+            len -= (nl + 1) - p;
+            p = nl + 1;
+            skipping = false;
+            if (len == 0) return;
+        }
         const uint8_t* end = p + len;
         if (!carry.empty()) {
             const uint8_t* nl =
@@ -254,8 +296,8 @@ static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
 
     int slot = 0;
     int64_t prev_batch = 0;
-    for (int64_t base = 0; base < n_members && !perr; base += window) {
-        int64_t batch = std::min<int64_t>(window, n_members - base);
+    for (int64_t base = m_start; base < m_stop && !perr; base += window) {
+        int64_t batch = std::min<int64_t>(window, m_stop - base);
         int infl_err = 0;
         std::thread producer([&]() { infl_err = inflate_window(slot, base,
                                                                batch); });
@@ -266,6 +308,22 @@ static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
         slot = 1 - slot;
     }
     walk_window(1 - slot, prev_batch);       // drain the last window
+    // tail spill: a line crossing the range end is ours (its first byte
+    // is in-range) — read following members until its '\n'
+    for (int64_t j = m_stop;
+         j < n_members && !perr && !carry.empty(); ++j) {
+        const lfs_bgzf::Member& m = members[(size_t)j];
+        if (m.raw_len == 0) continue;
+        std::vector<uint8_t> tmp((size_t)m.raw_len);
+        if (lfs_bgzf::inflate_member(data + m.comp_off, m.comp_len,
+                                     tmp.data(), (int64_t)tmp.size()) != 0)
+            return -4;
+        const uint8_t* nl = (const uint8_t*)memchr(tmp.data(), '\n',
+                                                   tmp.size());
+        int64_t take = nl ? (nl - tmp.data() + 1) : (int64_t)tmp.size();
+        parse_buf(tmp.data(), take);
+        if (nl) break;
+    }
     if (!perr && !carry.empty()) {           // final unterminated line
         perr = parse_range(carry.data(), carry.data() + carry.size(), acc);
         check_cap();
@@ -287,7 +345,8 @@ static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
 
 int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
                            uint16_t* out, int64_t cap, int32_t threads) {
-    return bgzf_sam_walk(data, n_bytes, out, cap, nullptr, threads, 0);
+    return bgzf_sam_walk(data, n_bytes, out, cap, nullptr, threads, 0,
+                         0, -1);
 }
 
 // Fused BGZF-SAM flagstat: parallel inflate -> line parse -> counting
@@ -297,7 +356,30 @@ int64_t lfs_bgzf_sam_flagstat(const uint8_t* data, int64_t n_bytes,
                               uint64_t* counters, int32_t threads,
                               int64_t chunk_flags) {
     return bgzf_sam_walk(data, n_bytes, nullptr, 0, counters, threads,
-                         chunk_flags);
+                         chunk_flags, 0, -1);
+}
+
+// Number of BGZF members (the shard unit for member-range counting).
+// Negative error; -6 if not BGZF.
+int64_t lfs_bgzf_members(const uint8_t* data, int64_t n_bytes) {
+    std::vector<lfs_bgzf::Member> members;
+    int rc = lfs_bgzf::scan_members(data, n_bytes, members);
+    if (rc == -3) return -6;
+    if (rc != 0) return rc;
+    return (int64_t)members.size();
+}
+
+// Fused flagstat over one member range [m_start, m_stop) of a BGZF SAM
+// — the multi-process shard unit: each process counts its range, only
+// 32 uint64 counters cross processes, and line ownership at range
+// boundaries is exact (see bgzf_sam_walk). Returns the shard's record
+// count or a negative error.
+int64_t lfs_bgzf_sam_flagstat_range(const uint8_t* data, int64_t n_bytes,
+                                    int64_t m_start, int64_t m_stop,
+                                    uint64_t* counters, int32_t threads,
+                                    int64_t chunk_flags) {
+    return bgzf_sam_walk(data, n_bytes, nullptr, 0, counters, threads,
+                         chunk_flags, m_start, m_stop);
 }
 
 // Total decompressed size of a BGZF chain (output-allocation bound for

@@ -26,6 +26,11 @@ int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
 int64_t lfs_bgzf_sam_flagstat(const uint8_t* data, int64_t n_bytes,
                               uint64_t* counters, int32_t threads,
                               int64_t chunk_flags);
+int64_t lfs_bgzf_members(const uint8_t* data, int64_t n_bytes);
+int64_t lfs_bgzf_sam_flagstat_range(const uint8_t* data, int64_t n_bytes,
+                                    int64_t m_start, int64_t m_stop,
+                                    uint64_t* counters, int32_t threads,
+                                    int64_t chunk_flags);
 }
 
 namespace {
@@ -227,6 +232,36 @@ int main() {
             std::fprintf(stderr, "bgzf cap overflow not detected "
                          "(rc=%lld)\n", (long long)rc);
             return 1;
+        }
+        // member-range entry: partition invariance on the clean
+        // container + random (possibly invalid) ranges on corrupted ones
+        int64_t nm = lfs_bgzf_members(gz.data(), (int64_t)gz.size());
+        if (nm <= 1) { std::fprintf(stderr, "bad member count\n"); return 1; }
+        int64_t cut = 1 + (int64_t)(rng() % (uint64_t)(nm - 1));
+        uint64_t ca[32] = {0}, cb[32] = {0}, cw[32] = {0};
+        int64_t na = lfs_bgzf_sam_flagstat_range(
+            gz.data(), (int64_t)gz.size(), 0, cut, ca, 2, 997);
+        int64_t nb = lfs_bgzf_sam_flagstat_range(
+            gz.data(), (int64_t)gz.size(), cut, nm, cb, 2, 997);
+        int64_t nw = lfs_bgzf_sam_flagstat(gz.data(), (int64_t)gz.size(),
+                                           cw, 2, 997);
+        bool same = na >= 0 && nb >= 0 && na + nb == nw;
+        for (int k = 0; k < 32 && same; k++)
+            same = ca[k] + cb[k] == cw[k];
+        if (!same) {
+            std::fprintf(stderr, "range partition mismatch at cut %lld\n",
+                         (long long)cut);
+            return 1;
+        }
+        for (int i = 0; i < 1500; i++) {
+            auto c = gz;
+            c[rng() % c.size()] ^= (uint8_t)(1 + (rng() % 255));
+            if (rng() & 1) c.resize(1 + rng() % c.size());
+            int64_t a = (int64_t)(rng() % (uint64_t)(nm + 2)) - 1;
+            int64_t b = (int64_t)(rng() % (uint64_t)(nm + 2)) - 1;
+            uint64_t cnt[32] = {0};
+            lfs_bgzf_sam_flagstat_range(c.data(), (int64_t)c.size(), a, b,
+                                        cnt, 2, 997);
         }
     }
 

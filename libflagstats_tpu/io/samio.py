@@ -270,6 +270,54 @@ def flagstat_sam(path, threads: int = 0, impl: str | None = None):
     return flagstats_u16(read_sam_flags(path, threads=threads), impl=impl)
 
 
+def bgzf_member_count(path) -> int:
+    """Number of BGZF members in a .sam.gz (the shard unit for
+    member-range counting). Raises on non-BGZF / corrupt input."""
+    import os
+
+    from . import native_lib
+
+    lib = native_lib.load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    size = os.path.getsize(path)
+    if size == 0:
+        return 0
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    n = lib.lfs_bgzf_members(mm.ctypes.data, size)
+    if n < 0:
+        raise ValueError(f"BGZF scan failed (rc={n}) — not BGZF or corrupt")
+    return int(n)
+
+
+def flagstat_sam_range(path, member_start: int, member_stop: int,
+                       threads: int = 0) -> np.ndarray:
+    """Fused flagstat counters over one BGZF member range of a .sam.gz —
+    the multi-process shard unit (line ownership at range boundaries is
+    exact; see sam_reader.cpp bgzf_sam_walk). Counters accumulate across
+    shards by plain summation."""
+    import ctypes
+    import os
+
+    from .. import flags as F
+    from . import native_lib
+
+    lib = native_lib.load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    size = os.path.getsize(path)
+    counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
+    if size == 0 or member_start >= member_stop:
+        return counters
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    got = lib.lfs_bgzf_sam_flagstat_range(
+        mm.ctypes.data, size, member_start, member_stop,
+        counters.ctypes.data_as(ctypes.c_void_p), threads, 0)
+    if got < 0:
+        raise ValueError(f"BGZF SAM range count failed (rc={got})")
+    return counters
+
+
 def read_binary(path, mmap: bool = True) -> np.ndarray:
     """Raw little-endian uint16 FLAG column (the reference's `-R` input).
 

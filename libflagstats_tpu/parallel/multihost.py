@@ -152,6 +152,26 @@ def flagstat_multihost_file(path, codec: str | int = "lz4",
                               pad_to_words=max(words))
 
 
+def flagstat_multihost_bgzf_sam(path, n_threads: int = 0) -> np.ndarray:
+    """Multi-host flagstat of one BGZF-compressed SAM (`bgzip x.sam`).
+
+    The .sam.gz twin of flagstat_multihost_file's native leg: each
+    process scans the BGZF member chain (header-only, no inflate),
+    fused-counts its contiguous member range (parallel inflate + line
+    parse + counting kernel, line ownership exact at range boundaries —
+    io/native/sam_reader.cpp bgzf_sam_walk), and only the 32 uint64
+    counters cross processes. Inflate is the bound, so P hosts
+    multiply inflate capacity."""
+    from ..io import codec as C
+    from ..io.samio import bgzf_member_count, flagstat_sam_range
+
+    n_members = bgzf_member_count(path)
+    ranges = C.shard_block_ranges(n_members, jax.process_count())
+    start, stop = ranges[jax.process_index()]
+    local = flagstat_sam_range(path, start, stop, threads=n_threads)
+    return _global_counter_sum(local)
+
+
 def _global_counter_sum(counters: np.ndarray) -> np.ndarray:
     """Sum a uint64[32] counter vector across processes (identity
     single-process). Gathered as (lo, hi) uint32 pairs for the same

@@ -61,9 +61,15 @@ local5 = generate_flags(n5, seed=300 + pid, full_range=True)
 c5 = multihost.flagstat_multihost(local5, impl="xla")
 D.DEVICE_WORD_CAP = 0x7FFFFFFF
 
+# leg 6: BGZF-SAM container sharded by member range — each process
+# fused-counts its members (line ownership exact at the boundary: the
+# ranges never line-align), only 32 uint64 counters cross processes
+c6 = (multihost.flagstat_multihost_bgzf_sam(sys.argv[5], n_threads=2)
+      if native_host.available() else c1)
+
 np.savez(sys.argv[4], c1=c1.astype(np.int64), c2=c2.astype(np.int64),
          c3=c3.astype(np.int64), c4=c4.astype(np.int64),
-         c5=c5.astype(np.int64))
+         c5=c5.astype(np.int64), c6=c6.astype(np.int64))
 '''
 
 
@@ -73,6 +79,18 @@ def test_two_process_multihost(tmp_path):
     x = generate_flags(2_000_000, seed=61, full_range=True)
     path = tmp_path / "mh.lz4"
     C.write_framed(path, x, codec="lz4", level=1)
+
+    # BGZF-SAM container for leg 6 (member ranges never line-align)
+    from libflagstats_tpu.io import bamio, samio
+
+    sam_plain = tmp_path / "mh.sam"
+    samio.write_sam(sam_plain, x)
+    sam_gz = tmp_path / "mh.sam.gz"
+    data = sam_plain.read_bytes()
+    with open(sam_gz, "wb") as fh:
+        for off in range(0, len(data), 60000):
+            fh.write(bamio._bgzf_member(data[off:off + 60000], level=1))
+        fh.write(bamio.BGZF_EOF)
 
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
@@ -92,7 +110,7 @@ def test_two_process_multihost(tmp_path):
         procs = [
             subprocess.Popen(
                 [sys.executable, str(script), coord, str(i), str(path),
-                 str(tmp_path / f"out{i}.npz")],
+                 str(tmp_path / f"out{i}.npz"), str(sam_gz)],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                 env=env,
             )
@@ -141,3 +159,4 @@ def test_two_process_multihost(tmp_path):
             np.testing.assert_array_equal(z["c3"], ref3)
             np.testing.assert_array_equal(z["c4"], ref1)
             np.testing.assert_array_equal(z["c5"], ref5)
+            np.testing.assert_array_equal(z["c6"], ref1)

@@ -182,6 +182,83 @@ def test_differential_fuzz_py_vs_native(tmp_path):
         assert ra == rb, (trial, p.read_bytes(), ra, rb)
 
 
+@pytest.mark.skipif(not NATIVE, reason="native host library unavailable")
+def test_bgzf_sam_member_range_sharding(tmp_path):
+    """Member-range sharding: for ANY partition of the member chain,
+    per-range counters must sum to the whole-file counters — lines
+    crossing range boundaries (60000-byte members never line-align)
+    count exactly once. Includes single-member ranges and a giant
+    header-less line spanning several whole members."""
+    from libflagstats_tpu.io.samio import (bgzf_member_count,
+                                           flagstat_sam_range)
+
+    x = generate_flags(120_000, seed=41, full_range=True)
+    plain = tmp_path / "t.sam"
+    samio.write_sam(plain, x)
+    data = plain.read_bytes()
+    gz = tmp_path / "t.sam.gz"
+    with open(gz, "wb") as fh:
+        for off in range(0, len(data), 60000):
+            fh.write(bamio._bgzf_member(data[off:off + 60000]))
+        fh.write(bamio.BGZF_EOF)
+
+    ref = flagstat_numpy(x)
+    n_members = bgzf_member_count(gz)
+    assert n_members > 10
+
+    rng = np.random.default_rng(1)
+    partitions = [
+        [0, n_members],                                   # whole file
+        [0, 1, n_members],                                # tiny head shard
+        [0, n_members - 1, n_members],                    # tiny tail shard
+        list(range(n_members + 1)),                       # every member alone
+        sorted({0, n_members,
+                *map(int, rng.integers(1, n_members, size=5))}),
+    ]
+    for cuts in partitions:
+        total = np.zeros_like(ref)
+        for a, b in zip(cuts, cuts[1:]):
+            total += flagstat_sam_range(gz, a, b, threads=2)
+        assert_counters_equal(ref, total), cuts
+
+    # a giant line spanning multiple members entirely: the shard owning
+    # its start extends through; intermediate shards own nothing
+    giant = (b"@HD\tVN:1.6\n"
+             + b"q" + b"Q" * 150_000 + b"\t77\t*\n"
+             + b"r2\t99\t*\n")
+    gz2 = tmp_path / "g.sam.gz"
+    with open(gz2, "wb") as fh:
+        for off in range(0, len(giant), 60000):
+            fh.write(bamio._bgzf_member(giant[off:off + 60000]))
+        fh.write(bamio.BGZF_EOF)
+    ref2 = flagstat_numpy(np.array([77, 99], dtype=np.uint16))
+    m2 = bgzf_member_count(gz2)
+    assert m2 >= 3
+    total = np.zeros_like(ref2)
+    for a in range(m2):
+        total += flagstat_sam_range(gz2, a, a + 1)
+    assert_counters_equal(ref2, total)
+
+
+@pytest.mark.skipif(not NATIVE, reason="native host library unavailable")
+def test_multihost_bgzf_sam_single_process(tmp_path):
+    """flagstat_multihost_bgzf_sam is the identity composition at
+    process_count()==1 and matches the oracle."""
+    from libflagstats_tpu.parallel.multihost import flagstat_multihost_bgzf_sam
+
+    x = generate_flags(50_000, seed=43, full_range=True)
+    plain = tmp_path / "t.sam"
+    samio.write_sam(plain, x)
+    data = plain.read_bytes()
+    gz = tmp_path / "t.sam.gz"
+    with open(gz, "wb") as fh:
+        for off in range(0, len(data), 60000):
+            fh.write(bamio._bgzf_member(data[off:off + 60000]))
+        fh.write(bamio.BGZF_EOF)
+    assert_counters_equal(flagstat_numpy(x),
+                          flagstat_multihost_bgzf_sam(gz, n_threads=2))
+
+
 def test_flagstat_sam_end_to_end(tmp_path):
     x = generate_flags(200_000, seed=13, full_range=True)
     p = tmp_path / "t.sam"
