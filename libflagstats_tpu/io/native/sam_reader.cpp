@@ -141,6 +141,89 @@ int64_t lfs_sam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
     return count;
 }
 
+// Fused plain-text SAM flagstat: byte ranges (line-aligned) parse in
+// parallel, each thread draining its parse buffer into THREAD-LOCAL
+// counters every ~4Mi flags (the per-flush derived pass-total sums
+// exactly, and counter vectors merge by plain summation), so the FLAG
+// column never materializes — the .sam twin of lfs_bam_flagstat.
+// Returns the record count, or a negative error (-3 malformed,
+// -7 counting kernel failure).
+int64_t lfs_sam_flagstat(const uint8_t* data, int64_t n_bytes,
+                         uint64_t* counters, int32_t threads,
+                         int64_t chunk_flags) {
+    if (n_bytes == 0) return 0;
+    if (threads <= 0) {
+        unsigned hw = std::thread::hardware_concurrency();
+        threads = hw ? (int32_t)hw : 1;
+    }
+    const size_t kFlush = (size_t)(chunk_flags > 0 ? chunk_flags
+                                                   : int64_t(1) << 22);
+    int64_t nt = std::min<int64_t>(threads,
+                                   std::max<int64_t>(1, n_bytes >> 22));
+    std::vector<int64_t> start((size_t)nt + 1);
+    start[0] = 0;
+    start[(size_t)nt] = n_bytes;
+    for (int64_t r = 1; r < nt; ++r) {
+        int64_t pos = r * (n_bytes / nt);
+        if (pos < start[(size_t)r - 1]) pos = start[(size_t)r - 1];
+        const uint8_t* nl = (const uint8_t*)memchr(
+            data + pos, '\n', (size_t)(n_bytes - pos));
+        start[(size_t)r] = nl ? (nl - data) + 1 : n_bytes;
+    }
+
+    std::vector<std::vector<uint64_t>> local((size_t)nt,
+                                             std::vector<uint64_t>(32, 0));
+    std::vector<int64_t> counts((size_t)nt, 0);
+    std::vector<int> rcs((size_t)nt, 0);
+    std::atomic<int64_t> next(0);
+    auto work = [&]() {
+        std::vector<uint16_t> buf;
+        for (;;) {
+            int64_t r = next.fetch_add(1);
+            if (r >= nt) return;
+            const uint8_t* p = data + start[(size_t)r];
+            const uint8_t* end = data + start[(size_t)r + 1];
+            buf.clear();
+            // parse line by line in sub-slices so buf stays bounded:
+            // cut the range at the first '\n' past each kFlush worth
+            while (p < end && rcs[(size_t)r] == 0) {
+                // a parse slice of ~kFlush lines minimum kFlush bytes
+                const uint8_t* slice_end = p + (int64_t)kFlush < end
+                    ? p + (int64_t)kFlush : end;
+                if (slice_end < end) {
+                    const uint8_t* nl = (const uint8_t*)memchr(
+                        slice_end, '\n', (size_t)(end - slice_end));
+                    slice_end = nl ? nl + 1 : end;
+                }
+                rcs[(size_t)r] = parse_range(p, slice_end, buf);
+                if (rcs[(size_t)r]) break;
+                if (!buf.empty()) {
+                    if (lfs_flagstat_u16(buf.data(), (int64_t)buf.size(),
+                                         local[(size_t)r].data(), 1)) {
+                        rcs[(size_t)r] = -7;
+                        break;
+                    }
+                    counts[(size_t)r] += (int64_t)buf.size();
+                    buf.clear();
+                }
+                p = slice_end;
+            }
+        }
+    };
+    std::vector<std::thread> pool;
+    for (int64_t t = 1; t < nt; ++t) pool.emplace_back(work);
+    work();
+    for (auto& th : pool) th.join();
+
+    int64_t total = 0;
+    for (int64_t r = 0; r < nt; ++r) {
+        if (rcs[(size_t)r] != 0) return rcs[(size_t)r];
+        for (int k = 0; k < 32; ++k) counters[k] += local[(size_t)r][k];
+        total += counts[(size_t)r];
+    }
+    return total;
+}
+
 // BGZF-compressed SAM (`bgzip file.sam` — the standard pipeline shape):
 // members inflate in PARALLEL (double-buffered windows, exactly the
 // BAM walker's scheme, bam_reader.cpp) while the main thread parses the

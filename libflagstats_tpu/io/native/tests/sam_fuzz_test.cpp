@@ -20,6 +20,9 @@ extern "C" {
 int64_t lfs_sam_bound(const uint8_t* data, int64_t n_bytes);
 int64_t lfs_sam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
                       int64_t cap, int32_t threads);
+int64_t lfs_sam_flagstat(const uint8_t* data, int64_t n_bytes,
+                         uint64_t* counters, int32_t threads,
+                         int64_t chunk_flags);
 int64_t lfs_bgzf_raw_size(const uint8_t* data, int64_t n_bytes);
 int64_t lfs_bgzf_sam_flags(const uint8_t* data, int64_t n_bytes,
                            uint16_t* out, int64_t cap, int32_t threads);
@@ -126,6 +129,28 @@ int main() {
         std::memcmp(out.data(), want.data(), want.size() * 2) != 0) {
         std::fprintf(stderr, "clean parse returned %lld\n", (long long)n);
         return 1;
+    }
+
+    // 1b) fused plain-text flagstat (tiny chunk -> many flushes) agrees
+    //      on the record count; corrupted text must error, never crash
+    {
+        std::vector<uint8_t> buf(good.begin(), good.end());
+        uint64_t counters[32] = {0};
+        int64_t fn = lfs_sam_flagstat(buf.data(), (int64_t)buf.size(),
+                                      counters, 3, 997);
+        if (fn != (int64_t)want.size()) {
+            std::fprintf(stderr, "fused sam count returned %lld\n",
+                         (long long)fn);
+            return 1;
+        }
+        for (int i = 0; i < 1500; i++) {
+            auto c = good;
+            c[rng() % c.size()] = (char)(rng() & 0xFF);
+            std::vector<uint8_t> cb(c.begin(),
+                                    c.begin() + 1 + rng() % c.size());
+            uint64_t cnt[32] = {0};
+            lfs_sam_flagstat(cb.data(), (int64_t)cb.size(), cnt, 2, 997);
+        }
     }
 
     // 2) truncations at every granularity

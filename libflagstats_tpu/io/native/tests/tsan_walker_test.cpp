@@ -23,6 +23,8 @@ int64_t lfs_bam_flags(const uint8_t*, int64_t, uint16_t*, int64_t, int32_t);
 int64_t lfs_bam_flagstat(const uint8_t*, int64_t, uint64_t*, int32_t,
                          int64_t);
 int64_t lfs_sam_flags(const uint8_t*, int64_t, uint16_t*, int64_t, int32_t);
+int64_t lfs_sam_flagstat(const uint8_t*, int64_t, uint64_t*, int32_t,
+                         int64_t);
 int64_t lfs_bgzf_sam_flags(const uint8_t*, int64_t, uint16_t*, int64_t,
                            int32_t);
 int64_t lfs_bgzf_sam_flagstat(const uint8_t*, int64_t, uint64_t*, int32_t,
@@ -77,7 +79,9 @@ std::vector<uint8_t> bgzf_wrap(const std::vector<uint8_t>& raw) {
 }  // namespace
 
 int main() {
-    const int n_records = 200000;
+    // big enough that the plain-text parser's 4 MiB-per-range floor
+    // still yields multiple parallel ranges (~10 MB of SAM text)
+    const int n_records = 600000;
     std::vector<uint16_t> want(n_records);
     for (auto& w : want) w = (uint16_t)(rng() & 0xFFFF);
 
@@ -133,6 +137,9 @@ int main() {
                           out.data(), (int64_t)out.size(), 4);
         if (n != n_records) { std::printf("sam parse %lld\n", (long long)n);
                               return 1; }
+        uint64_t c3[32] = {0};
+        if (lfs_sam_flagstat(sam_raw.data(), (int64_t)sam_raw.size(), c3, 4,
+                             5003) != n_records) return 1;
         n = lfs_bgzf_sam_flags(sgz.data(), (int64_t)sgz.size(), out.data(),
                                (int64_t)out.size(), 4);
         if (n != n_records) return 1;

@@ -189,6 +189,9 @@ def _bind(lib):
     lib.lfs_bgzf_sam_flagstat.restype = i64
     lib.lfs_bgzf_sam_flagstat.argtypes = [ctypes.c_void_p, i64,
                                           ctypes.c_void_p, i32, i64]
+    lib.lfs_sam_flagstat.restype = i64
+    lib.lfs_sam_flagstat.argtypes = [ctypes.c_void_p, i64,
+                                     ctypes.c_void_p, i32, i64]
     lib.lfs_bgzf_members.restype = i64
     lib.lfs_bgzf_members.argtypes = [ctypes.c_void_p, i64]
     lib.lfs_bgzf_sam_flagstat_range.restype = i64

@@ -261,10 +261,15 @@ def flagstat_sam(path, threads: int = 0, impl: str | None = None):
     from ..ops.dispatch import flagstats_u16
     from . import native_lib
 
-    if impl in (None, "native") and is_gzip(path):
-        # -6 = plain gzip, not BGZF: the stream path below handles it
-        counters = native_lib.fused_flagstat("lfs_bgzf_sam_flagstat", path,
-                                             threads, fallback_rcs=(-6,))
+    if impl in (None, "native"):
+        if is_gzip(path):
+            # -6 = plain gzip, not BGZF: the stream path below handles it
+            counters = native_lib.fused_flagstat(
+                "lfs_bgzf_sam_flagstat", path, threads, fallback_rcs=(-6,))
+        else:
+            # plain text: range-parallel fused parse+count
+            counters = native_lib.fused_flagstat("lfs_sam_flagstat", path,
+                                                 threads)
         if counters is not None:
             return counters
     return flagstats_u16(read_sam_flags(path, threads=threads), impl=impl)

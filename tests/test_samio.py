@@ -387,9 +387,13 @@ def test_fused_container_counting_matches_column_path(tmp_path):
         fh.write(bamio.BGZF_EOF)
     assert_counters_equal(ref, samio.flagstat_sam(bgz))  # default chunk
 
+    # plain-text fused path (range-parallel, per-thread counters)
+    assert_counters_equal(ref, samio.flagstat_sam(s))
+
     # forced tiny chunk: hundreds of flushes, same counters bit-exact
     for path, fn in ((b, lib.lfs_bam_flagstat),
-                     (bgz, lib.lfs_bgzf_sam_flagstat)):
+                     (bgz, lib.lfs_bgzf_sam_flagstat),
+                     (s, lib.lfs_sam_flagstat)):
         mm = np.memmap(path, dtype=np.uint8, mode="r")
         counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
         got = fn(mm.ctypes.data, mm.size,
