@@ -63,6 +63,31 @@ def _build() -> Path:
     return _LIB_PATH
 
 
+def map_sequential(path):
+    """Read-only mapping of a file with MADV_SEQUENTIAL +
+    MADV_WILLNEED. The fused container walks stream the file
+    front-to-back, and on this host a cold mapping without the
+    prefetch costs ~60 µs per synchronous major fault (measured: the
+    1.44 GB BAM walk went 9 s warm -> 30 s cold, while WILLNEED
+    prefetches the same bytes in 0.7 s — the disk itself reads
+    1.8 GB/s). WILLNEED is advisory readahead into the page cache, so
+    files larger than RAM degrade gracefully. Returns a uint8 ndarray
+    view (the mapping stays alive via the array's .base chain)."""
+    import mmap as _mmap
+
+    import numpy as np
+
+    fh = open(path, "rb")
+    try:
+        mm = _mmap.mmap(fh.fileno(), 0, prot=_mmap.PROT_READ)
+    finally:
+        fh.close()                       # the mapping outlives the fd
+    if hasattr(mm, "madvise"):
+        mm.madvise(_mmap.MADV_SEQUENTIAL)
+        mm.madvise(_mmap.MADV_WILLNEED)
+    return np.frombuffer(mm, dtype=np.uint8)
+
+
 def fused_flagstat(symbol: str, path, threads: int,
                    fallback_rcs: tuple[int, ...] = ()):
     """Shared driver for the fused container-counting entries
@@ -83,7 +108,7 @@ def fused_flagstat(symbol: str, path, threads: int,
     size = os.path.getsize(path)
     if size == 0:
         return None
-    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    mm = map_sequential(path)
     counters = np.zeros(32, dtype=np.uint64)
     got = getattr(lib, symbol)(
         mm.ctypes.data, size, counters.ctypes.data_as(ctypes.c_void_p),
