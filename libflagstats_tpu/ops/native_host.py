@@ -94,6 +94,14 @@ def flagstat_framed_native(path, codec: int, out=None, threads: int = 0,
         if stop == byte_start:
             return counters, 0
         with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            if hasattr(mm, "madvise"):
+                # async whole-range prefetch: cold demand paging costs
+                # ~60 us per synchronous major fault on this host while
+                # the disk reads 1.8 GB/s (measured — io/native_lib
+                # .map_sequential carries the same fix and numbers)
+                mm.madvise(mmap.MADV_SEQUENTIAL)
+                page0 = (byte_start // mmap.PAGESIZE) * mmap.PAGESIZE
+                mm.madvise(mmap.MADV_WILLNEED, page0, stop - page0)
             view = np.frombuffer(mm, dtype=np.uint8)  # zero-copy, read-only
             try:
                 rc = lib.lfs_flagstat_framed(
