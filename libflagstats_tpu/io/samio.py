@@ -329,11 +329,17 @@ def read_binary(path, mmap: bool = True) -> np.ndarray:
     Memory-mapped by default (read-only view): kernels read straight
     from the page cache with no GB-scale buffer allocation — this host
     shows episodic 65 µs/page first-touch storms on fresh allocations,
-    and the copy is pure waste for a read-once count. Pass
-    ``mmap=False`` for an owned, writable array."""
+    and the copy is pure waste for a read-once count. The mapping is
+    madvised SEQUENTIAL+WILLNEED (native_lib.map_sequential: cold
+    demand paging costs ~60 µs/fault here while the disk reads
+    1.8 GB/s). Pass ``mmap=False`` for an owned, writable array."""
     if mmap:
         try:
-            return np.memmap(path, dtype="<u2", mode="r")
+            from . import native_lib
+
+            arr = native_lib.map_sequential(path)
+            if arr.size and arr.size % 2 == 0:
+                return arr.view("<u2")
         except (OSError, ValueError):  # e.g. empty file -> owned path
             pass
     return np.fromfile(path, dtype="<u2").astype(np.uint16, copy=False)
