@@ -37,7 +37,16 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
+
+
+def _env_f(name: str, default: float) -> float:
+    try:
+        return float(os.environ.get(name, "") or default)
+    except ValueError:
+        return default
+
 
 N_WORDS = 64 * 1024 * 1024
 AGREE_PCT = 5.0           # cross-process reproduction tolerance
@@ -48,9 +57,44 @@ WALL_BUDGET_S = 3600.0    # stop launching new workers past this; a
                           # emit the final line within the driver's
                           # patience, not after 4x5400s of timeouts
 PROBE_TIMEOUT_S = 180.0   # backend preflight subprocess deadline
-PROBE_RETRY_S = 120.0     # wait between preflight attempts during an outage
+PROBE_RETRY_S = _env_f("LFS_BENCH_PROBE_RETRY_S", 120.0)
+#                         wait between preflight attempts during an outage
 PROBE_RESERVE_S = 900.0   # stop probing and just try a worker when less
                           # than this much wall budget remains
+
+# ---------------------------------------------------------------------------
+# Round-4 driver-proofing (VERDICT r03 #1: BENCH_r03.json was rc=124 with
+# no output — the probe-retry loop outlived the driver's capture timeout
+# and the process died mid-retry having printed nothing). Contract now:
+# ONE parseable JSON line is printed by DEADLINE_S no matter what the
+# tunnel does, enforced by a watchdog thread that cannot be blocked by a
+# hung subprocess.run in the main thread. Reference anchor for the
+# bounded-run discipline: linux/instrumented_benchmark.cpp:107-142.
+# ---------------------------------------------------------------------------
+DEADLINE_S = _env_f("LFS_BENCH_DEADLINE_S", 2400.0)
+#   hard wall for the WHOLE run: print the best available structured line
+#   (results-so-far > stale cache > zero-artifact error) and exit
+OUTAGE_DEADLINE_S = _env_f("LFS_BENCH_OUTAGE_DEADLINE_S", 480.0)
+#   give up probing this long after start if the backend has NEVER been
+#   seen healthy — a tunnel down at bench start rarely returns within
+#   the driver's patience, and burning an hour of retries is how r03
+#   produced no artifact at all
+LAST_GOOD_PATH = os.environ.get(
+    "LFS_BENCH_LAST_GOOD",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".bench_last_good.json"))
+#   cache of the last cross-process-agreed final line; during a full
+#   outage it is re-printed clearly labeled stale (agreement=
+#   "stale_cache", stale=true, stale_age_s) so the driver still records
+#   a parseable artifact instead of rc=124/null
+
+_EMIT_LOCK = threading.Lock()
+_EMITTED = threading.Event()
+_RESULTS: list[dict] = []   # valid worker results, shared with watchdog
+_REAL_MONOTONIC = time.monotonic   # captured at import: the watchdog must
+#   keep real wall time even when tests monkeypatch time.monotonic to a
+#   fake clock (they do, to simulate budget exhaustion)
+_CURRENT_WORKER: list = []         # [Popen] while a worker subprocess is live
 
 
 def _measure_worker() -> dict:
@@ -297,6 +341,10 @@ def _backend_ready(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
     the TPU is down), so a 'cpu' default backend counts as not-ready
     whenever a TPU plugin module is importable.
     """
+    if os.environ.get("LFS_BENCH_FORCE_OUTAGE"):
+        return False   # test hook: simulate a dead tunnel without the 3-min probe
+    if os.environ.get("LFS_BENCH_FORCE_PROBE_OK"):
+        return True    # test hook: pretend healthy (watchdog/hung-worker tests)
     code = ("import importlib.util as iu;"
             "import jax, jax.numpy as jnp, numpy as np;"
             "np.asarray(jnp.arange(8).sum());"
@@ -316,19 +364,34 @@ def _backend_ready(timeout_s: float = PROBE_TIMEOUT_S) -> bool:
 
 def _run_worker(idx: int, timeout_s: float = 5400.0) -> dict:
     env = dict(os.environ)
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker"]
+    if os.environ.get("LFS_BENCH_WORKER_CMD"):
+        # test hook: substitute the worker process (e.g. `sleep 9999` to
+        # exercise the watchdog, or a script printing a canned
+        # WORKER_RESULT line to exercise the agreement logic)
+        import shlex
+        cmd = shlex.split(os.environ["LFS_BENCH_WORKER_CMD"])
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker"],
-            capture_output=True, text=True, env=env, timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired as e:
-        # a cold worker can sit in remote compiles for a long time; the
-        # contract is one JSON line no matter what, so fold the timeout
-        # into the normal error path
-        if e.stderr:
-            sys.stderr.write(e.stderr if isinstance(e.stderr, str)
-                             else e.stderr.decode(errors="replace"))
-        return {"error": f"worker {idx} timed out after {e.timeout:.0f}s"}
+        with subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True,
+                              env=env) as p:
+            _CURRENT_WORKER.append(p)   # so the deadline watchdog can
+            #                             kill it instead of orphaning a
+            #                             compile job on the shared TPU
+            try:
+                out, err = p.communicate(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                out, err = p.communicate()
+                if err:
+                    sys.stderr.write(err)
+                return {"error": f"worker {idx} timed out after "
+                                 f"{timeout_s:.0f}s"}
+            finally:
+                _CURRENT_WORKER.clear()
+        proc = subprocess.CompletedProcess(cmd, p.returncode, out, err)
+    except OSError as e:
+        return {"error": f"worker {idx} failed to launch: {e}"}
     sys.stderr.write(proc.stderr)
     for line in proc.stdout.splitlines():
         if line.startswith("WORKER_RESULT "):
@@ -397,9 +460,103 @@ def assemble_final(results: list[dict], agree_pct: float = AGREE_PCT):
     return None, 1
 
 
+def _load_last_good() -> dict | None:
+    try:
+        with open(LAST_GOOD_PATH) as fh:
+            blob = json.load(fh)
+        line = blob["line"]
+        line["value"]  # schema sanity: must already be a final line
+        return {"saved_at_unix": float(blob["saved_at_unix"]), "line": line}
+    except (OSError, KeyError, ValueError, TypeError):
+        return None
+
+
+def _save_last_good(line: dict) -> None:
+    try:
+        tmp = LAST_GOOD_PATH + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"saved_at_unix": time.time(), "line": line}, fh)
+        os.replace(tmp, LAST_GOOD_PATH)
+    except OSError as exc:   # a read-only checkout must not kill the run
+        print(f"[bench] last-good cache not saved: {exc}", file=sys.stderr)
+
+
+def _zero_artifact_line(why: str) -> dict:
+    return {
+        "metric": "flagstat_words_per_sec", "value": 0.0,
+        "unit": "words/s", "vs_baseline": 0.0,
+        "error": f"{why} — the defended-run series lives in "
+                 "docs/BENCHMARKS.md",
+    }
+
+
+def _fallback_line(results: list[dict], why: str) -> tuple[dict, int]:
+    """Best structured line available when the run cannot finish
+    normally: results-so-far (labeled unconfirmed) > last-good cache
+    (labeled stale) > the zero-artifact error schema."""
+    line, rc = assemble_final(results)
+    if line is not None:
+        line["note"] = why
+        return line, rc
+    cached = _load_last_good()
+    if cached is not None:
+        line = dict(cached["line"])
+        line["agreement"] = "stale_cache"
+        line["stale"] = True
+        line["stale_age_s"] = round(time.time() - cached["saved_at_unix"], 1)
+        line["note"] = (f"{why}; reporting the last cross-process-agreed "
+                        "measurement, labeled stale")
+        return line, 0
+    return _zero_artifact_line(why), 1
+
+
+def _emit(line: dict, rc: int) -> int:
+    """Print the ONE final JSON line exactly once (main thread and
+    watchdog race for it; first wins)."""
+    with _EMIT_LOCK:
+        if not _EMITTED.is_set():
+            _EMITTED.set()
+            print(json.dumps(line), flush=True)
+    return rc
+
+
+def _watchdog_main(t_start_real: float) -> None:
+    """Daemon thread: at DEADLINE_S of REAL wall time, print the best
+    available line and hard-exit. A thread (not a main-loop check)
+    because the main thread can be stuck inside subprocess.run on a hung
+    tunnel — exactly the r03 failure mode."""
+    while True:
+        left = DEADLINE_S - (_REAL_MONOTONIC() - t_start_real)
+        if left <= 0:
+            break
+        if _EMITTED.wait(timeout=min(left, 5.0)):
+            return
+    if _EMITTED.is_set():
+        return
+    line, rc = _fallback_line(
+        list(_RESULTS),
+        f"deadline LFS_BENCH_DEADLINE_S={DEADLINE_S:.0f}s reached")
+    print("[bench] watchdog: deadline reached, emitting fallback line",
+          file=sys.stderr)
+    _emit(line, rc)
+    for p in list(_CURRENT_WORKER):   # don't orphan a worker on the TPU
+        try:
+            p.kill()
+        except OSError:
+            pass
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(rc)
+
+
 def main() -> int:
-    results: list[dict] = []
+    _EMITTED.clear()
+    _RESULTS.clear()
+    results = _RESULTS
     t_start = time.monotonic()
+    threading.Thread(target=_watchdog_main, args=(_REAL_MONOTONIC(),),
+                     daemon=True).start()
+    seen_healthy = False
     for i in range(MAX_WORKERS):
         elapsed = time.monotonic() - t_start
         if i and elapsed > WALL_BUDGET_S:
@@ -408,9 +565,21 @@ def main() -> int:
             break
         # wait out a tunnel outage on cheap probes instead of a hung
         # worker; give up probing (and try a worker anyway) once the
-        # remaining budget is down to one honest attempt
+        # remaining budget is down to one honest attempt — and if the
+        # backend has NEVER been healthy this run, stop at
+        # OUTAGE_DEADLINE_S, attempt ONE short worker (the probe could
+        # itself be wrong), then emit the fallback line instead of
+        # burning the driver's whole capture window (r03 lesson)
+        outage_final_try = False
         while not _backend_ready():
             elapsed = time.monotonic() - t_start
+            if not seen_healthy and not results \
+                    and elapsed > OUTAGE_DEADLINE_S:
+                print(f"[bench] backend never healthy after {elapsed:.0f}s;"
+                      " one short worker attempt, then the fallback line",
+                      file=sys.stderr)
+                outage_final_try = True
+                break
             if elapsed > WALL_BUDGET_S - PROBE_RESERVE_S:
                 print("[bench] backend probe still failing with "
                       f"{WALL_BUDGET_S - elapsed:.0f}s budget left; "
@@ -419,18 +588,33 @@ def main() -> int:
             print("[bench] backend probe failed (tunnel outage?); "
                   f"retrying in {PROBE_RETRY_S:.0f}s", file=sys.stderr)
             time.sleep(PROBE_RETRY_S)
+        else:
+            seen_healthy = True
         # a cold first worker may legitimately sit in remote compiles
         # (~15 distinct executables at seconds-to-minutes each on the
         # shared compile service), so it gets up to 5400 s — minus any
         # time already spent probing out an outage, so the overall
         # envelope stays ~5400 s; later workers only get the remaining
         # budget (600 s floor) — they reuse the persistent compile
-        # cache the first one filled
+        # cache the first one filled. Everything is additionally clamped
+        # to the deadline so the subprocess dies (and its result line is
+        # parsed) before the watchdog would fire blind.
         elapsed = time.monotonic() - t_start
-        r = _run_worker(i, timeout_s=max(
-            600.0, (5400.0 if i == 0 else WALL_BUDGET_S) - elapsed))
+        if outage_final_try:
+            t_worker = 600.0
+        else:
+            t_worker = max(600.0, (5400.0 if i == 0 else WALL_BUDGET_S)
+                           - elapsed)
+        t_worker = max(30.0, min(t_worker, DEADLINE_S - elapsed - 30.0))
+        r = _run_worker(i, timeout_s=t_worker)
         if "error" in r:
             print(f"[bench] worker {i}: {r['error']}", file=sys.stderr)
+            if outage_final_try:
+                elapsed = time.monotonic() - t_start
+                return _emit(*_fallback_line(
+                    results,
+                    f"TPU backend unreachable for {elapsed:.0f}s "
+                    "(tunnel outage)"))
             if "exception" in r["error"] or "no result" in r["error"]:
                 # backend turbulence (tunnel FAILED_PRECONDITION etc.) is
                 # often transient on this shared chip — give it a minute
@@ -438,27 +622,22 @@ def main() -> int:
                 time.sleep(60)
             continue
         results.append(r)
+        seen_healthy = True
         line, rc = assemble_final(results)
         if line is not None and line["agreement"] == "cross_process":
-            print(json.dumps(line))
-            return rc
+            _save_last_good(line)
+            return _emit(line, rc)
     # workers exhausted without an agreeing pair
     line, rc = assemble_final(results)
     if line is None:
-        print(json.dumps({
-            "metric": "flagstat_words_per_sec", "value": 0.0,
-            "unit": "words/s", "vs_baseline": 0.0,
-            "error": f"no worker produced a plausible sample "
-                     f"({MAX_WORKERS} attempts; likely a TPU tunnel "
-                     "outage — the defended-run series lives in "
-                     "docs/BENCHMARKS.md)",
-        }))
-        return 1
+        return _emit(*_fallback_line(
+            results,
+            f"no worker produced a plausible sample ({MAX_WORKERS} "
+            "attempts; likely a TPU tunnel outage)"))
     print(f"[bench] WARNING: no two of {len(results)} workers agreed "
-          f"within {AGREE_PCT}%; printing the slowest gate-passing "
+          f"within {AGREE_PCT}%; printing the median gate-passing "
           f"result, labeled unconfirmed", file=sys.stderr)
-    print(json.dumps(line))
-    return rc
+    return _emit(line, rc)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,17 @@ import bench
 import pytest
 
 
+@pytest.fixture(autouse=True)
+def _isolate_bench_env(monkeypatch, tmp_path):
+    """Round-4 deadline armor must not interfere with these fake-clock
+    tests: push the real-wall deadline out of reach and point the
+    last-good stale cache at an empty temp path (a populated repo-root
+    cache would otherwise turn the zero-artifact assertions stale)."""
+    monkeypatch.setattr(bench, "DEADLINE_S", 10_000_000.0)
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+
+
 def _res(wps: float) -> dict:
     return {
         "words_per_s": wps,
