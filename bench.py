@@ -7,6 +7,15 @@ reference validates every benchmark iteration against FLAGSTAT_scalar,
 linux/instrumented_benchmark.cpp:181-208; its min/avg + memcpy
 speed-of-light method is instrumented_benchmark.cpp:107-142,456-544).
 
+Headline mode (round 4): full-parity over PRE-TRANSPOSED plane tiles —
+the production device tier the streaming pipeline ships
+(io/stream.py impl="pallas_pre"): the host AVX2 bit transpose runs as a
+pipeline stage and the device kernel, stripped of its in-VMEM
+transpose, reads the same bytes at the HBM wall in every congestion
+window. The in-VMEM-transpose kernel is measured between the same
+roofline brackets and published as the `alt` row, so both tiers stay
+defended in one artifact.
+
 Self-defending measurement (round 2 — the round-1 driver capture was a
 remote-execution-caching artifact claiming 7.5x the HBM roofline):
 
@@ -123,26 +132,46 @@ def _measure_worker() -> dict:
 
     if backend == "tpu":
         from libflagstats_tpu.config import nblk_for
+        from libflagstats_tpu.ops.bitslice import pretranspose_host
         from libflagstats_tpu.ops.pallas_kernels import (
             flagstat_pallas,
+            flagstat_pallas_pre,
             stream_sums_pallas,
+            stream_sums_pallas_pre,
         )
 
-        # headline (round 3): FULL-PARITY mode — all 29 streams / 32
-        # counters, at the measured-best grid depth the public dispatch
-        # path now runs (CONFIG.nblk_full; the reference's fastest
-        # kernel is its conformant one, libflagstats.h:2325-2428, and
-        # ours should be too). The 21-stream report kernel stays as a
-        # secondary correctness gate.
+        # headline (round 4): PRE-TRANSPOSED full-parity mode — all 29
+        # streams / 32 counters over host-bit-transposed plane tiles
+        # (the production device tier io/stream.py ships as
+        # impl="pallas_pre"). Same bytes cross HBM; the kernel sheds its
+        # in-VMEM transpose and sits at the read wall in EVERY
+        # congestion window (0.99x vs 0.90-0.94 congested for the
+        # in-VMEM-transpose kernel, docs/BENCHMARKS.md round-3/4 series)
+        # — the reference's economy of making the fastest kernel the
+        # conformant one, libflagstats.h:2325-2428. The in-VMEM-
+        # transpose kernel is measured alongside between the same
+        # roofline brackets and ships as alt_full_parity.
         nblk = nblk_for(report=False)
         full = jax.jit(lambda a: flagstat_pallas(a, n=n_words, nblk=nblk))
         report_fn = jax.jit(
             lambda a: flagstat_pallas(a, n=n_words, report=True))
         check_idx = list(range(32))
+        planes_host = pretranspose_host(x_host)
+        pre_full = jax.jit(
+            lambda p: flagstat_pallas_pre(p, n=n_words, nblk=nblk))
+        pre_report = jax.jit(
+            lambda p: flagstat_pallas_pre(p, n=n_words, nblk=nblk,
+                                          report=True))
 
-        def body(a):
+        def body(p):
+            total, fail = stream_sums_pallas_pre(p, nblk=nblk)
+            return jnp.concatenate([total, fail])
+
+        def body_alt(a):
             total, fail = stream_sums_pallas(a, nblk=nblk)
             return jnp.concatenate([total, fail])
+
+        mode, alt_mode = "pre_full_parity", "full_parity"
     else:  # CPU fallback so the bench is runnable anywhere
         from libflagstats_tpu.ops.xla_ops import flagstat_xla, stream_sums_xla
 
@@ -150,10 +179,15 @@ def _measure_worker() -> dict:
         full = jax.jit(lambda a: flagstat_xla(a, n=n_words))
         report_fn = None
         check_idx = list(range(32))
+        planes_host = None
+        pre_full = pre_report = None
 
         def body(a):
             total, fail = stream_sums_xla(a)
             return jnp.concatenate([total, fail])
+
+        body_alt = None
+        mode, alt_mode = "full_parity", None
 
     x = jax.block_until_ready(jnp.asarray(x_host))
 
@@ -171,6 +205,20 @@ def _measure_worker() -> dict:
     if not ok:
         print(f"expected {ref}\ngot      {got}", file=sys.stderr)
         return {"error": "counter mismatch vs oracle"}
+    if planes_host is not None:
+        # the timed input: pre-transposed plane tiles, gated bit-exactly
+        # in BOTH modes before any timing
+        x_pre = jax.block_until_ready(jnp.asarray(planes_host))
+        got_pre = np.asarray(pre_full(x_pre), dtype=np.int64)
+        idx = list(FL.REPORT_COUNTERS)
+        got_pre_rep = np.asarray(pre_report(x_pre), dtype=np.int64)
+        if not ((got_pre == ref).all()
+                and (got_pre_rep[idx] == ref[idx]).all()):
+            print(f"expected {ref}\npre got  {got_pre}", file=sys.stderr)
+            return {"error": "pre-mode counter mismatch vs oracle"}
+        x_alt, x = x, x_pre
+    else:
+        x_alt = None
 
     # same-process roofline with its own agreement protocol (a single
     # roofline sample can be a caching artifact that would disable the
@@ -289,10 +337,43 @@ def _measure_worker() -> dict:
     # roofline ships alongside (window_roofline_gbs) so nothing is
     # hidden by the cap-at-1.0 ratio.
     denom = max(roof_window, bps)
+
+    # secondary defended row: the in-VMEM-transpose kernel (the former
+    # headline), measured right after the accepted headline fit and
+    # bracketed by the headline's post-sample plus one fresh sample so
+    # both rows share the congestion window
+    alt = None
+    if body_alt is not None:
+        fit_alt = kernel_time_fit(body_alt, x_alt, ks=ks,
+                                  salt_base=(time.time_ns() >> 10) & 0x3FFF)
+        post2 = roof_bracket()
+        bks = [b for b in (post, post2) if b == b]
+        alt_window = (sum(bks) / len(bks)) if bks else roof
+        from libflagstats_tpu.bench.harness import hbm_nominal_bytes_per_s
+
+        spec = hbm_nominal_bytes_per_s()
+        alt_bps = 2.0 * n_words / fit_alt.slope_s
+        if (fit_alt.ok and fit_alt.dispersion < DISPERSION_MAX
+                and not (spec and alt_bps > spec * 1.02)
+                and not (not spec and alt_bps > max(roof, alt_window)
+                         * ROOF_MARGIN)):
+            alt = {
+                "mode": alt_mode,
+                "kernel_ms": fit_alt.slope_s * 1e3,
+                "bytes_per_s": alt_bps,
+                "vs_roofline": alt_bps / max(alt_window, alt_bps),
+                "window_roofline_gbs": alt_window / 1e9,
+            }
+        else:
+            print("[bench] alt row rejected by gates "
+                  f"(ok={fit_alt.ok} disp={fit_alt.dispersion:.3f})",
+                  file=sys.stderr)
+
     return {
         "backend": backend,
         "n_words": n_words,
-        "mode": "full_parity",
+        "mode": mode,
+        "alt": alt,
         "nblk": nblk,
         "kernel_ms": t_kernel * 1e3,
         "bytes_per_s": bps,
@@ -413,6 +494,12 @@ def _final_line(slow: dict, spread, agreement: str) -> dict:
         "defended_roofline_gbs": round(slow["defended_roofline_gbs"], 1)
         if "defended_roofline_gbs" in slow else None,
         "mode": slow.get("mode", "full_parity"),
+        "alt": ({
+            "mode": slow["alt"]["mode"],
+            "kernel_ms": round(slow["alt"]["kernel_ms"], 4),
+            "gbytes_per_s": round(slow["alt"]["bytes_per_s"] / 1e9, 1),
+            "vs_roofline": round(slow["alt"]["vs_roofline"], 4),
+        } if slow.get("alt") else None),
         "nblk": slow.get("nblk"),
         "cross_process_spread_pct": (None if spread is None
                                      else round(spread, 2)),

@@ -30,9 +30,18 @@ from . import codec as C
 @functools.cache
 def _jit_chunk_sums(impl: str, chunk_words: int, report: bool = False,
                     nblk: int = 8):
+    # off-TPU the Pallas tiers run in interpret mode (Mosaic is
+    # TPU-only), so the stream plumbing is CPU-testable on tiny chunks
+    interp = jax.default_backend() != "tpu"
     if impl == "pallas":
         def fn(chunk, total, fail):
-            t, f = PK.stream_sums_pallas(chunk, report=report, nblk=nblk)
+            t, f = PK.stream_sums_pallas(chunk, report=report, nblk=nblk,
+                                         interpret=interp)
+            return total + t, fail + f
+    elif impl == "pallas_pre":
+        def fn(chunk, total, fail):
+            t, f = PK.stream_sums_pallas_pre(chunk, report=report,
+                                             nblk=nblk, interpret=interp)
             return total + t, fail + f
     else:
         def fn(chunk, total, fail):
@@ -151,7 +160,18 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     explicitly to exercise the device path (e.g. when host cores are
     the scarce resource next to a co-located TPU). A checkpoint
     written by the native path is marked and cannot resume a
-    device-path run (they persist different partial-sum conventions)."""
+    device-path run (they persist different partial-sum conventions).
+
+    ``impl="pallas_pre"`` is the measured-best DEVICE tier (round 4):
+    chunks are bit-transposed on the host (AVX2 lfs_bit_transpose, in a
+    2-thread stage pool overlapped with decode and device compute) and
+    the device runs the transpose-free kernel, which sits at the HBM
+    read wall in every congestion window (0.99x roofline vs 0.90-0.94
+    congested for the in-VMEM-transpose kernel, docs/BENCHMARKS.md).
+    Same bytes cross the wire — the trade is host transpose cycles for
+    device VPU headroom, so prefer it whenever the TPU is the scarce
+    resource; bench.py's headline and tools/pipeline_balance.py run
+    this tier."""
     from ..config import CONFIG
     from ..ops import native_host
 
@@ -168,12 +188,16 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     from ..config import nblk_for
     from ..ops import dispatch as _dispatch
 
-    nblk = nblk_for(report=report) if impl == "pallas" else CONFIG.nblk
+    device_pallas = impl in ("pallas", "pallas_pre")
+    nblk = nblk_for(report=report) if device_pallas else CONFIG.nblk
     if chunk_words is None:
-        chunk_words = (nblk * PK.GROUP_WORDS if impl == "pallas"
+        chunk_words = (nblk * PK.GROUP_WORDS if device_pallas
                        else 1 << 20)
+    if impl == "pallas_pre" and chunk_words % PK.GROUP_WORDS:
+        raise ValueError("pallas_pre chunk_words must be a multiple of "
+                         f"{PK.GROUP_WORDS} (whole transpose groups)")
 
-    step = _jit_chunk_sums(impl, chunk_words, report and impl == "pallas",
+    step = _jit_chunk_sums(impl, chunk_words, report and device_pallas,
                            nblk=nblk)
     total = jnp.zeros(F.N_BITS, jnp.int32)
     fail = jnp.zeros(F.N_BITS, jnp.int32)
@@ -225,6 +249,48 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
         fail = jnp.zeros(F.N_BITS, jnp.int32)
         epoch_words = 0
 
+    # pallas_pre: host bit-transpose runs as its own 2-thread pipeline
+    # stage between chunk staging and dispatch — decode(i+2) /
+    # transpose(i+1) / device(i) overlap; ordering is preserved by the
+    # FIFO pending deque
+    from collections import deque
+
+    xpool = (cf.ThreadPoolExecutor(2, thread_name_prefix="pretrans")
+             if impl == "pallas_pre" else None)
+    pending: deque = deque()
+
+    def dispatch_chunk(payload, words):
+        nonlocal total, fail, epoch_words
+        if epoch_words + words > _dispatch.DEVICE_WORD_CAP:
+            roll_epoch()
+        # h2d times the device_put ENQUEUE only — on async
+        # backends a near-zero h2d does NOT prove the transfer
+        # is hidden (it may be paid inside the final fetch);
+        # the overlapped-vs-serial legs of
+        # tools/pipeline_balance.py are the reliable overlap
+        # measurement. A LARGE h2d here does prove the enqueue
+        # itself blocks (round-2 verdict next #5).
+        with timer.section("h2d"):
+            dev = jnp.asarray(payload)
+        with timer.section("dispatch"):
+            total, fail = step(dev, total, fail)
+        epoch_words += words
+
+    def emit_chunk(chunk, words, final=False):
+        """Route one staged word-chunk to the device: directly, or via
+        the transpose stage with a 2-deep in-flight window."""
+        if xpool is None:
+            dispatch_chunk(chunk, words)
+            return
+        from ..ops.bitslice import pretranspose_host
+
+        pending.append((xpool.submit(pretranspose_host, chunk, 2), words))
+        while len(pending) > (0 if final else 2):
+            fut, w = pending.popleft()
+            with timer.section("transpose_wait"):
+                planes = fut.result()
+            dispatch_chunk(planes, w)
+
     block_index = start_block
     buf = np.empty(2 * chunk_words, dtype=np.uint16)
     fill = 0
@@ -243,26 +309,13 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
                     rem = fill - chunk_words
                     if rem:
                         buf[:rem] = buf[chunk_words:fill]
-                if epoch_words + chunk_words > _dispatch.DEVICE_WORD_CAP:
-                    roll_epoch()
-                # h2d times the device_put ENQUEUE only — on async
-                # backends a near-zero h2d does NOT prove the transfer
-                # is hidden (it may be paid inside the final fetch);
-                # the overlapped-vs-serial legs of
-                # tools/pipeline_balance.py are the reliable overlap
-                # measurement. A LARGE h2d here does prove the enqueue
-                # itself blocks (round-2 verdict next #5).
-                with timer.section("h2d"):
-                    dev = jnp.asarray(chunk)
-                with timer.section("dispatch"):
-                    total, fail = step(dev, total, fail)
-                epoch_words += chunk_words
+                emit_chunk(chunk, chunk_words)
                 fill = rem
         block_index += 1
         # a checkpoint is only valid when no words are waiting in the
-        # partial-chunk buffer (its words are counted in n_words but not
-        # yet in the sums)
-        if checkpoint is not None and fill == 0:
+        # partial-chunk buffer or the transpose stage (those words are
+        # counted in n_words but not yet in the sums)
+        if checkpoint is not None and fill == 0 and not pending:
             with timer.section("checkpoint"):
                 checkpoint.maybe_save(block_index, total, fail, n_words,
                                       grand=grand, epoch_words=epoch_words)
@@ -270,13 +323,15 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
     if fill:
         tail = np.zeros(chunk_words, dtype=np.uint16)
         tail[:fill] = buf[:fill]
-        if epoch_words + fill > _dispatch.DEVICE_WORD_CAP:
-            roll_epoch()
-        with timer.section("h2d"):
-            dev = jnp.asarray(tail)
-        with timer.section("dispatch"):
-            total, fail = step(dev, total, fail)
-        epoch_words += fill
+        emit_chunk(tail, fill, final=True)
+    elif pending:
+        while pending:
+            fut, w = pending.popleft()
+            with timer.section("transpose_wait"):
+                planes = fut.result()
+            dispatch_chunk(planes, w)
+    if xpool is not None:
+        xpool.shutdown()
 
     counters = _jit_assemble()(total, fail, jnp.int32(epoch_words))
     return grand + np.asarray(counters, dtype=np.int64).astype(np.uint64)

@@ -407,17 +407,23 @@ def flagstat_pallas(x: jax.Array, n=None, nblk: int = 8, interpret: bool = False
     return assemble_counters(total, fail, n)
 
 
-def flagstat_pallas_pre(planes: jax.Array, n: int, nblk: int = 8,
-                        interpret: bool = False, report: bool = False) -> jax.Array:
-    """Flagstat over host-pretransposed plane tiles (see
-    bitslice.pretranspose_host_np / the native lfs_bit_transpose):
-    the kernel skips its in-VMEM transpose, trading device VPU work for
-    host cycles. ``planes``: (groups, 32, 8, 128) uint32."""
+def stream_sums_pallas_pre(
+    planes: jax.Array, nblk: int = 8, interpret: bool = False,
+    report: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Raw stratified stream sums (C[k], F[k]) over host-pretransposed
+    plane tiles (bitslice.pretranspose_host / native lfs_bit_transpose):
+    the kernel skips its in-VMEM transpose, so on-device it is pure
+    transform + CSA over DMA'd planes — measured at the HBM read wall in
+    every congestion window (docs/BENCHMARKS.md), which is why the
+    streaming pipeline's device tier feeds this shape (round-4).
+    ``planes``: (groups, 32, 8, 128) uint32; accumulate/psum-mergeable
+    like stream_sums_pallas."""
     if planes.ndim != 4 or planes.shape[1:] != (REGS, SUB, LANE):
-        raise ValueError(f"expected (G, 32, 8, 128) plane tiles, got {planes.shape}")
+        raise ValueError(
+            f"expected (G, 32, 8, 128) plane tiles, got {planes.shape}")
     if planes.shape[0] == 0:  # 0-step grid: output would stay uninitialized
-        zero = jnp.zeros(F.N_BITS, jnp.int32)
-        return assemble_counters(zero, zero, n)
+        return jnp.zeros(F.N_BITS, jnp.int32), jnp.zeros(F.N_BITS, jnp.int32)
     groups = planes.shape[0]
     if groups % nblk:
         pad = nblk - groups % nblk
@@ -426,7 +432,17 @@ def flagstat_pallas_pre(planes: jax.Array, n: int, nblk: int = 8,
         )
     mode = "flagstat_report" if report else "flagstat"
     sums = _run_kernel(planes, nblk, mode, interpret, pre=True)
-    total, fail = _sums_to_streams(sums, report)
+    return _sums_to_streams(sums, report)
+
+
+def flagstat_pallas_pre(planes: jax.Array, n: int, nblk: int = 8,
+                        interpret: bool = False, report: bool = False) -> jax.Array:
+    """Flagstat over host-pretransposed plane tiles (see
+    stream_sums_pallas_pre). ``planes``: (groups, 32, 8, 128) uint32;
+    ``n`` is the true (pre-padding) word count for the derived
+    pass-total (reference: libflagstats.h:429)."""
+    total, fail = stream_sums_pallas_pre(planes, nblk=nblk,
+                                         interpret=interpret, report=report)
     return assemble_counters(total, fail, n)
 
 

@@ -252,3 +252,44 @@ def test_stream_checkpoint_resume_across_epoch_boundary(tmp_path, monkeypatch):
     resumed = flagstat_stream(path, codec="lz4", impl="xla",
                               chunk_words=chunk_words, checkpoint=ck2)
     assert_counters_equal(flagstat_numpy(x), resumed)
+
+
+def test_stream_pallas_pre_matches_oracle(tmp_path):
+    """Round-4 production tier: host bit-transpose stage feeding the
+    transpose-free Pallas kernel (interpret mode off-TPU). Exercises
+    chunk staging -> 2-deep transpose window -> dispatch ordering,
+    including a zero-padded tail chunk."""
+    from libflagstats_tpu.bench.profiling import SectionTimer
+    from libflagstats_tpu.ops.pallas_kernels import GROUP_WORDS
+
+    x = generate_flags(3 * GROUP_WORDS + 18_928, seed=41, full_range=True)
+    path = tmp_path / "pre.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+    timer = SectionTimer()
+    got = flagstat_stream(path, codec="lz4", impl="pallas_pre",
+                          chunk_words=GROUP_WORDS, timer=timer)
+    assert_counters_equal(flagstat_numpy(x), got)
+    # the transpose stage really ran (4 chunks incl. the padded tail)
+    assert timer.counts.get("transpose_wait", 0) >= 4
+    assert timer.counts.get("dispatch", 0) >= 4
+
+
+def test_stream_pallas_pre_report_mode(tmp_path):
+    from libflagstats_tpu import flags as FL
+    from libflagstats_tpu.ops.pallas_kernels import GROUP_WORDS
+
+    x = generate_flags(GROUP_WORDS + 7, seed=42, full_range=True)
+    path = tmp_path / "pre_r.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+    got = flagstat_stream(path, codec="lz4", impl="pallas_pre",
+                          chunk_words=GROUP_WORDS, report=True)
+    ref = flagstat_numpy(x)
+    idx = list(FL.REPORT_COUNTERS)
+    np.testing.assert_array_equal(got.astype(np.int64)[idx], ref[idx])
+
+
+def test_stream_pallas_pre_rejects_partial_groups():
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple"):
+        flagstat_stream("/nonexistent", impl="pallas_pre", chunk_words=1000)

@@ -95,6 +95,58 @@ def main() -> int:
         print(f"[prewarm] stream chunk step (full, nblk={nfull}): "
               f"{time.time()-t0:.1f}s", flush=True)
 
+    # round 4: the pre-transposed production tier — eager kernels, the
+    # stream chunk step, and the bench's exact timed units (_repeated
+    # fori-loop wrappers at the headline repetition counts) for BOTH the
+    # pre headline and the alt in-VMEM-transpose row
+    from libflagstats_tpu.ops.bitslice import pretranspose_host
+    from libflagstats_tpu.ops.pallas_kernels import (
+        flagstat_pallas_pre,
+        stream_sums_pallas,
+        stream_sums_pallas_pre,
+    )
+
+    for n in (nfull * GROUP_WORDS, n64):
+        planes = jnp.asarray(pretranspose_host(generate_flags(n, seed=0)))
+        for label, fn in (
+            ("full", lambda p: flagstat_pallas_pre(p, n=n, nblk=nfull)),
+            ("report", lambda p: flagstat_pallas_pre(p, n=n, nblk=nfull,
+                                                     report=True)),
+        ):
+            t0 = time.time()
+            jax.block_until_ready(fn(planes))
+            print(f"[prewarm] pre {n // GROUP_WORDS}-group {label}: "
+                  f"{time.time()-t0:.1f}s", flush=True)
+
+    chunk_full = nfull * GROUP_WORDS
+    step = _jit_chunk_sums("pallas_pre", chunk_full, False, nblk=nfull)
+    pc = jnp.asarray(pretranspose_host(generate_flags(chunk_full, seed=0)))
+    t0 = time.time()
+    jax.block_until_ready(step(pc, zero, zero))
+    print(f"[prewarm] stream pre chunk step (full, nblk={nfull}): "
+          f"{time.time()-t0:.1f}s", flush=True)
+
+    from libflagstats_tpu.bench.harness import _repeated, _sync
+
+    planes64 = jnp.asarray(pretranspose_host(generate_flags(n64, seed=0)))
+    x64 = jnp.asarray(generate_flags(n64, seed=0))
+
+    def body_pre(p):
+        t, f = stream_sums_pallas_pre(p, nblk=nfull)
+        return jnp.concatenate([t, f])
+
+    def body_alt(a):
+        t, f = stream_sums_pallas(a, nblk=nfull)
+        return jnp.concatenate([t, f])
+
+    for k in (4, 64, 260):
+        for label, fn, arg in (("pre", body_pre, planes64),
+                               ("alt", body_alt, x64)):
+            t0 = time.time()
+            _sync(_repeated(fn, k)(arg, jnp.int32(0)))
+            print(f"[prewarm] bench _repeated {label} k={k}: "
+                  f"{time.time()-t0:.1f}s", flush=True)
+
     x = jnp.asarray(generate_flags(8 * GROUP_WORDS, seed=0))
     t0 = time.time()
     jax.block_until_ready(pospopcnt_u16_pallas(x))
