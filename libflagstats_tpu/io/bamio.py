@@ -63,13 +63,84 @@ def _bgzf_member(payload: bytes, level: int = 6) -> bytes:
     return head + comp + foot
 
 
+#: realistic-payload synthesis constants (round 4, VERDICT r03 #3): the
+#: reference's workload is the real NA12878 HiSeqX BAM
+#: (/root/reference/README.md:33,54-63) whose records carry ~151bp
+#: SEQ/QUAL + names + aux — ~10x the inflate bytes of a flags-only
+#: record. These shapes reproduce that record weight spec-conformly.
+READ_LEN = 151
+_RNAME_PREFIX = b"ST-E00118:53:H02GVALXX:1:1101:"   # + 5 + 1 + 7 digits
+#: Illumina RTA2 quality binning (approximate published distribution)
+_QUAL_BINS = np.array([2, 12, 23, 37], dtype=np.uint8)
+_QUAL_P = np.array([0.02, 0.05, 0.12, 0.81])
+_SEQ_CODES = np.array([1, 2, 4, 8], dtype=np.uint8)   # A,C,G,T 4-bit codes
+#: byte -> binned-qual LUT (256 entries weighted to _QUAL_P)
+_QUAL_LUT = np.repeat(_QUAL_BINS,
+                      np.round(_QUAL_P * 256).astype(int))[:256]
+#: byte -> two packed 4-bit base codes (bits 0-1 and 2-3 pick the bases)
+_SEQ_PAIR_LUT = ((_SEQ_CODES[np.arange(256) & 3] << 4)
+                 | _SEQ_CODES[(np.arange(256) >> 2) & 3]).astype(np.uint8)
+
+
+def _realistic_chunk(part: np.ndarray, start: int, seed: int) -> bytes:
+    """Vectorized (n, rec_len) realistic BAM records for FLAG chunk
+    ``part``: 44-byte Illumina-style name, 151bp packed SEQ (random
+    ACGT), 151 binned QUAL bytes, RG/AS/YT aux — unmapped-style
+    coordinates so only FLAG semantics matter, like the minimal writer."""
+    n = part.size
+    rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(start))
+    name_len = len(_RNAME_PREFIX) + 5 + 1 + 7 + 1          # + NUL
+    seq_bytes = (READ_LEN + 1) // 2
+    aux = (b"RGZ" + b"NA12878L1\x00"                       # RG:Z:
+           + b"ASi" + struct.pack("<i", 0)                 # AS:i:
+           + b"YTZ" + b"UU\x00")                           # YT:Z:
+    body_len = _FIXED + name_len + seq_bytes + READ_LEN + len(aux)
+    template = (struct.pack("<i", body_len)
+                + struct.pack("<iiBBHH", -1, -1, name_len, 0, 4680, 0)
+                + b"\x00\x00"                              # FLAG placeholder
+                + struct.pack("<iiii", READ_LEN, -1, -1, 0)
+                + _RNAME_PREFIX + b"0" * 5 + b":" + b"0" * 7 + b"\x00"
+                + b"\x00" * (seq_bytes + READ_LEN)
+                + aux)
+    rec_len = len(template)
+    recs = np.broadcast_to(
+        np.frombuffer(template, dtype=np.uint8), (n, rec_len)).copy()
+    recs[:, 18:20] = part.view(np.uint8).reshape(-1, 2)
+    # name counter digits: tile = idx // 1e7 (5 wide), x = idx % 1e7 (7)
+    idx = np.arange(start, start + n, dtype=np.int64)
+    dig0 = 36 + len(_RNAME_PREFIX)
+    for w, base, val in ((5, dig0, idx // 10_000_000),
+                         (7, dig0 + 6, idx % 10_000_000)):
+        for d in range(w):
+            recs[:, base + d] = (val // 10 ** (w - 1 - d)) % 10 + ord("0")
+    # SEQ: random ACGT, two 4-bit codes per byte — one raw-bytes draw +
+    # a 256-entry packed-pair LUT (rng.choice/bounded-integers were the
+    # profile hotspot at multi-hundred-Mrecord scale)
+    rb = np.frombuffer(rng.bytes(n * seq_bytes), dtype=np.uint8)
+    seq0 = dig0 + 14
+    recs[:, seq0:seq0 + seq_bytes] = _SEQ_PAIR_LUT[rb].reshape(n, seq_bytes)
+    # QUAL: RTA-binned phred values (low-entropy, like real HiSeqX),
+    # via a byte->bin LUT weighted to the published distribution
+    q0 = seq0 + seq_bytes
+    qb = np.frombuffer(rng.bytes(n * READ_LEN), dtype=np.uint8)
+    recs[:, q0:q0 + READ_LEN] = _QUAL_LUT[qb].reshape(n, READ_LEN)
+    return recs.tobytes()
+
+
 def write_bam(path, flags, read_name: bytes = b"r",
-              block_bytes: int = 60000, level: int = 6) -> int:
-    """Write a minimal spec-conform BAM whose records carry the given
-    FLAG values (no sequence/quality/cigar; one unmapped-style record
-    per flag). Record assembly is numpy-vectorized (a Python per-record
-    loop would make multi-hundred-Mrecord synthetic benchmarks
-    impractical). Returns the number of records written."""
+              block_bytes: int = 60000, level: int = 6,
+              payload: str = "minimal", seed: int = 0,
+              threads: int = 4) -> int:
+    """Write a spec-conform BAM whose records carry the given FLAG
+    values. ``payload="minimal"``: no sequence/quality/cigar (l_seq = 0
+    is spec-legal) — the per-record fixed overhead the FLAG walk has to
+    skip. ``payload="realistic"``: 151bp HiSeqX-weight records
+    (_realistic_chunk) matching the reference workload's ~10x inflate
+    bytes. Record assembly is numpy-vectorized and BGZF members deflate
+    on a thread pool (zlib releases the GIL), else multi-hundred-Mrecord
+    synthetic benchmarks are impractical. Returns the record count."""
+    import concurrent.futures as cf
+
     flags = np.ascontiguousarray(np.asarray(flags, dtype=np.uint16)).ravel()
     name = read_name + b"\x00"
     header = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 0)
@@ -78,25 +149,33 @@ def write_bam(path, flags, read_name: bytes = b"r",
                 + b"\x00\x00"                       # FLAG placeholder
                 + struct.pack("<iiii", 0, -1, -1, 0)
                 + name)
-    rec_len = len(template)
-    chunk_records = max(1, (1 << 22) // rec_len)    # ~4 MB of raw records
+    rec_len = len(template) if payload == "minimal" else 333
+    chunk_records = max(1, (1 << 24) // rec_len)    # ~16 MB of raw records
 
-    with open(path, "wb") as fh:
+    with open(path, "wb") as fh, cf.ThreadPoolExecutor(threads) as pool:
         buf = bytearray(header)
+
+        def flush(final: bool = False):
+            blocks = []
+            while len(buf) >= block_bytes or (final and buf):
+                blocks.append(bytes(buf[:block_bytes]))
+                del buf[:block_bytes]
+            for member in pool.map(
+                    lambda b: _bgzf_member(b, level=level), blocks):
+                fh.write(member)
+
         for start in range(0, flags.size, chunk_records):
             part = flags[start:start + chunk_records]
-            recs = np.broadcast_to(
-                np.frombuffer(template, dtype=np.uint8),
-                (part.size, rec_len)).copy()
-            recs[:, 18:20] = part.view(np.uint8).reshape(-1, 2)
-            buf += recs.tobytes()
-            while len(buf) >= block_bytes:
-                fh.write(_bgzf_member(bytes(buf[:block_bytes]),
-                                      level=level))
-                del buf[:block_bytes]
-        while buf:
-            fh.write(_bgzf_member(bytes(buf[:block_bytes]), level=level))
-            del buf[:block_bytes]
+            if payload == "realistic":
+                buf += _realistic_chunk(part, start, seed)
+            else:
+                recs = np.broadcast_to(
+                    np.frombuffer(template, dtype=np.uint8),
+                    (part.size, len(template))).copy()
+                recs[:, 18:20] = part.view(np.uint8).reshape(-1, 2)
+                buf += recs.tobytes()
+            flush()
+        flush(final=True)
         fh.write(BGZF_EOF)
     return int(flags.size)
 

@@ -97,22 +97,67 @@ def is_gzip(path) -> bool:
         return fh.read(2) == b"\x1f\x8b"
 
 
-def write_sam(path, flags, with_header: bool = True) -> int:
-    """Minimal spec-shaped SAM text whose records carry the given FLAG
-    values (11 mandatory fields, unmapped-style records) — the test /
-    synthetic-benchmark twin of bamio.write_bam. Returns the record
-    count."""
+def _realistic_sam_chunk(part: np.ndarray, start: int, seed: int) -> bytes:
+    """Vectorized fixed-width realistic SAM lines (round 4, VERDICT r03
+    #3): Illumina-style QNAME, zero-padded FLAG, 151-char SEQ/QUAL and
+    an RG aux column — the text twin of bamio._realistic_chunk, so
+    text-path container benchmarks carry real record weight
+    (~382 B/line vs ~30 minimal). Zero-padded integer fields are
+    spec-legal ([0-9]+)."""
+    from .bamio import _QUAL_LUT, _RNAME_PREFIX, READ_LEN
+
+    n = part.size
+    rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(start))
+    seq_lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    qual_lut = (_QUAL_LUT + 33).astype(np.uint8)       # phred+33 ASCII
+    name_digits = (5, 7)
+    template = (_RNAME_PREFIX + b"0" * 5 + b":" + b"0" * 7
+                + b"\t" + b"0" * 5                      # FLAG, zero-padded
+                + b"\t*\t0\t0\t*\t*\t0\t0\t"
+                + b"N" * READ_LEN + b"\t" + b"!" * READ_LEN
+                + b"\tRG:Z:NA12878L1\n")
+    line_len = len(template)
+    recs = np.broadcast_to(
+        np.frombuffer(template, dtype=np.uint8), (n, line_len)).copy()
+    idx = np.arange(start, start + n, dtype=np.int64)
+    dig0 = len(_RNAME_PREFIX)
+    for w, base, val in ((5, dig0, idx // 10_000_000),
+                         (7, dig0 + 6, idx % 10_000_000),
+                         (5, dig0 + 14, part.astype(np.int64))):
+        for d in range(w):
+            recs[:, base + d] = (val // 10 ** (w - 1 - d)) % 10 + ord("0")
+    seq0 = dig0 + 14 + 5 + 15                          # after the 8 mid cols
+    rb = np.frombuffer(rng.bytes(n * READ_LEN), dtype=np.uint8)
+    recs[:, seq0:seq0 + READ_LEN] = seq_lut[rb & 3].reshape(n, READ_LEN)
+    q0 = seq0 + READ_LEN + 1
+    qb = np.frombuffer(rng.bytes(n * READ_LEN), dtype=np.uint8)
+    recs[:, q0:q0 + READ_LEN] = qual_lut[qb].reshape(n, READ_LEN)
+    return recs.tobytes()
+
+
+def write_sam(path, flags, with_header: bool = True,
+              payload: str = "minimal", seed: int = 0) -> int:
+    """Spec-shaped SAM text whose records carry the given FLAG values
+    (11 mandatory fields, unmapped-style records) — the test /
+    synthetic-benchmark twin of bamio.write_bam. ``payload="realistic"``
+    writes 151bp HiSeqX-weight lines (_realistic_sam_chunk). Returns the
+    record count."""
     flags = np.asarray(flags, dtype=np.uint16).ravel()
     chunk = 1 << 18
-    with open(path, "w", newline="") as fh:
-        if with_header:
-            fh.write("@HD\tVN:1.6\tSO:unsorted\n")
-            fh.write("@PG\tID:lfs\tPN:libflagstats_tpu\n")
+    header = b""
+    if with_header:
+        header = (b"@HD\tVN:1.6\tSO:unsorted\n"
+                  b"@PG\tID:lfs\tPN:libflagstats_tpu\n")
+    with open(path, "wb") as fh:
+        fh.write(header)
         for start in range(0, flags.size, chunk):
-            part = flags[start:start + chunk].tolist()
-            fh.write("".join(
-                f"r{start + i}\t{v}\t*\t0\t0\t*\t*\t0\t0\t*\t*\n"
-                for i, v in enumerate(part)))
+            part = flags[start:start + chunk]
+            if payload == "realistic":
+                fh.write(_realistic_sam_chunk(part, start, seed))
+            else:
+                fh.write("".join(
+                    f"r{start + i}\t{v}\t*\t0\t0\t*\t*\t0\t0\t*\t*\n"
+                    for i, v in enumerate(part.tolist())).encode())
     return int(flags.size)
 
 

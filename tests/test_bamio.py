@@ -136,3 +136,34 @@ def test_bgzf_members_are_spec_conform(tmp_path):
     assert data.endswith(bamio.BGZF_EOF)
     with gzip.open(p, "rb") as fh:   # stock-gzip readability incl. CRCs
         assert fh.read(4) == b"BAM\x01"
+
+
+def test_realistic_payload_roundtrip(tmp_path):
+    """Round-4 realistic-payload records (151bp HiSeqX weight, VERDICT
+    r03 #3): ~10x the inflate bytes of a flags-only record, identical
+    FLAG column through both walkers, deterministic for a seed."""
+    from libflagstats_tpu.oracle import generate_flags
+
+    x = generate_flags(40_000, seed=11, full_range=True)
+    p = tmp_path / "real.bam"
+    n = bamio.write_bam(p, x, level=1, payload="realistic", seed=3)
+    assert n == x.size
+    raw_per_rec = 333          # 4 + 32 fixed + 44 name + 76 seq + 151 qual + 26 aux
+    np.testing.assert_array_equal(bamio.read_bam_flags(p), x)
+    np.testing.assert_array_equal(
+        bamio.read_bam_flags_py(p, max_records=2000), x[:2000])
+    # record weight really is ~10x the minimal writer's
+    p2 = tmp_path / "min.bam"
+    bamio.write_bam(p2, x, level=1)
+    import gzip as _gz
+
+    with _gz.open(p, "rb") as fh:
+        real_raw = len(fh.read())
+    with _gz.open(p2, "rb") as fh:
+        min_raw = len(fh.read())
+    assert real_raw > 8 * min_raw
+    assert abs(real_raw - (x.size * raw_per_rec + 12)) < raw_per_rec
+    # determinism: same seed -> same bytes
+    p3 = tmp_path / "real2.bam"
+    bamio.write_bam(p3, x, level=1, payload="realistic", seed=3)
+    assert p.read_bytes() == p3.read_bytes()

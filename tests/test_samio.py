@@ -472,3 +472,24 @@ def test_setop_rows_skip_shapes():
         for r in rows:
             cols = r.split("\t")
             assert len(cols) == 6 and cols[2].startswith("skipped:")
+
+
+def test_realistic_sam_payload_roundtrip(tmp_path):
+    """Realistic SAM lines (round 4): fixed-width 151bp records with
+    zero-padded FLAG field — both parsers must read the column back."""
+    from libflagstats_tpu.io.samio import (
+        read_sam_flags,
+        read_sam_flags_py,
+        write_sam,
+    )
+    from libflagstats_tpu.oracle import generate_flags
+
+    x = generate_flags(30_000, seed=13, full_range=True)
+    p = tmp_path / "real.sam"
+    write_sam(p, x, payload="realistic", seed=5)
+    np.testing.assert_array_equal(read_sam_flags(p), x)
+    np.testing.assert_array_equal(read_sam_flags_py(p), x)
+    # ~10x the minimal line weight
+    p2 = tmp_path / "min.sam"
+    write_sam(p2, x)
+    assert p.stat().st_size > 8 * p2.stat().st_size

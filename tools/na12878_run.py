@@ -44,6 +44,16 @@ def main() -> int:
                     choices=["bam", "sam", "sam.gz"],
                     help="run through the container-ingest path instead "
                          "of the framed stream")
+    ap.add_argument("--payload", default="minimal",
+                    choices=["minimal", "realistic"],
+                    help="container record weight: flags-only records, or "
+                         "151bp HiSeqX-weight SEQ/QUAL/name/aux (~10x the "
+                         "inflate bytes — the real NA12878 record shape, "
+                         "reference README.md:33)")
+    ap.add_argument("--cold", action="store_true",
+                    help="drop the page cache before the first timed run "
+                         "(reference clear_cache discipline, "
+                         "benchmark/flagstats.cpp:82-88); needs root")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args()
 
@@ -130,13 +140,27 @@ def _check_report(counters, scale: int) -> bool:
     return ok
 
 
+def drop_page_cache() -> bool:
+    """Best-effort page-cache drop (the reference clears the cache
+    between decompress timings, benchmark/flagstats.cpp:82-88)."""
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("3\n")
+        return True
+    except OSError as exc:
+        print(f"[cold] page-cache drop unavailable ({exc}); "
+              "timing with whatever is cached", flush=True)
+        return False
+
+
 def _container_run(args, wd: Path) -> int:
     """Full `samtools flagstat <container>` conformance: synthesize the
     column, build the container, count straight from it."""
     from libflagstats_tpu import flagstat_file
     from libflagstats_tpu.datasets import synth_na12878
 
-    path = wd / f"na12878_s{args.scale}.{args.container}"
+    tag = "_real" if args.payload == "realistic" else ""
+    path = wd / f"na12878_s{args.scale}{tag}.{args.container}"
     if path.exists():
         print(f"[gen] reusing {path}", flush=True)
     else:
@@ -148,21 +172,27 @@ def _container_run(args, wd: Path) -> int:
         if args.container == "bam":
             from libflagstats_tpu.io.bamio import write_bam
 
-            write_bam(path, arr, level=1)
+            write_bam(path, arr, level=1, payload=args.payload)
         else:
             from libflagstats_tpu.io.samio import write_sam
 
             sam_tmp = path if args.container == "sam" else (
-                wd / f"na12878_s{args.scale}.sam.tmp")
-            write_sam(sam_tmp, arr)
+                wd / f"na12878_s{args.scale}{tag}.sam.tmp")
+            write_sam(sam_tmp, arr, payload=args.payload)
             if args.container == "sam.gz":
+                import concurrent.futures as cf
+
                 from libflagstats_tpu.io.bamio import BGZF_EOF, _bgzf_member
 
                 data = np.memmap(sam_tmp, dtype=np.uint8, mode="r")
-                with open(path, "wb") as fh:
-                    for off in range(0, len(data), 60000):
-                        fh.write(_bgzf_member(
-                            data[off:off + 60000].tobytes(), level=1))
+                with open(path, "wb") as fh, \
+                        cf.ThreadPoolExecutor(4) as pool:
+                    offs = range(0, len(data), 60000)
+                    for member in pool.map(
+                            lambda o: _bgzf_member(
+                                data[o:o + 60000].tobytes(), level=1),
+                            offs, chunksize=64):
+                        fh.write(member)
                     fh.write(BGZF_EOF)
                 del data
                 sam_tmp.unlink()
@@ -171,16 +201,20 @@ def _container_run(args, wd: Path) -> int:
               f"{time.perf_counter()-t0:.1f}s", flush=True)
         del arr
 
-    t0 = time.perf_counter()
-    counters = flagstat_file(path, threads=args.threads, impl=args.impl)
-    t_run = time.perf_counter() - t0
+    c = None
+    for label in (("cold" if args.cold else "first"), "warm"):
+        if label == "cold":
+            drop_page_cache()
+        t0 = time.perf_counter()
+        counters = flagstat_file(path, threads=args.threads, impl=args.impl)
+        t_run = time.perf_counter() - t0
+        c = np.asarray(counters, dtype=np.uint64)
+        n = int(c[9] + c[25])        # pass + fail record totals
+        print(f"[time] flagstat({path.name}) [{label}] {t_run:.2f}s "
+              f"({n/t_run/1e6:.0f} Mrec/s end-to-end; samtools published "
+              f"30m50s for the full 824.5M-record BAM)", flush=True)
 
     ok = _check_report(counters, args.scale)
-    c = np.asarray(counters, dtype=np.uint64)
-    n = int(c[9] + c[25])        # pass + fail record totals
-    print(f"[time] flagstat({path.name}) {t_run:.2f}s "
-          f"({n/t_run/1e6:.0f} Mrec/s end-to-end; samtools published "
-          f"30m50s for the full BAM)")
     if not args.keep:
         path.unlink(missing_ok=True)
     return 0 if ok else 1
