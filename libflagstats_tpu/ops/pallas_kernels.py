@@ -422,6 +422,11 @@ def stream_sums_pallas_pre(
     if planes.ndim != 4 or planes.shape[1:] != (REGS, SUB, LANE):
         raise ValueError(
             f"expected (G, 32, 8, 128) plane tiles, got {planes.shape}")
+    if nblk % 8 != 0:
+        # same contract as _pack_stream: the kernel schedule is built
+        # from whole 8-block Harley-Seal bodies — a smaller nblk would
+        # return silently wrong counters, not error
+        raise ValueError("nblk must be a multiple of 8 (one Harley-Seal body)")
     if planes.shape[0] == 0:  # 0-step grid: output would stay uninitialized
         return jnp.zeros(F.N_BITS, jnp.int32), jnp.zeros(F.N_BITS, jnp.int32)
     groups = planes.shape[0]

@@ -42,14 +42,20 @@ def _local_sums(xs: jax.Array, impl: str, nblk: int, interpret: bool,
     if impl == "pallas":
         return stream_sums_pallas(xs, nblk=nblk, interpret=interpret,
                                   report=report)
+    if impl == "pallas_pre":
+        from ..ops.pallas_kernels import stream_sums_pallas_pre
+
+        return stream_sums_pallas_pre(xs, nblk=nblk, interpret=interpret,
+                                      report=report)
     if impl == "pallas_words":
         return stream_sums_words(xs, interpret)
     if impl != "xla":
         # counters would come back CORRECT via the xla fallthrough, so a
         # typo'd impl would silently benchmark/validate the wrong kernel
         raise ValueError(
-            f"unknown sharded impl {impl!r} (choose pallas, pallas_words, "
-            "or xla; report mode is the report= flag, not an impl name)")
+            f"unknown sharded impl {impl!r} (choose pallas, pallas_pre, "
+            "pallas_words, or xla; report mode is the report= flag, not "
+            "an impl name)")
     return stream_sums_xla(xs)
 
 
@@ -78,7 +84,7 @@ def make_sharded_counter_fn(mesh: Mesh, impl: str = "xla", nblk: int = 8,
 
 def shard_granule(impl: str, nblk: int = 8) -> int:
     """Per-shard length quantum (Pallas grid step or XLA lane width)."""
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_pre"):
         return nblk * GROUP_WORDS
     if impl == "pallas_words":
         return WORDS_STEP
@@ -134,7 +140,7 @@ def flagstat_sharded(
     if impl is None:
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if nblk is None:
-        if impl == "pallas":
+        if impl in ("pallas", "pallas_pre"):
             from ..config import nblk_for
 
             nblk = nblk_for(report=report)
@@ -151,6 +157,14 @@ def flagstat_sharded(
         return acc
     fn = _counter_fn_for(mesh, impl, nblk, interpret, report)
     padded = pad_for_mesh(arr, mesh.size, shard_granule(impl, nblk))
+    if impl == "pallas_pre":
+        # the shipped device tier (round 4): each host pretransposes its
+        # words and the mesh shards the (groups, 32, 8, 128) plane tiles
+        # on the leading axis — zero-pad groups are count-neutral, so
+        # the psum/assembly contract is unchanged
+        from ..ops.bitslice import pretranspose_host
+
+        padded = pretranspose_host(padded)
     sharding = NamedSharding(mesh, P(AXIS))
     y = jax.device_put(padded, sharding)
     counters = fn(y, jnp.int32(arr.size))

@@ -112,3 +112,29 @@ def test_sharded_chunks_past_device_cap(mesh, monkeypatch):
     x = generate_flags(300_007, seed=59, full_range=True)
     got = flagstat_sharded(x, mesh=mesh, impl="xla")
     assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_sharded_pallas_pre_matches_oracle(mesh):
+    """Round-4 shipped tier under a real multi-device mesh: host
+    pretranspose + the transpose-free Pallas kernel (interpret) + psum,
+    uneven tail. A 2-device sub-mesh bounds the interpret cost (one
+    nblk=8 grid step per device); the full-mesh leg runs in
+    __graft_entry__.dryrun_multichip."""
+    from libflagstats_tpu.ops.pallas_kernels import GROUP_WORDS
+    from libflagstats_tpu.parallel.sharded import data_mesh
+
+    nd = min(2, mesh.size)
+    small = data_mesh(jax.devices()[:nd])
+    n = nd * 8 * GROUP_WORDS - 4321
+    x = generate_flags(n, seed=61, full_range=True)
+    got = flagstat_sharded(x, mesh=small, impl="pallas_pre",
+                           interpret=True)
+    assert_counters_equal(flagstat_numpy(x), got)
+
+
+def test_sharded_pallas_pre_rejects_partial_body():
+    from libflagstats_tpu.ops.pallas_kernels import stream_sums_pallas_pre
+
+    planes = jax.numpy.zeros((2, 32, 8, 128), dtype=np.uint32)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        stream_sums_pallas_pre(planes, nblk=2)

