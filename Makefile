@@ -4,6 +4,11 @@
 
 PY ?= python3
 
+# libdeflate: fast whole-buffer BGZF inflate when the dev header exists
+# (io/native/bgzf.h); the define selects the zlib-only fallback otherwise
+DEFLATE := $(shell [ -e /usr/include/libdeflate.h ] && echo -ldeflate \
+  || echo -DLFS_NO_LIBDEFLATE)
+
 .PHONY: all native test test-tpu bench inmemory clean
 
 all: native
@@ -45,7 +50,7 @@ tsan:
 	  libflagstats_tpu/io/native/bam_reader.cpp \
 	  libflagstats_tpu/io/native/sam_reader.cpp \
 	  libflagstats_tpu/io/native/flagstats_host.cpp \
-	  -o build/tsan_walker_test -lz -pthread
+	  -o build/tsan_walker_test -lz $(DEFLATE) -pthread
 	./build/tsan_walker_test
 
 # ASan/UBSan fuzz of the LZ4 decoder against corrupted inputs, plus
@@ -86,7 +91,7 @@ asan:
 	  libflagstats_tpu/io/native/tests/bam_fuzz_test.cpp \
 	  libflagstats_tpu/io/native/bam_reader.cpp \
 	  libflagstats_tpu/io/native/flagstats_host.cpp \
-	  -o build/bam_fuzz_test -lz -pthread
+	  -o build/bam_fuzz_test -lz $(DEFLATE) -pthread
 	./build/bam_fuzz_test
 	# SAM-text parser fuzz: untrusted text input
 	g++ -O1 -g -fsanitize=address,undefined,pointer-overflow -std=c++17 \
@@ -94,5 +99,5 @@ asan:
 	  libflagstats_tpu/io/native/tests/sam_fuzz_test.cpp \
 	  libflagstats_tpu/io/native/sam_reader.cpp \
 	  libflagstats_tpu/io/native/flagstats_host.cpp \
-	  -o build/sam_fuzz_test -lz -pthread
+	  -o build/sam_fuzz_test -lz $(DEFLATE) -pthread
 	./build/sam_fuzz_test

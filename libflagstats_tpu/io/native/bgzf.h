@@ -15,6 +15,19 @@
 
 #include <zlib.h>
 
+// libdeflate, when present, decodes whole-buffer DEFLATE 2.5x faster
+// than zlib on this host (measured on realistic-payload BGZF members:
+// 885 vs 352 MB/s/core — BGZF members are <= 64 KiB whole-buffer
+// payloads with the exact raw size known from ISIZE, libdeflate's
+// ideal case). The build adds -ldeflate when the header exists; zlib
+// remains the portable fallback.
+#if defined(__has_include) && !defined(LFS_NO_LIBDEFLATE)
+#if __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define LFS_HAVE_LIBDEFLATE 1
+#endif
+#endif
+
 namespace lfs_bgzf {
 
 struct Member {
@@ -68,6 +81,29 @@ inline int scan_members(const uint8_t* d, int64_t n,
 // Inflate one member's raw-DEFLATE payload. Returns 0 or -4.
 inline int inflate_member(const uint8_t* src, int64_t comp_len,
                           uint8_t* dst, int64_t raw_len) {
+#ifdef LFS_HAVE_LIBDEFLATE
+    // one decompressor per thread, reused across members and FREED at
+    // thread exit via RAII — the walkers spawn fresh pool threads per
+    // call, so a bare thread_local pointer leaks one ~11 KB
+    // decompressor per walker thread (ASan-caught: 144 MB across the
+    // fuzz corpus)
+    struct LdHolder {
+        libdeflate_decompressor* d = libdeflate_alloc_decompressor();
+        ~LdHolder() {
+            if (d) libdeflate_free_decompressor(d);
+        }
+    };
+    static thread_local LdHolder ld;
+    if (ld.d != nullptr) {
+        size_t actual = 0;
+        libdeflate_result rc = libdeflate_deflate_decompress(
+            ld.d, src, (size_t)comp_len, dst, (size_t)raw_len, &actual);
+        if (rc != LIBDEFLATE_SUCCESS || (int64_t)actual != raw_len)
+            return -4;
+        return 0;
+    }
+    // allocation failure: fall through to zlib
+#endif
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, -15) != Z_OK) return -4;

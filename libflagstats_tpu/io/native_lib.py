@@ -52,6 +52,14 @@ def _build() -> Path:
             *(str(s) for s in _SRCS), "-o", tmp, "-lzstd", "-lz",
             "-pthread",
         ]
+        # libdeflate (2.5x zlib on whole-buffer BGZF members, measured
+        # in io/native/bgzf.h) — link it when the dev header exists;
+        # otherwise compile the zlib-only fallback explicitly so the
+        # header's __has_include can never disagree with the link line
+        if os.path.exists("/usr/include/libdeflate.h"):
+            cmd.append("-ldeflate")
+        else:
+            cmd.append("-DLFS_NO_LIBDEFLATE")
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, _LIB_PATH)
     except BaseException:

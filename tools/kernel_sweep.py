@@ -44,9 +44,10 @@ def main() -> int:
           + (f"{roof/1e9:.1f} GB/s" if roof else "n/a — no gate-passing "
              "sample; reject-above-roofline gate disabled"), flush=True)
 
-    def timed(body):
+    def timed(body, arg=None):
         """Defended sample: retry until the gates accept (see bench.py)."""
-        return gated_kernel_time_fit(body, x, roof_bytes_per_s=roof,
+        return gated_kernel_time_fit(body, x if arg is None else arg,
+                                     roof_bytes_per_s=roof,
                                      n_bytes=2 * n).slope_s
 
     from libflagstats_tpu import flags as FL
@@ -74,6 +75,33 @@ def main() -> int:
             print(f"mode={'report' if report else 'full'} nblk={nblk}: "
                   f"{t*1e3:.3f} ms, {gbs:.1f} GB/s, {vs}, "
                   f"{'OK' if ok else 'MISMATCH'}", flush=True)
+    # round 4: the pre-transposed production tier across the same knobs
+    # (same total bytes on HBM; kernel sheds the in-VMEM transpose)
+    from libflagstats_tpu.ops.bitslice import pretranspose_host
+
+    planes = jnp.asarray(pretranspose_host(x_host))
+    for report in (True, False):
+        for nblk in (8, 16, 32):
+            def body(p, nblk=nblk, report=report):
+                t, f = PK.stream_sums_pallas_pre(p, nblk=nblk,
+                                                 report=report)
+                return jnp.concatenate([t, f])
+
+            t_, f_ = PK.stream_sums_pallas_pre(planes, nblk=nblk,
+                                               report=report)
+            got = np.asarray(
+                assemble_counters(t_, f_, jnp.int32(n)), dtype=np.int64
+            )
+            idx = list(FL.REPORT_COUNTERS) if report else list(range(32))
+            ok = (got[idx] == ref[idx]).all()
+            ok_all &= bool(ok)
+            t = timed(body, planes)
+            gbs = 2.0 * n / t / 1e9
+            vs = f"{gbs*1e9/roof:.3f}x roofline" if roof else "n/a roofline"
+            print(f"mode=pre_{'report' if report else 'full'} nblk={nblk}: "
+                  f"{t*1e3:.3f} ms, {gbs:.1f} GB/s, {vs}, "
+                  f"{'OK' if ok else 'MISMATCH'}", flush=True)
+
     # a bit-exactness violation must fail the exit code, not just print
     return 0 if ok_all else 1
 
