@@ -262,7 +262,9 @@ static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
         return -8;
     if (threads <= 0) {
         unsigned hw = std::thread::hardware_concurrency();
-        threads = hw ? (int32_t)hw : 1;
+        // same oversubscription rationale as walk_bam: the parse
+        // thread blocks on window handoffs while the pool inflates
+        threads = hw ? (int32_t)hw + 2 : 1;
     }
 
     const int64_t window = (int64_t)threads * 8;

@@ -308,6 +308,9 @@ def flagstat_sam(path, threads: int = 0, impl: str | None = None):
 
     if impl in (None, "native"):
         if is_gzip(path):
+            counters = _flagstat_bgzf_sam_parallel(path, threads)
+            if counters is not None:
+                return counters
             # -6 = plain gzip, not BGZF: the stream path below handles it
             counters = native_lib.fused_flagstat(
                 "lfs_bgzf_sam_flagstat", path, threads, fallback_rcs=(-6,))
@@ -318,6 +321,52 @@ def flagstat_sam(path, threads: int = 0, impl: str | None = None):
         if counters is not None:
             return counters
     return flagstats_u16(read_sam_flags(path, threads=threads), impl=impl)
+
+
+def _flagstat_bgzf_sam_parallel(path, threads: int = 0):
+    """In-process member-range-parallel BGZF-SAM counting (round 4).
+
+    The single fused walker is bound by its sequential text-parse
+    thread once libdeflate made inflate cheap: measured on the full
+    NA12878 .sam.gz, 1 process x 4 threads ≈ 1 x 2 (parse-bound, 12.2
+    vs 12.7 s) while 2 coordinated processes x 2 threads ran 1.53x
+    faster (tools/multihost_scaling.py). This applies the same member-
+    range split INSIDE one process — R concurrent range walkers (each
+    with its own inflate pool and parse thread; line ownership at range
+    boundaries is exact, sam_reader.cpp bgzf_sam_walk), counters summed
+    — capturing the multi-process speedup with one call. Returns None
+    (caller falls back to the single fused walker) when the native lib
+    is missing, the input is not BGZF, or the file is too small for the
+    split to pay."""
+    import concurrent.futures as cf
+    import os as _os
+
+    from . import native_lib
+    from .codec import shard_block_ranges
+
+    lib = native_lib.load()
+    if lib is None or not hasattr(lib, "lfs_bgzf_sam_flagstat_range"):
+        return None
+    ncpu = threads or _os.cpu_count() or 4
+    shards = max(1, min(8, ncpu // 2))
+    try:
+        n_members = bgzf_member_count(path)
+    except ValueError:
+        return None                    # gzip-but-not-BGZF etc.
+    if shards < 2 or n_members < 16 * shards:
+        return None                    # too small: split overhead loses
+    # prefetch once (the range walkers map the file without WILLNEED)
+    native_lib.map_sequential(path)
+    per = max(2, ncpu // shards)
+    ranges = shard_block_ranges(n_members, shards)
+    with cf.ThreadPoolExecutor(shards) as pool:
+        parts = list(pool.map(
+            lambda r: flagstat_sam_range(path, r[0], r[1], threads=per),
+            ranges))
+    total = np.zeros_like(parts[0])
+    for p in parts:
+        total += p
+    return total
 
 
 def bgzf_member_count(path) -> int:
