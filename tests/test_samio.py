@@ -493,3 +493,40 @@ def test_realistic_sam_payload_roundtrip(tmp_path):
     p2 = tmp_path / "min.sam"
     write_sam(p2, x)
     assert p.stat().st_size > 8 * p2.stat().st_size
+
+
+def test_bgzf_sam_range_parallel_path(tmp_path):
+    """The in-process member-range-parallel BGZF-SAM path (round 4) must
+    engage on multi-member files and match the oracle exactly; tiny
+    files must fall back (returns None) rather than pay the split."""
+    from libflagstats_tpu.io import bamio
+    from libflagstats_tpu.io.samio import (
+        _flagstat_bgzf_sam_parallel,
+        bgzf_member_count,
+        write_sam,
+    )
+    from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
+    x = generate_flags(150_000, seed=17, full_range=True)
+    sam = tmp_path / "p.sam"
+    write_sam(sam, x, payload="realistic")
+    gz = tmp_path / "p.sam.gz"
+    data = np.memmap(sam, dtype=np.uint8, mode="r")
+    with open(gz, "wb") as fh:
+        for off in range(0, len(data), 60000):
+            fh.write(bamio._bgzf_member(data[off:off + 60000].tobytes(),
+                                        level=1))
+        fh.write(bamio.BGZF_EOF)
+    assert bgzf_member_count(gz) >= 64     # enough members to split
+    got = _flagstat_bgzf_sam_parallel(gz, threads=4)
+    assert got is not None, "parallel path must engage on this size"
+    np.testing.assert_array_equal(got.astype(np.int64),
+                                  flagstat_numpy(x))
+    # tiny file: same writer, one member -> fallback
+    small = tmp_path / "s.sam.gz"
+    write_sam(sam, x[:50])
+    data = np.memmap(sam, dtype=np.uint8, mode="r")
+    with open(small, "wb") as fh:
+        fh.write(bamio._bgzf_member(data[:].tobytes(), level=1))
+        fh.write(bamio.BGZF_EOF)
+    assert _flagstat_bgzf_sam_parallel(small, threads=4) is None
