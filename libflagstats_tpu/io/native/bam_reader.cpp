@@ -21,6 +21,7 @@
 // SAM/BAM spec v1.6 layout facts are documented in io/bamio.py.
 
 #include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
 #include <functional>
@@ -194,78 +195,23 @@ struct Parser {
     }
 };
 
-// Shared walk driver: scan the member chain, then double-buffered
-// windows — the pool inflates window i while the main thread walks
-// window i-1, so the (inherently sequential) record walk is hidden
-// behind the (parallel) inflate. Returns 0 or a negative error
-// (inflate failures, the parser's own error, truncated EOF).
+// Shared walk driver: scan the member chain, then stream the members
+// through lfs_bgzf::ring_walk (persistent inflate pool + in-order
+// consume; see bgzf.h for the round-4 rationale and measurements).
+// Returns 0 or a negative error (inflate failures, the parser's own
+// error, truncated EOF).
 int walk_bam(const uint8_t* data, int64_t n_bytes, Parser& parser,
              int32_t threads) {
     std::vector<Member> members;
     int rc = scan_members(data, n_bytes, members);
     if (rc != 0) return rc;
-    if (threads <= 0) {
-        unsigned hw = std::thread::hardware_concurrency();
-        // the walk thread blocks while the pool inflates the next
-        // window, so slight pool oversubscription keeps every core
-        // inflating through those waits (measured, realistic-payload
-        // NA12878/4 BAM warm: hw=4 -> 39.9 s, hw+2 -> 32.7 s)
-        threads = hw ? (int32_t)hw + 2 : 1;
-    }
-
-    const int64_t window = (int64_t)threads * 8;
-    const int64_t n_members = (int64_t)members.size();
-    const size_t wcap = (size_t)std::min<int64_t>(
-        std::max<int64_t>(window, 1), std::max<int64_t>(n_members, 1));
-    std::vector<std::vector<uint8_t>> bufs[2] = {
-        std::vector<std::vector<uint8_t>>(wcap),
-        std::vector<std::vector<uint8_t>>(wcap)};
-    std::vector<int> infl_rc[2] = {std::vector<int>(wcap, 0),
-                                   std::vector<int>(wcap, 0)};
-
-    auto inflate_window = [&](int slot, int64_t base, int64_t batch) {
-        std::atomic<int64_t> next(0);
-        auto work = [&]() {
-            for (;;) {
-                int64_t i = next.fetch_add(1);
-                if (i >= batch) return;
-                const Member& m = members[base + i];
-                bufs[slot][i].resize((size_t)m.raw_len);
-                infl_rc[slot][i] = m.raw_len == 0 ? 0 : inflate_member(
-                    data + m.comp_off, m.comp_len, bufs[slot][i].data(),
-                    m.raw_len);
-            }
-        };
-        int nt = (int)std::min<int64_t>(threads, batch);
-        std::vector<std::thread> pool;
-        for (int t = 1; t < nt; t++) pool.emplace_back(work);
-        work();
-        for (auto& th : pool) th.join();
-        for (int64_t i = 0; i < batch; i++)
-            if (infl_rc[slot][i] != 0) return infl_rc[slot][i];
-        return 0;
-    };
-    auto walk_window = [&](int slot, int64_t batch) {
-        for (int64_t i = 0; i < batch && !parser.err; i++)
-            if (!bufs[slot][i].empty())
-                parser.feed(bufs[slot][i].data(),
-                            (int64_t)bufs[slot][i].size());
-    };
-
-    int slot = 0;
-    int64_t prev_batch = 0;
-    for (int64_t base = 0; base < n_members && !parser.err; base += window) {
-        int64_t batch = std::min<int64_t>(window, n_members - base);
-        int infl_err = 0;
-        std::thread producer([&]() { infl_err = inflate_window(slot, base,
-                                                               batch); });
-        walk_window(1 - slot, prev_batch);   // overlaps the inflate
-        producer.join();
-        if (infl_err) return infl_err;
-        prev_batch = batch;
-        slot = 1 - slot;
-    }
-    walk_window(1 - slot, prev_batch);       // drain the last window
+    int err = lfs_bgzf::ring_walk(
+        data, members, 0, (int64_t)members.size(), threads,
+        [&](const uint8_t* p, int64_t len) {
+            if (len > 0) parser.feed(p, len);
+            return parser.err;
+        });
+    if (err) return err;
     if (parser.err) return parser.err;
     if (!parser.clean_end()) return -2;  // mid-record EOF: truncated
     return 0;

@@ -9,8 +9,11 @@
 #ifndef LFS_BGZF_H_
 #define LFS_BGZF_H_
 
+#include <atomic>
+#include <chrono>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 #include <zlib.h>
@@ -116,6 +119,107 @@ inline int inflate_member(const uint8_t* src, int64_t comp_len,
     inflateEnd(&zs);
     if (rc != Z_STREAM_END || got != raw_len) return -4;
     return 0;
+}
+
+// Ring-pipeline member walk shared by the BAM and BGZF-SAM walkers
+// (round 4): a PERSISTENT inflate pool fills an in-order ring of
+// member buffers that the calling thread consumes — no per-window
+// thread spawn/join and no lockstep barrier between inflate and the
+// (inherently sequential) walk. The previous double-buffered window
+// scheme spawned ~one pool per 3 MB and barriered the two sides
+// against each other; measured on the realistic-payload NA12878/4 BAM
+// it left ~30% of 4 cores idle (32.2 s vs ~22 s of component cost —
+// ring: 27-31 s). Memory stays O(ring) = O(threads) * 64 KiB.
+//
+// ``consume(p, len)`` is called once per member IN MEMBER ORDER on the
+// calling thread; it returns 0 to continue or a negative error to
+// abort. Returns 0, the first inflate error, or the first consume
+// error.
+template <class Consume>
+inline int ring_walk(const uint8_t* data, const std::vector<Member>& members,
+                     int64_t m_start, int64_t m_stop, int32_t threads,
+                     Consume&& consume) {
+    const int64_t n_range = m_stop - m_start;
+    if (n_range <= 0) return 0;
+    if (threads <= 0) {
+        unsigned hw = std::thread::hardware_concurrency();
+        threads = hw ? (int32_t)hw : 1;
+    }
+    // ring depth: enough run-ahead to ride out walk/inflate rate
+    // wobble without unbounded memory
+    const size_t ring = (size_t)std::min<int64_t>(
+        std::max<int64_t>((int64_t)threads * 16, 64), n_range);
+    std::vector<std::vector<uint8_t>> bufs(ring);
+    // slot states: 0 = empty, 1 = ready, negative = inflate error
+    std::vector<std::atomic<int>> state(ring);
+    for (auto& s : state) s.store(0, std::memory_order_relaxed);
+    std::atomic<int64_t> next(0);     // next range index a worker claims
+    std::atomic<int64_t> walked(0);   // range indices fully consumed
+    std::atomic<bool> stop(false);
+
+    auto inflater = [&]() {
+        for (;;) {
+            int64_t i = next.fetch_add(1, std::memory_order_relaxed);
+            if (i >= n_range) return;
+            // backpressure: slot i%ring is free once index i-ring is
+            // walked (the walk clears state before advancing walked,
+            // so walked >= i-ring+1 implies this slot is empty)
+            int spins = 0;
+            while (i - walked.load(std::memory_order_acquire) >=
+                   (int64_t)ring) {
+                if (stop.load(std::memory_order_relaxed)) return;
+                if (++spins < 64) {
+                    std::this_thread::yield();
+                } else {
+                    std::this_thread::sleep_for(
+                        std::chrono::microseconds(100));
+                }
+            }
+            const Member& m = members[(size_t)(m_start + i)];
+            const size_t slot = (size_t)(i % ring);
+            int rc = 0;
+            if (m.raw_len > 0) {
+                bufs[slot].resize((size_t)m.raw_len);
+                rc = inflate_member(data + m.comp_off, m.comp_len,
+                                    bufs[slot].data(), m.raw_len);
+            } else {
+                bufs[slot].clear();
+            }
+            state[slot].store(rc != 0 ? rc : 1, std::memory_order_release);
+        }
+    };
+
+    int nt = (int)std::min<int64_t>(threads, n_range);
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)nt);
+    for (int t = 0; t < nt; t++) pool.emplace_back(inflater);
+
+    int err = 0;
+    for (int64_t i = 0; i < n_range; i++) {
+        const size_t slot = (size_t)(i % ring);
+        int s, spins = 0;
+        while ((s = state[slot].load(std::memory_order_acquire)) == 0) {
+            if (++spins < 64) {
+                std::this_thread::yield();
+            } else {
+                std::this_thread::sleep_for(std::chrono::microseconds(100));
+            }
+        }
+        if (s < 0) {
+            err = s;
+            break;
+        }
+        err = consume(bufs[slot].data(), (int64_t)bufs[slot].size());
+        state[slot].store(0, std::memory_order_release);
+        walked.store(i + 1, std::memory_order_release);
+        if (err) break;
+    }
+    stop.store(true, std::memory_order_relaxed);
+    // unblock workers waiting on backpressure for slots an aborted
+    // walk will never clear
+    walked.store(n_range + (int64_t)ring, std::memory_order_release);
+    for (auto& th : pool) th.join();
+    return err;
 }
 
 }  // namespace lfs_bgzf

@@ -260,45 +260,7 @@ static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
     if (m_start < 0 || m_start > m_stop ||
         m_stop > (int64_t)members.size())
         return -8;
-    if (threads <= 0) {
-        unsigned hw = std::thread::hardware_concurrency();
-        // same oversubscription rationale as walk_bam: the parse
-        // thread blocks on window handoffs while the pool inflates
-        threads = hw ? (int32_t)hw + 2 : 1;
-    }
-
-    const int64_t window = (int64_t)threads * 8;
     const int64_t n_members = (int64_t)members.size();
-    const size_t wcap = (size_t)std::min<int64_t>(
-        std::max<int64_t>(window, 1), std::max<int64_t>(n_members, 1));
-    std::vector<std::vector<uint8_t>> bufs[2] = {
-        std::vector<std::vector<uint8_t>>(wcap),
-        std::vector<std::vector<uint8_t>>(wcap)};
-    std::vector<int> infl_rc[2] = {std::vector<int>(wcap, 0),
-                                   std::vector<int>(wcap, 0)};
-
-    auto inflate_window = [&](int slot, int64_t base, int64_t batch) {
-        std::atomic<int64_t> next(0);
-        auto work = [&]() {
-            for (;;) {
-                int64_t i = next.fetch_add(1);
-                if (i >= batch) return;
-                const lfs_bgzf::Member& m = members[base + i];
-                bufs[slot][i].resize((size_t)m.raw_len);
-                infl_rc[slot][i] = m.raw_len == 0 ? 0 : lfs_bgzf::inflate_member(
-                    data + m.comp_off, m.comp_len, bufs[slot][i].data(),
-                    m.raw_len);
-            }
-        };
-        int nt = (int)std::min<int64_t>(threads, batch);
-        std::vector<std::thread> pool;
-        for (int t = 1; t < nt; t++) pool.emplace_back(work);
-        work();
-        for (auto& th : pool) th.join();
-        for (int64_t i = 0; i < batch; i++)
-            if (infl_rc[slot][i] != 0) return infl_rc[slot][i];
-        return 0;
-    };
 
     // head line-boundary probe: does the shard start mid-line?
     bool skipping = false;
@@ -374,25 +336,15 @@ static int64_t bgzf_sam_walk(const uint8_t* data, int64_t n_bytes,
         if (!perr && last < end) carry.assign(last, end);
         check_cap();
     };
-    auto walk_window = [&](int slot, int64_t batch) {
-        for (int64_t i = 0; i < batch && !perr; i++)
-            parse_buf(bufs[slot][i].data(), (int64_t)bufs[slot][i].size());
-    };
-
-    int slot = 0;
-    int64_t prev_batch = 0;
-    for (int64_t base = m_start; base < m_stop && !perr; base += window) {
-        int64_t batch = std::min<int64_t>(window, m_stop - base);
-        int infl_err = 0;
-        std::thread producer([&]() { infl_err = inflate_window(slot, base,
-                                                               batch); });
-        walk_window(1 - slot, prev_batch);   // overlaps the inflate
-        producer.join();
-        if (infl_err) return infl_err;
-        prev_batch = batch;
-        slot = 1 - slot;
-    }
-    walk_window(1 - slot, prev_batch);       // drain the last window
+    // stream the range through the shared ring pipeline (bgzf.h):
+    // persistent inflate pool, in-order parse on this thread
+    int werr = lfs_bgzf::ring_walk(
+        data, members, m_start, m_stop, threads,
+        [&](const uint8_t* p, int64_t len) {
+            parse_buf(p, len);
+            return perr;
+        });
+    if (werr && werr != perr) return werr;   // inflate-side failure
     // tail spill: a line crossing the range end is ours (its first byte
     // is in-range) — read following members until its '\n'
     for (int64_t j = m_stop;
