@@ -257,6 +257,14 @@ def flagstat_bam(path, threads: int = 0, impl: str | None = None):
     from . import native_lib
 
     if impl in (None, "native"):
+        # range-parallel walk (round 4): shards resync into the record
+        # stream and the chain is arrival-exactness-verified, falling
+        # back to the sequential walk internally on any doubt — the
+        # walk, not the inflate, is the serial bound post-libdeflate
+        counters = native_lib.fused_flagstat("lfs_bam_flagstat_parallel",
+                                             path, threads)
+        if counters is not None:
+            return counters
         counters = native_lib.fused_flagstat("lfs_bam_flagstat", path,
                                              threads)
         if counters is not None:

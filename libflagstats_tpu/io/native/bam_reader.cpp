@@ -20,6 +20,7 @@
 //
 // SAM/BAM spec v1.6 layout facts are documented in io/bamio.py.
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -195,6 +196,206 @@ struct Parser {
     }
 };
 
+// ---------------------------------------------------------------------------
+// Range-parallel BAM walking (round 4). BAM records are self-delimited
+// (block_size chain) with no resync marker, so unlike BGZF-SAM there is
+// no authoritative way to enter the record stream mid-file. The walk —
+// not the inflate — is the serial bottleneck post-libdeflate, so this
+// implements the classic indexed-BAM trick WITHOUT an index, exactly:
+//
+//   1. split the inflated byte span into S shard ranges;
+//   2. each shard RESYNCS at its range start: the first offset whose
+//      K=4-record chain passes strict structural validation
+//      (block_size bounds, l_read_name NUL placement, mandatory-field
+//      fit — a heuristic);
+//   3. each shard walks from its sync point to the FIRST record
+//      boundary >= its range end (finishing the crossing record by
+//      exact-size feeds into the following bytes) and reports where it
+//      actually landed;
+//   4. the orchestrator verifies ARRIVAL-EXACTNESS: shard i's landing
+//      offset must equal shard i+1's sync point, and the last shard
+//      must land exactly at EOF. A false resync cannot survive this
+//      check (shard i's walk follows the true chain, so a sync point
+//      not on the true chain is never landed on exactly); any mismatch
+//      or failed resync falls back to the sequential walk. Counting is
+//      therefore integer-exact UNCONDITIONALLY — the heuristic only
+//      gates the parallel fast path, never the result.
+// ---------------------------------------------------------------------------
+
+// Forward byte reader over the member chain with a small inflate cache
+// (resync validation reads a few dozen bytes at arbitrary offsets).
+struct Cursor {
+    const uint8_t* data;
+    const std::vector<Member>& members;
+    const std::vector<int64_t>& pref;   // pref[i] = inflated offset of
+    //                                     member i's start; pref[n] = total
+    static constexpr int kCache = 8;
+    int64_t idx[kCache];
+    std::vector<uint8_t> cbuf[kCache];
+    int evict = 0;
+    bool bad = false;                   // sticky inflate failure
+
+    Cursor(const uint8_t* d, const std::vector<Member>& m,
+           const std::vector<int64_t>& p)
+        : data(d), members(m), pref(p) {
+        for (int k = 0; k < kCache; k++) idx[k] = -1;
+    }
+
+    const std::vector<uint8_t>* member_buf(int64_t m) {
+        for (int k = 0; k < kCache; k++)
+            if (idx[k] == m) return &cbuf[k];
+        int slot = evict++ % kCache;
+        const Member& mm = members[(size_t)m];
+        cbuf[slot].resize((size_t)mm.raw_len);
+        if (mm.raw_len > 0 &&
+            inflate_member(data + mm.comp_off, mm.comp_len,
+                           cbuf[slot].data(), mm.raw_len) != 0) {
+            bad = true;
+            idx[slot] = -1;
+            return nullptr;
+        }
+        idx[slot] = m;
+        return &cbuf[slot];
+    }
+
+    // member index containing inflated offset off (skipping empties)
+    int64_t member_at(int64_t off) const {
+        return (int64_t)(std::upper_bound(pref.begin(), pref.end() - 1,
+                                          off) - pref.begin()) - 1;
+    }
+
+    bool read(int64_t off, uint8_t* dst, int64_t len) {
+        if (off < 0 || len < 0 || off + len > pref.back()) return false;
+        int64_t m = member_at(off);
+        while (len > 0) {
+            while (members[(size_t)m].raw_len == 0) ++m;
+            const std::vector<uint8_t>* b = member_buf(m);
+            if (b == nullptr) return false;
+            int64_t local = off - pref[(size_t)m];
+            int64_t take = std::min<int64_t>((int64_t)b->size() - local, len);
+            std::memcpy(dst, b->data() + local, (size_t)take);
+            dst += take;
+            off += take;
+            len -= take;
+            ++m;
+        }
+        return true;
+    }
+};
+
+constexpr int64_t kMaxBlockSize = (int64_t)1 << 26;   // 64 MiB: generous
+//   even for ultra-long reads; bounds the resync validator
+
+// strict structural validation of a K-record chain at inflated offset o
+bool validate_chain(Cursor& c, int64_t o, int64_t total, int k = 4) {
+    for (int i = 0; i < k; i++) {
+        if (o == total) return i > 0;   // clean EOF inside the chain
+        uint8_t h[32];
+        if (!c.read(o, h, 4)) return false;
+        int32_t bs;
+        std::memcpy(&bs, h, 4);
+        if (bs < 33 || (int64_t)bs > kMaxBlockSize) return false;
+        if (o + 4 + (int64_t)bs > total) return false;
+        if (!c.read(o + 4, h, 32)) return false;
+        uint8_t l_name = h[8];
+        uint16_t n_cigar;
+        std::memcpy(&n_cigar, h + 12, 2);
+        int32_t l_seq;
+        std::memcpy(&l_seq, h + 16, 4);
+        if (l_name < 1 || l_seq < 0) return false;
+        int64_t need = 32 + (int64_t)l_name + 4 * (int64_t)n_cigar +
+                       ((int64_t)l_seq + 1) / 2 + (int64_t)l_seq;
+        if (need > (int64_t)bs) return false;
+        uint8_t nul;
+        if (!c.read(o + 4 + 32 + (int64_t)l_name - 1, &nul, 1) || nul != 0)
+            return false;
+        o += 4 + (int64_t)bs;
+    }
+    return true;
+}
+
+// first offset in [lo, hi) whose chain validates; -1 if none
+int64_t resync(Cursor& c, int64_t lo, int64_t hi, int64_t total) {
+    for (int64_t o = lo; o < hi; o++)
+        if (validate_chain(c, o, total)) return o;
+    return -1;
+}
+
+// walk records from inflated offset `start` to the first record
+// boundary >= `limit` (exact-size spill feeds finish the crossing
+// record); parser must arrive in REC_SIZE state. Returns 0 or a
+// negative error; *end_out = the boundary actually reached.
+int walk_range(Cursor& c, int64_t start, int64_t limit, int64_t total,
+               Parser& parser, int64_t* end_out) {
+    parser.state = Parser::REC_SIZE;
+    int64_t o = start;
+    if (limit > total) limit = total;
+    // bulk: feed whole member slices clipped to limit
+    while (o < limit && !parser.err) {
+        int64_t m = c.member_at(o);
+        while (c.members[(size_t)m].raw_len == 0) ++m;
+        const std::vector<uint8_t>* b = c.member_buf(m);
+        if (b == nullptr) return -4;
+        int64_t local = o - c.pref[(size_t)m];
+        int64_t take = std::min<int64_t>((int64_t)b->size() - local,
+                                         limit - o);
+        parser.feed(b->data() + local, take);
+        o += take;
+    }
+    if (parser.err) return parser.err;
+    // spill: finish the crossing record with exact-size feeds so the
+    // fast path can never run past the boundary into the next record
+    uint8_t tmp[4096];
+    while (!(parser.state == Parser::REC_SIZE && parser.pend_len == 0)) {
+        int64_t need;
+        if (parser.state == Parser::SKIP_REC) {
+            need = parser.skip;
+        } else if (parser.state == Parser::REC_HEAD) {
+            need = 16 - parser.pend_len;
+        } else if (parser.state == Parser::REC_SIZE) {
+            need = 4 - parser.pend_len;
+        } else {
+            return -3;
+        }
+        while (need > 0) {
+            int64_t take = std::min<int64_t>(need, (int64_t)sizeof(tmp));
+            if (o + take > total) return -2;   // truncated mid-record
+            if (!c.read(o, tmp, take)) return -4;
+            parser.feed(tmp, take);
+            if (parser.err) return parser.err;
+            o += take;
+            need -= take;
+        }
+    }
+    *end_out = o;
+    return 0;
+}
+
+// header end: inflated offset of the first alignment record
+int64_t parse_header_end(Cursor& c, int64_t total) {
+    uint8_t h[8];
+    if (!c.read(0, h, 8)) return -2;
+    if (std::memcmp(h, "BAM\x01", 4) != 0) return -3;
+    int32_t l_text;
+    std::memcpy(&l_text, h + 4, 4);
+    if (l_text < 0) return -3;
+    int64_t o = 8 + (int64_t)l_text;
+    if (!c.read(o, h, 4)) return -2;
+    int32_t n_ref;
+    std::memcpy(&n_ref, h, 4);
+    if (n_ref < 0) return -3;
+    o += 4;
+    for (int32_t i = 0; i < n_ref; i++) {
+        if (!c.read(o, h, 4)) return -2;
+        int32_t l_name;
+        std::memcpy(&l_name, h, 4);
+        if (l_name < 0) return -3;
+        o += 4 + (int64_t)l_name + 4;
+    }
+    if (o > total) return -2;
+    return o;
+}
+
 // Shared walk driver: scan the member chain, then stream the members
 // through lfs_bgzf::ring_walk (persistent inflate pool + in-order
 // consume; see bgzf.h for the round-4 rationale and measurements).
@@ -274,6 +475,125 @@ int64_t lfs_bam_flagstat(const uint8_t* data, int64_t n_bytes,
         if (lfs_flagstat_u16(parser.out, parser.count, counters, 1))
             return -7;
         total += parser.count;
+    }
+    return total;
+}
+
+// Range-parallel fused BAM flagstat (round 4; see the resync /
+// arrival-exactness block comment above): S shards resync + walk + are
+// chain-verified; on ANY resync failure or arrival mismatch the result
+// is recomputed by the sequential walker, so counters are
+// integer-exact unconditionally. Same contract as lfs_bam_flagstat.
+int64_t lfs_bam_flagstat_parallel(const uint8_t* data, int64_t n_bytes,
+                                  uint64_t* counters, int32_t threads,
+                                  int64_t chunk_flags) {
+    std::vector<Member> members;
+    int src = scan_members(data, n_bytes, members);
+    if (src != 0) return src;
+    std::vector<int64_t> pref(members.size() + 1, 0);
+    for (size_t i = 0; i < members.size(); i++)
+        pref[i + 1] = pref[i] + members[i].raw_len;
+    const int64_t total_bytes = pref.back();
+    if (threads <= 0) {
+        unsigned hw = std::thread::hardware_concurrency();
+        threads = hw ? (int32_t)hw : 1;
+    }
+
+    Cursor head(data, members, pref);
+    int64_t g0 = parse_header_end(head, total_bytes);
+    if (g0 < 0) return g0;
+    const int64_t span = total_bytes - g0;
+    // shards: ~3 per worker for load balance, each >= 16 MiB so the
+    // resync scan window (4 MiB) stays well inside a shard
+    int64_t shards = std::min<int64_t>((int64_t)threads * 3,
+                                       span / (16 << 20) + 1);
+    if (shards < 2)
+        return lfs_bam_flagstat(data, n_bytes, counters, threads,
+                                chunk_flags);
+    if (chunk_flags <= 0) chunk_flags = 1 << 20;   // 1Mi flags per shard
+
+    struct ShardResult {
+        int64_t start = -1, end = -1, count = 0;
+        int rc = 0;
+        uint64_t counters[32] = {0};
+    };
+    std::vector<ShardResult> res((size_t)shards);
+    std::vector<int64_t> bounds((size_t)shards + 1);
+    for (int64_t s = 0; s <= shards; s++)
+        bounds[(size_t)s] = g0 + span * s / shards;
+
+    std::atomic<int64_t> next_shard(0);
+    auto worker = [&]() {
+        Cursor c(data, members, pref);
+        std::vector<uint16_t> chunk((size_t)chunk_flags);
+        for (;;) {
+            int64_t s = next_shard.fetch_add(1);
+            if (s >= shards) return;
+            ShardResult& r = res[(size_t)s];
+            if (s == 0) {
+                r.start = g0;
+            } else {
+                int64_t hi = std::min<int64_t>(bounds[(size_t)s] + (4 << 20),
+                                               bounds[(size_t)s + 1]);
+                r.start = resync(c, bounds[(size_t)s], hi, total_bytes);
+                if (r.start < 0 || c.bad) {
+                    r.rc = -9;   // resync failed: fallback
+                    continue;
+                }
+            }
+            Parser parser;
+            parser.out = chunk.data();
+            parser.cap = (int64_t)chunk.size();
+            parser.on_full = [&]() {
+                if (lfs_flagstat_u16(parser.out, parser.count, r.counters,
+                                     1))
+                    return -7;
+                r.count += parser.count;
+                parser.count = 0;
+                return 0;
+            };
+            r.rc = walk_range(c, r.start, bounds[(size_t)s + 1],
+                              total_bytes, parser, &r.end);
+            if (r.rc == 0 && parser.count) {
+                if (lfs_flagstat_u16(parser.out, parser.count, r.counters,
+                                     1))
+                    r.rc = -7;
+                else
+                    r.count += parser.count;
+            }
+        }
+    };
+    int nw = (int)std::min<int64_t>(threads, shards);
+    std::vector<std::thread> pool;
+    pool.reserve((size_t)nw);
+    for (int t = 0; t < nw; t++) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+
+    // arrival-exactness verification: shard i must land exactly on
+    // shard i+1's sync point, and the last shard exactly on EOF
+    bool ok = true;
+    for (int64_t s = 0; s < shards && ok; s++) {
+        const ShardResult& r = res[(size_t)s];
+        if (r.rc != 0) ok = false;
+        if (s + 1 < shards && r.end != res[(size_t)s + 1].start) ok = false;
+        if (s + 1 == shards && r.end != total_bytes) ok = false;
+    }
+    if (!ok) {
+        // a hard parse/inflate error in shard 0 starting from the true
+        // chain start is authoritative (the sequential walk would hit
+        // the same bytes); everything else re-walks sequentially —
+        // counters were only staged per shard, so nothing is polluted
+        for (int64_t s = 0; s < shards; s++)
+            if (res[(size_t)s].rc != 0 && res[(size_t)s].rc != -9 &&
+                s == 0)
+                return res[(size_t)s].rc;
+        return lfs_bam_flagstat(data, n_bytes, counters, threads,
+                                chunk_flags);
+    }
+    int64_t total = 0;
+    for (int64_t s = 0; s < shards; s++) {
+        total += res[(size_t)s].count;
+        for (int i = 0; i < 32; i++) counters[i] += res[(size_t)s].counters[i];
     }
     return total;
 }

@@ -24,6 +24,9 @@ int64_t lfs_bam_flags(const uint8_t* data, int64_t n_bytes, uint16_t* out,
 int64_t lfs_bam_flagstat(const uint8_t* data, int64_t n_bytes,
                          uint64_t* counters, int32_t threads,
                          int64_t chunk_flags);
+int64_t lfs_bam_flagstat_parallel(const uint8_t* data, int64_t n_bytes,
+                                  uint64_t* counters, int32_t threads,
+                                  int64_t chunk_flags);
 }
 
 namespace {
@@ -183,6 +186,33 @@ int main() {
             c.resize(1 + rng() % c.size());
             uint64_t cnt[32] = {0};
             lfs_bam_flagstat(c.data(), (int64_t)c.size(), cnt, 2, 997);
+        }
+    }
+
+    // 5c) range-parallel fused walk (round 4): clean container must
+    //      count identically to the sequential walker (small shards
+    //      may trigger its internal sequential fallback — also fine,
+    //      the contract is identical counters either way); corrupted/
+    //      truncated containers must never crash or leak under ASan
+    {
+        uint64_t seq_cnt[32] = {0}, par_cnt[32] = {0};
+        int64_t fs = lfs_bam_flagstat(good.data(), (int64_t)good.size(),
+                                      seq_cnt, 3, 997);
+        int64_t fp = lfs_bam_flagstat_parallel(
+            good.data(), (int64_t)good.size(), par_cnt, 3, 997);
+        if (fs != fp || std::memcmp(seq_cnt, par_cnt, sizeof(seq_cnt))) {
+            std::fprintf(stderr,
+                         "parallel bam count mismatch (%lld vs %lld)\n",
+                         (long long)fs, (long long)fp);
+            return 1;
+        }
+        for (int i = 0; i < 1500; i++) {
+            auto c = good;
+            c[rng() % c.size()] ^= (uint8_t)(1 + (rng() % 255));
+            c.resize(1 + rng() % c.size());
+            uint64_t cnt[32] = {0};
+            lfs_bam_flagstat_parallel(c.data(), (int64_t)c.size(), cnt, 2,
+                                      997);
         }
     }
 

@@ -22,6 +22,8 @@ int64_t lfs_bam_bound(const uint8_t*, int64_t);
 int64_t lfs_bam_flags(const uint8_t*, int64_t, uint16_t*, int64_t, int32_t);
 int64_t lfs_bam_flagstat(const uint8_t*, int64_t, uint64_t*, int32_t,
                          int64_t);
+int64_t lfs_bam_flagstat_parallel(const uint8_t*, int64_t, uint64_t*,
+                                  int32_t, int64_t);
 int64_t lfs_sam_flags(const uint8_t*, int64_t, uint16_t*, int64_t, int32_t);
 int64_t lfs_sam_flagstat(const uint8_t*, int64_t, uint64_t*, int32_t,
                          int64_t);
@@ -133,6 +135,15 @@ int main() {
         uint64_t c1[32] = {0};
         if (lfs_bam_flagstat(bam.data(), (int64_t)bam.size(), c1, 4,
                              5003) != n_records) return 1;
+        // round-4 range-parallel walker: shard workers + per-shard
+        // cursors under TSan; counters must equal the sequential walk
+        uint64_t cp[32] = {0};
+        if (lfs_bam_flagstat_parallel(bam.data(), (int64_t)bam.size(), cp,
+                                      4, 5003) != n_records) return 1;
+        if (std::memcmp(c1, cp, sizeof(c1)) != 0) {
+            std::printf("parallel bam counters disagree\n");
+            return 1;
+        }
         n = lfs_sam_flags(sam_raw.data(), (int64_t)sam_raw.size(),
                           out.data(), (int64_t)out.size(), 4);
         if (n != n_records) { std::printf("sam parse %lld\n", (long long)n);

@@ -219,6 +219,9 @@ def _bind(lib):
     lib.lfs_bam_flagstat.restype = i64
     lib.lfs_bam_flagstat.argtypes = [ctypes.c_void_p, i64,
                                      ctypes.c_void_p, i32, i64]
+    lib.lfs_bam_flagstat_parallel.restype = i64
+    lib.lfs_bam_flagstat_parallel.argtypes = [ctypes.c_void_p, i64,
+                                              ctypes.c_void_p, i32, i64]
     lib.lfs_bgzf_sam_flagstat.restype = i64
     lib.lfs_bgzf_sam_flagstat.argtypes = [ctypes.c_void_p, i64,
                                           ctypes.c_void_p, i32, i64]

@@ -167,3 +167,24 @@ def test_realistic_payload_roundtrip(tmp_path):
     p3 = tmp_path / "real2.bam"
     bamio.write_bam(p3, x, level=1, payload="realistic", seed=3)
     assert p.read_bytes() == p3.read_bytes()
+
+
+def test_bam_flagstat_parallel_matches_sequential(tmp_path):
+    """Round-4 range-parallel fused walk: resync + arrival-exact
+    verification must reproduce the sequential walker bit-exactly on a
+    container large enough to engage multiple shards."""
+    from libflagstats_tpu.io import native_lib
+    from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
+    if native_lib.load() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    x = generate_flags(300_000, seed=23, full_range=True)
+    p = tmp_path / "par.bam"
+    bamio.write_bam(p, x, level=1, payload="realistic")   # ~100 MB raw span
+    seq = native_lib.fused_flagstat("lfs_bam_flagstat", p, 0)
+    par = native_lib.fused_flagstat("lfs_bam_flagstat_parallel", p, 0)
+    ref = flagstat_numpy(x)
+    np.testing.assert_array_equal(seq.astype(np.int64), ref)
+    np.testing.assert_array_equal(par.astype(np.int64), ref)
