@@ -243,6 +243,66 @@ def read_bam_flags(path, threads: int = 0) -> np.ndarray:
     return out[:got].copy()
 
 
+def bam_raw_size(path) -> int:
+    """Total inflated byte size of a BGZF chain (header-only scan) —
+    the shard space for multi-host BAM byte-range counting."""
+    import os
+
+    from . import native_lib
+
+    lib = native_lib.load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    size = os.path.getsize(path)
+    if size == 0:
+        return 0
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    n = lib.lfs_bgzf_raw_size(mm.ctypes.data, size)
+    if n < 0:
+        raise ValueError(f"BGZF scan failed (rc={n})")
+    return int(n)
+
+
+def flagstat_bam_byte_range(path, byte_lo: int, byte_hi: int,
+                            threads: int = 0):
+    """Fused flagstat over one inflated-byte range of a BAM — the
+    multi-host shard unit (round 4). The range is entered by
+    arrival-exact resync (io/native/bam_reader.cpp): the walk starts at
+    the first structurally-validated record boundary >= byte_lo
+    (authoritative header end when byte_lo <= it) and ends at the first
+    boundary >= byte_hi; the caller MUST verify the (start, end)
+    endpoints chain exactly across shards before trusting the counts
+    (flagstat_multihost_bam does). Returns
+    (counters uint64[32], n_records, start, end), or None when the
+    range could not be entered (resync failure) — the caller falls
+    back to a sequential count."""
+    import ctypes
+    import os
+
+    from .. import flags as F
+    from . import native_lib
+
+    lib = native_lib.load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    size = os.path.getsize(path)
+    counters = np.zeros(F.N_COUNTERS, dtype=np.uint64)
+    if size == 0:
+        return counters, 0, 0, 0
+    mm = native_lib.map_sequential(path)
+    start = ctypes.c_int64(-1)
+    end = ctypes.c_int64(-1)
+    got = lib.lfs_bam_flagstat_byte_range(
+        mm.ctypes.data, size, byte_lo, byte_hi,
+        counters.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(start), ctypes.byref(end), threads, 0)
+    if got == -9:
+        return None
+    if got < 0:
+        raise ValueError(f"BAM byte-range count failed (rc={got})")
+    return counters, int(got), int(start.value), int(end.value)
+
+
 def flagstat_bam(path, threads: int = 0, impl: str | None = None):
     """samtools-flagstat counters straight from a BAM file.
 

@@ -479,13 +479,23 @@ int64_t lfs_bam_flagstat(const uint8_t* data, int64_t n_bytes,
     return total;
 }
 
-// Range-parallel fused BAM flagstat (round 4; see the resync /
-// arrival-exactness block comment above): S shards resync + walk + are
-// chain-verified; on ANY resync failure or arrival mismatch the result
-// is recomputed by the sequential walker, so counters are
-// integer-exact unconditionally. Same contract as lfs_bam_flagstat.
-int64_t lfs_bam_flagstat_parallel(const uint8_t* data, int64_t n_bytes,
-                                  uint64_t* counters, int32_t threads,
+// Shared shard engine for the range-parallel walk: count records in
+// inflated-byte range [byte_lo, byte_hi) of the record stream, split
+// into internal shards, chain-verified internally. byte_lo < 0 means
+// "the authoritative record start" (header end — no resync heuristic
+// at the outer start); byte_hi < 0 means EOF. Reports the OUTER chain
+// endpoints in *start_out/*end_out so a caller stitching multiple
+// ranges (the multi-host BAM leg) can verify arrival-exactness across
+// ranges exactly like the internal check. Returns the record count,
+// -9 when resync failed / internal verification failed irrecoverably,
+// or a hard error. Internal mismatches retry the whole range as ONE
+// shard (whose endpoints the caller still verifies); only the
+// full-file case (byte_lo < 0 && byte_hi < 0) may fall back to the
+// authoritative sequential walker.
+static int64_t bam_parallel_range(const uint8_t* data, int64_t n_bytes,
+                                  int64_t byte_lo, int64_t byte_hi,
+                                  uint64_t* counters, int64_t* start_out,
+                                  int64_t* end_out, int32_t threads,
                                   int64_t chunk_flags) {
     std::vector<Member> members;
     int src = scan_members(data, n_bytes, members);
@@ -502,14 +512,13 @@ int64_t lfs_bam_flagstat_parallel(const uint8_t* data, int64_t n_bytes,
     Cursor head(data, members, pref);
     int64_t g0 = parse_header_end(head, total_bytes);
     if (g0 < 0) return g0;
-    const int64_t span = total_bytes - g0;
-    // shards: ~3 per worker for load balance, each >= 16 MiB so the
-    // resync scan window (4 MiB) stays well inside a shard
-    int64_t shards = std::min<int64_t>((int64_t)threads * 3,
-                                       span / (16 << 20) + 1);
-    if (shards < 2)
-        return lfs_bam_flagstat(data, n_bytes, counters, threads,
-                                chunk_flags);
+    const bool whole_file = byte_lo < 0 && byte_hi < 0;
+    if (byte_hi < 0 || byte_hi > total_bytes) byte_hi = total_bytes;
+    const bool from_start = byte_lo < 0 || byte_lo <= g0;
+    if (from_start) byte_lo = g0;
+    if (byte_lo > byte_hi) return -8;
+
+    const int64_t span = byte_hi - byte_lo;
     if (chunk_flags <= 0) chunk_flags = 1 << 20;   // 1Mi flags per shard
 
     struct ShardResult {
@@ -517,85 +526,149 @@ int64_t lfs_bam_flagstat_parallel(const uint8_t* data, int64_t n_bytes,
         int rc = 0;
         uint64_t counters[32] = {0};
     };
-    std::vector<ShardResult> res((size_t)shards);
-    std::vector<int64_t> bounds((size_t)shards + 1);
-    for (int64_t s = 0; s <= shards; s++)
-        bounds[(size_t)s] = g0 + span * s / shards;
 
-    std::atomic<int64_t> next_shard(0);
-    auto worker = [&]() {
-        Cursor c(data, members, pref);
-        std::vector<uint16_t> chunk((size_t)chunk_flags);
-        for (;;) {
-            int64_t s = next_shard.fetch_add(1);
-            if (s >= shards) return;
-            ShardResult& r = res[(size_t)s];
-            if (s == 0) {
-                r.start = g0;
-            } else {
-                int64_t hi = std::min<int64_t>(bounds[(size_t)s] + (4 << 20),
-                                               bounds[(size_t)s + 1]);
-                r.start = resync(c, bounds[(size_t)s], hi, total_bytes);
-                if (r.start < 0 || c.bad) {
-                    r.rc = -9;   // resync failed: fallback
-                    continue;
+    // one attempt at a given shard count; shards == 1 is the
+    // no-internal-seam retry
+    auto attempt = [&](int64_t shards, ShardResult* out_res) -> bool {
+        std::vector<ShardResult> res((size_t)shards);
+        std::vector<int64_t> bounds((size_t)shards + 1);
+        for (int64_t s = 0; s <= shards; s++)
+            bounds[(size_t)s] = byte_lo + span * s / shards;
+
+        std::atomic<int64_t> next_shard(0);
+        auto worker = [&]() {
+            Cursor c(data, members, pref);
+            std::vector<uint16_t> chunk((size_t)chunk_flags);
+            for (;;) {
+                int64_t s = next_shard.fetch_add(1);
+                if (s >= shards) return;
+                ShardResult& r = res[(size_t)s];
+                if (s == 0 && from_start) {
+                    r.start = g0;
+                } else {
+                    int64_t hi = std::min<int64_t>(
+                        bounds[(size_t)s] + (4 << 20),
+                        bounds[(size_t)s + 1]);
+                    r.start = resync(c, bounds[(size_t)s], hi, total_bytes);
+                    if (r.start < 0 || c.bad) {
+                        r.rc = -9;   // resync failed
+                        continue;
+                    }
+                }
+                Parser parser;
+                parser.out = chunk.data();
+                parser.cap = (int64_t)chunk.size();
+                parser.on_full = [&]() {
+                    if (lfs_flagstat_u16(parser.out, parser.count,
+                                         r.counters, 1))
+                        return -7;
+                    r.count += parser.count;
+                    parser.count = 0;
+                    return 0;
+                };
+                r.rc = walk_range(c, r.start, bounds[(size_t)s + 1],
+                                  total_bytes, parser, &r.end);
+                if (r.rc == 0 && parser.count) {
+                    if (lfs_flagstat_u16(parser.out, parser.count,
+                                         r.counters, 1))
+                        r.rc = -7;
+                    else
+                        r.count += parser.count;
                 }
             }
-            Parser parser;
-            parser.out = chunk.data();
-            parser.cap = (int64_t)chunk.size();
-            parser.on_full = [&]() {
-                if (lfs_flagstat_u16(parser.out, parser.count, r.counters,
-                                     1))
-                    return -7;
-                r.count += parser.count;
-                parser.count = 0;
-                return 0;
-            };
-            r.rc = walk_range(c, r.start, bounds[(size_t)s + 1],
-                              total_bytes, parser, &r.end);
-            if (r.rc == 0 && parser.count) {
-                if (lfs_flagstat_u16(parser.out, parser.count, r.counters,
-                                     1))
-                    r.rc = -7;
-                else
-                    r.count += parser.count;
-            }
-        }
-    };
-    int nw = (int)std::min<int64_t>(threads, shards);
-    std::vector<std::thread> pool;
-    pool.reserve((size_t)nw);
-    for (int t = 0; t < nw; t++) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
+        };
+        int nw = (int)std::min<int64_t>(threads, shards);
+        std::vector<std::thread> pool;
+        pool.reserve((size_t)nw);
+        for (int t = 0; t < nw; t++) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
 
-    // arrival-exactness verification: shard i must land exactly on
-    // shard i+1's sync point, and the last shard exactly on EOF
-    bool ok = true;
-    for (int64_t s = 0; s < shards && ok; s++) {
-        const ShardResult& r = res[(size_t)s];
-        if (r.rc != 0) ok = false;
-        if (s + 1 < shards && r.end != res[(size_t)s + 1].start) ok = false;
-        if (s + 1 == shards && r.end != total_bytes) ok = false;
-    }
+        // internal arrival-exactness: every seam must match
+        bool ok = true;
+        for (int64_t s = 0; s < shards && ok; s++) {
+            if (res[(size_t)s].rc != 0) ok = false;
+            if (s + 1 < shards &&
+                res[(size_t)s].end != res[(size_t)s + 1].start)
+                ok = false;
+        }
+        if (!ok) return false;
+        // stitch into one result
+        ShardResult& agg = *out_res;
+        agg = ShardResult();
+        agg.start = res[0].start;
+        agg.end = res[(size_t)shards - 1].end;
+        agg.rc = 0;
+        for (int64_t s = 0; s < shards; s++) {
+            agg.count += res[(size_t)s].count;
+            for (int i = 0; i < 32; i++)
+                agg.counters[i] += res[(size_t)s].counters[i];
+        }
+        return true;
+    };
+
+    // shards: ~3 per worker for load balance, each >= 16 MiB so the
+    // resync scan window (4 MiB) stays well inside a shard
+    int64_t shards = std::min<int64_t>((int64_t)threads * 3,
+                                       span / (16 << 20) + 1);
+    ShardResult agg;
+    bool ok = shards >= 2 && attempt(shards, &agg);
+    if (!ok)
+        ok = attempt(1, &agg);   // seamless single-shard retry
     if (!ok) {
-        // a hard parse/inflate error in shard 0 starting from the true
-        // chain start is authoritative (the sequential walk would hit
-        // the same bytes); everything else re-walks sequentially —
-        // counters were only staged per shard, so nothing is polluted
-        for (int64_t s = 0; s < shards; s++)
-            if (res[(size_t)s].rc != 0 && res[(size_t)s].rc != -9 &&
-                s == 0)
-                return res[(size_t)s].rc;
-        return lfs_bam_flagstat(data, n_bytes, counters, threads,
-                                chunk_flags);
+        if (whole_file) {
+            // authoritative fallback exists only for the full file
+            int64_t n = lfs_bam_flagstat(data, n_bytes, counters, threads,
+                                         chunk_flags);
+            if (n < 0) return n;
+            if (start_out) *start_out = g0;
+            if (end_out) *end_out = total_bytes;
+            return n;
+        }
+        return -9;
     }
-    int64_t total = 0;
-    for (int64_t s = 0; s < shards; s++) {
-        total += res[(size_t)s].count;
-        for (int i = 0; i < 32; i++) counters[i] += res[(size_t)s].counters[i];
+    if (whole_file && agg.end != total_bytes) {
+        // the chain must end exactly at EOF for the full-file contract
+        int64_t n = lfs_bam_flagstat(data, n_bytes, counters, threads,
+                                     chunk_flags);
+        if (n < 0) return n;
+        if (start_out) *start_out = g0;
+        if (end_out) *end_out = total_bytes;
+        return n;
     }
-    return total;
+    for (int i = 0; i < 32; i++) counters[i] += agg.counters[i];
+    if (start_out) *start_out = agg.start;
+    if (end_out) *end_out = agg.end;
+    return agg.count;
 }
+
+// Range-parallel fused BAM flagstat (round 4; see the resync /
+// arrival-exactness block comment above): S shards resync + walk + are
+// chain-verified; on ANY resync failure or arrival mismatch the result
+// is recomputed by the sequential walker, so counters are
+// integer-exact unconditionally. Same contract as lfs_bam_flagstat.
+int64_t lfs_bam_flagstat_parallel(const uint8_t* data, int64_t n_bytes,
+                                  uint64_t* counters, int32_t threads,
+                                  int64_t chunk_flags) {
+    return bam_parallel_range(data, n_bytes, -1, -1, counters, nullptr,
+                              nullptr, threads, chunk_flags);
+}
+
+// One inflated-byte range of a BAM for multi-host sharding: resyncs at
+// byte_lo (authoritative header end when byte_lo <= header end), walks
+// to the first record boundary >= byte_hi, reports the chain endpoints
+// for the caller's cross-shard verification. Returns the record count,
+// -9 when the range could not be entered (caller must fall back), or a
+// hard error. *start_out/*end_out are inflated-stream offsets.
+int64_t lfs_bam_flagstat_byte_range(const uint8_t* data, int64_t n_bytes,
+                                    int64_t byte_lo, int64_t byte_hi,
+                                    uint64_t* counters, int64_t* start_out,
+                                    int64_t* end_out, int32_t threads,
+                                    int64_t chunk_flags) {
+    return bam_parallel_range(data, n_bytes, byte_lo, byte_hi, counters,
+                              start_out, end_out, threads, chunk_flags);
+}
+
+// (lfs_bgzf_raw_size — the inflated-byte shard space scan — already
+//  ships from sam_reader.cpp and serves the BAM leg too)
 
 }  // extern "C"

@@ -222,6 +222,13 @@ def _bind(lib):
     lib.lfs_bam_flagstat_parallel.restype = i64
     lib.lfs_bam_flagstat_parallel.argtypes = [ctypes.c_void_p, i64,
                                               ctypes.c_void_p, i32, i64]
+    lib.lfs_bam_flagstat_byte_range.restype = i64
+    lib.lfs_bam_flagstat_byte_range.argtypes = [
+        ctypes.c_void_p, i64, i64, i64, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        i32, i64]
+    lib.lfs_bgzf_raw_size.restype = i64
+    lib.lfs_bgzf_raw_size.argtypes = [ctypes.c_void_p, i64]
     lib.lfs_bgzf_sam_flagstat.restype = i64
     lib.lfs_bgzf_sam_flagstat.argtypes = [ctypes.c_void_p, i64,
                                           ctypes.c_void_p, i32, i64]

@@ -67,9 +67,16 @@ D.DEVICE_WORD_CAP = 0x7FFFFFFF
 c6 = (multihost.flagstat_multihost_bgzf_sam(sys.argv[5], n_threads=2)
       if native_host.available() else c1)
 
+# leg 7 (round 4): BAM sharded by inflated-byte range — each process
+# enters its range via arrival-exact resync, the (start, end) chain is
+# verified cross-process, and only counters + endpoint pairs cross
+c7 = (multihost.flagstat_multihost_bam(sys.argv[6], n_threads=2)
+      if native_host.available() else c1)
+
 np.savez(sys.argv[4], c1=c1.astype(np.int64), c2=c2.astype(np.int64),
          c3=c3.astype(np.int64), c4=c4.astype(np.int64),
-         c5=c5.astype(np.int64), c6=c6.astype(np.int64))
+         c5=c5.astype(np.int64), c6=c6.astype(np.int64),
+         c7=c7.astype(np.int64))
 '''
 
 
@@ -92,6 +99,10 @@ def test_two_process_multihost(tmp_path):
             fh.write(bamio._bgzf_member(data[off:off + 60000], level=1))
         fh.write(bamio.BGZF_EOF)
 
+    # BAM container for leg 7 (round 4: byte-range resync sharding)
+    bam_path = tmp_path / "mh.bam"
+    bamio.write_bam(bam_path, x, level=1, payload="realistic")
+
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     env = dict(os.environ)
@@ -110,7 +121,8 @@ def test_two_process_multihost(tmp_path):
         procs = [
             subprocess.Popen(
                 [sys.executable, str(script), coord, str(i), str(path),
-                 str(tmp_path / f"out{i}.npz"), str(sam_gz)],
+                 str(tmp_path / f"out{i}.npz"), str(sam_gz),
+                 str(bam_path)],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                 env=env,
             )
@@ -160,3 +172,4 @@ def test_two_process_multihost(tmp_path):
             np.testing.assert_array_equal(z["c4"], ref1)
             np.testing.assert_array_equal(z["c5"], ref5)
             np.testing.assert_array_equal(z["c6"], ref1)
+            np.testing.assert_array_equal(z["c7"], ref1)

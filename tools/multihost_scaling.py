@@ -52,6 +52,8 @@ def run():
         return multihost.flagstat_multihost_file(path, codec="lz4",
                                                  impl="native",
                                                  n_threads=threads)
+    if kind == "bam":
+        return multihost.flagstat_multihost_bam(path, n_threads=threads)
     return multihost.flagstat_multihost_bgzf_sam(path, n_threads=threads)
 
 best = float("inf")
@@ -107,11 +109,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--file", default="/tmp/na12878/na12878_s1_l1.lz4")
     ap.add_argument("--sam-gz", default="/tmp/na12878/na12878_s1.sam.gz")
+    ap.add_argument("--bam", default="/tmp/na12878/na12878_s4_real.bam")
     ap.add_argument("--iters", type=int, default=3)
     args = ap.parse_args()
 
     rows = []
-    for kind, path in (("framed", args.file), ("bgzf_sam", args.sam_gz)):
+    for kind, path in (("framed", args.file), ("bgzf_sam", args.sam_gz),
+                       ("bam", args.bam)):
         if not Path(path).exists():
             print(f"[skip] {kind}: {path} missing "
                   "(run tools/na12878_run.py --keep first)")
