@@ -37,6 +37,14 @@ def _bodies(n_words: int):
             bodies["pallas_report"] = lambda a: jnp.concatenate(
                 PK.stream_sums_pallas(a, report=True)
             )
+            # the shipped tier (round 4): host-pretransposed plane
+            # tiles, transpose-free kernel — fed from the planes input
+            bodies["pallas_pre"] = lambda p: jnp.concatenate(
+                PK.stream_sums_pallas_pre(p)
+            )
+            bodies["pallas_pre_report"] = lambda p: jnp.concatenate(
+                PK.stream_sums_pallas_pre(p, report=True)
+            )
             bodies["pospopcnt_bitsliced"] = lambda a: PK.pospopcnt_u16_pallas(a)
         if n_words % (16 * PK.GROUP_WORDS) == 0:
             bodies["pallas_nblk16"] = lambda a: jnp.concatenate(
@@ -78,9 +86,17 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
         roof = None
 
     lines = [HEADER]
-    for name, body in _bodies(n_words).items():
+    bodies = _bodies(n_words)
+    planes = None
+    if any(name.startswith("pallas_pre") for name in bodies):
+        from ..ops.bitslice import pretranspose_host
+
+        planes = jax.block_until_ready(
+            jnp.asarray(pretranspose_host(x_host)))
+    for name, body in bodies.items():
+        arg = planes if name.startswith("pallas_pre") else x
         if check:
-            out = np.asarray(jax.jit(body)(x), dtype=np.int64)
+            out = np.asarray(jax.jit(body)(arg), dtype=np.int64)
             if name.startswith("pospopcnt"):
                 ok = (out == pp_ref).all()
             else:
@@ -93,7 +109,7 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
                                       jnp.int32(n_words)),
                     dtype=np.int64,
                 )
-                if name == "pallas_report":
+                if name.endswith("_report"):
                     from .. import flags as F
 
                     idx = list(F.REPORT_COUNTERS)
@@ -103,7 +119,7 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
             if not ok:
                 lines.append(f"{name}\t{n_words}\tMISMATCH")
                 continue
-        fit = gated_kernel_time_fit(body, x, roof_bytes_per_s=roof,
+        fit = gated_kernel_time_fit(body, arg, roof_bytes_per_s=roof,
                                     n_bytes=2 * n_words, iters=iters)
         t = fit.slope_s
         gated_ok = bool(fit.gate_passed)   # verdict set by the shared gate
