@@ -141,3 +141,18 @@ def test_read_xor_pallas_tpu():
     got = int(np.asarray(read_xor_pallas(jnp.asarray(x)))[0])
     folded = (got & 0xFFFF) ^ (got >> 16)
     assert folded == int(np.bitwise_xor.reduce(x))
+
+
+def test_stream_pallas_pre_tpu(tmp_path):
+    """The shipped device tier end-to-end on hardware (round 4): framed
+    stream -> decode pool -> host transpose stage -> transpose-free
+    kernel accumulate; bit-exact vs the oracle incl. a padded tail."""
+    from libflagstats_tpu.io import codec as C
+    from libflagstats_tpu.io.stream import flagstat_stream
+
+    n = 2 * 8 * GROUP_WORDS + 12_345    # two chunks + tail
+    x = generate_flags(n, seed=51, full_range=True)
+    path = tmp_path / "pre_tpu.lz4"
+    C.write_framed(path, x, codec="lz4", level=1)
+    got = flagstat_stream(path, codec="lz4", impl="pallas_pre")
+    assert_counters_equal(flagstat_numpy(x), got)
