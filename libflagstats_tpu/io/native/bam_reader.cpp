@@ -314,10 +314,15 @@ bool validate_chain(Cursor& c, int64_t o, int64_t total, int k = 4) {
     return true;
 }
 
-// first offset in [lo, hi) whose chain validates; -1 if none
+// first offset in [lo, hi) whose chain validates; -1 if none. Aborts
+// on the cursor's sticky inflate-failure flag — without this, one
+// uninflatable member inside the window would re-run its failing
+// inflate for every scanned candidate offset (review finding r4).
 int64_t resync(Cursor& c, int64_t lo, int64_t hi, int64_t total) {
-    for (int64_t o = lo; o < hi; o++)
+    for (int64_t o = lo; o < hi; o++) {
         if (validate_chain(c, o, total)) return o;
+        if (c.bad) return -1;
+    }
     return -1;
 }
 
@@ -516,7 +521,20 @@ static int64_t bam_parallel_range(const uint8_t* data, int64_t n_bytes,
     if (byte_hi < 0 || byte_hi > total_bytes) byte_hi = total_bytes;
     const bool from_start = byte_lo < 0 || byte_lo <= g0;
     if (from_start) byte_lo = g0;
-    if (byte_lo > byte_hi) return -8;
+    if (byte_lo > byte_hi) {
+        if (from_start && byte_hi <= g0) {
+            // the whole range sits inside the header: an EMPTY shard
+            // whose chain endpoints are both the authoritative record
+            // start — the NEXT shard (byte_lo <= g0 too) also clamps
+            // to g0, so the cross-shard verification still stitches.
+            // Returning -8 here crashed multihost runs on small files
+            // / many ranks (review finding r1).
+            if (start_out) *start_out = g0;
+            if (end_out) *end_out = g0;
+            return 0;
+        }
+        return -8;
+    }
 
     const int64_t span = byte_hi - byte_lo;
     if (chunk_flags <= 0) chunk_flags = 1 << 20;   // 1Mi flags per shard
@@ -612,11 +630,16 @@ static int64_t bam_parallel_range(const uint8_t* data, int64_t n_bytes,
                                        span / (16 << 20) + 1);
     ShardResult agg;
     bool ok = shards >= 2 && attempt(shards, &agg);
-    if (!ok)
-        ok = attempt(1, &agg);   // seamless single-shard retry
+    if (!ok && !whole_file)
+        ok = attempt(1, &agg);   // seamless single-shard retry for a
+        //                          mid-file range (no authoritative
+        //                          fallback exists there)
     if (!ok) {
         if (whole_file) {
-            // authoritative fallback exists only for the full file
+            // authoritative fallback: the ring-pipeline sequential
+            // walker (parallel inflate) — NOT attempt(1), whose
+            // single Cursor inflates serially on the walking thread
+            // (review finding r5)
             int64_t n = lfs_bam_flagstat(data, n_bytes, counters, threads,
                                          chunk_flags);
             if (n < 0) return n;

@@ -9,6 +9,7 @@
 #ifndef LFS_BGZF_H_
 #define LFS_BGZF_H_
 
+#include <algorithm>
 #include <atomic>
 #include <chrono>
 #include <cstdint>
@@ -159,6 +160,7 @@ inline int ring_walk(const uint8_t* data, const std::vector<Member>& members,
 
     auto inflater = [&]() {
         for (;;) {
+            if (stop.load(std::memory_order_acquire)) return;
             int64_t i = next.fetch_add(1, std::memory_order_relaxed);
             if (i >= n_range) return;
             // backpressure: slot i%ring is free once index i-ring is
@@ -175,6 +177,12 @@ inline int ring_walk(const uint8_t* data, const std::vector<Member>& members,
                         std::chrono::microseconds(100));
                 }
             }
+            // abort-path slot-collision guard: the shutdown bump below
+            // releases EVERY slot's backpressure at once, so a worker
+            // woken by it must not write a slot another in-flight
+            // worker may own — stop is stored BEFORE the bump, and the
+            // acquire read of `walked` above makes it visible here
+            if (stop.load(std::memory_order_relaxed)) return;
             const Member& m = members[(size_t)(m_start + i)];
             const size_t slot = (size_t)(i % ring);
             int rc = 0;
@@ -214,9 +222,10 @@ inline int ring_walk(const uint8_t* data, const std::vector<Member>& members,
         walked.store(i + 1, std::memory_order_release);
         if (err) break;
     }
-    stop.store(true, std::memory_order_relaxed);
-    // unblock workers waiting on backpressure for slots an aborted
-    // walk will never clear
+    // ordering matters: stop FIRST, then the walked bump that releases
+    // all backpressure — workers re-check stop after their acquire
+    // read of walked, so no two can claim the same ring slot
+    stop.store(true, std::memory_order_release);
     walked.store(n_range + (int64_t)ring, std::memory_order_release);
     for (auto& th : pool) th.join();
     return err;

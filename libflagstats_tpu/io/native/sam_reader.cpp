@@ -27,6 +27,7 @@
 // text is just memchr, so unlike BAM (variable-length binary records,
 // bam_reader.cpp phase C) the walk itself parallelizes.
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstring>

@@ -161,6 +161,19 @@ int main() {
             std::printf("bam/sam fused counters disagree\n");
             return 1;
         }
+        // ring_walk ABORT path under TSan (review r2: the shutdown
+        // walked-bump releases every slot's backpressure at once, so
+        // workers must re-check stop before writing a slot): corrupt a
+        // mid-file DEFLATE payload so the walk errors partway with the
+        // pool still in flight; any rc is fine, racing is not
+        auto bad = bam;
+        bad[bad.size() / 2] ^= 0x5A;
+        uint64_t cbad[32] = {0};
+        (void)lfs_bam_flagstat(bad.data(), (int64_t)bad.size(), cbad, 4,
+                               5003);
+        uint64_t cbad2[32] = {0};
+        (void)lfs_bam_flagstat_parallel(bad.data(), (int64_t)bad.size(),
+                                        cbad2, 4, 5003);
     }
     std::printf("walker tsan OK: bam walk/fused + sam parse + bgzf-sam "
                 "walk/fused x4 iterations, 4 threads, no races\n");

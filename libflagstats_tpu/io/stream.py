@@ -276,7 +276,16 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
             total, fail = step(dev, total, fail)
         epoch_words += words
 
-    def emit_chunk(chunk, words, final=False):
+    def drain_pending(keep: int = 0):
+        """Dispatch transposed chunks until at most ``keep`` remain in
+        the in-flight window (one shared drain loop — review r6)."""
+        while len(pending) > keep:
+            fut, w = pending.popleft()
+            with timer.section("transpose_wait"):
+                planes = fut.result()
+            dispatch_chunk(planes, w)
+
+    def emit_chunk(chunk, words):
         """Route one staged word-chunk to the device: directly, or via
         the transpose stage with a 2-deep in-flight window."""
         if xpool is None:
@@ -285,53 +294,54 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
         from ..ops.bitslice import pretranspose_host
 
         pending.append((xpool.submit(pretranspose_host, chunk, 2), words))
-        while len(pending) > (0 if final else 2):
-            fut, w = pending.popleft()
-            with timer.section("transpose_wait"):
-                planes = fut.result()
-            dispatch_chunk(planes, w)
+        drain_pending(keep=2)
 
     block_index = start_block
     buf = np.empty(2 * chunk_words, dtype=np.uint16)
     fill = 0
-    for block in blocks():
-        n_words += block.size
-        off = 0
-        while off < block.size:
-            take = min(block.size - off, 2 * chunk_words - fill)
-            with timer.section("chunk_copy"):
-                buf[fill:fill + take] = block[off:off + take]
-            fill += take
-            off += take
-            while fill >= chunk_words:
+    try:
+        for block in blocks():
+            n_words += block.size
+            off = 0
+            while off < block.size:
+                take = min(block.size - off, 2 * chunk_words - fill)
                 with timer.section("chunk_copy"):
-                    chunk = np.array(buf[:chunk_words])
-                    rem = fill - chunk_words
-                    if rem:
-                        buf[:rem] = buf[chunk_words:fill]
-                emit_chunk(chunk, chunk_words)
-                fill = rem
-        block_index += 1
-        # a checkpoint is only valid when no words are waiting in the
-        # partial-chunk buffer or the transpose stage (those words are
-        # counted in n_words but not yet in the sums)
-        if checkpoint is not None and fill == 0 and not pending:
-            with timer.section("checkpoint"):
-                checkpoint.maybe_save(block_index, total, fail, n_words,
-                                      grand=grand, epoch_words=epoch_words)
+                    buf[fill:fill + take] = block[off:off + take]
+                fill += take
+                off += take
+                while fill >= chunk_words:
+                    with timer.section("chunk_copy"):
+                        chunk = np.array(buf[:chunk_words])
+                        rem = fill - chunk_words
+                        if rem:
+                            buf[:rem] = buf[chunk_words:fill]
+                    emit_chunk(chunk, chunk_words)
+                    fill = rem
+            block_index += 1
+            # a checkpoint is only valid when no words are waiting in
+            # the partial-chunk buffer or the transpose stage (those
+            # words are counted in n_words but not yet in the sums);
+            # when a save is DUE, the 2-deep transpose window is
+            # drained first — otherwise the pre tier would never
+            # checkpoint at all (review r3: pending is nonempty from
+            # the first chunk to EOF)
+            if checkpoint is not None and fill == 0:
+                if pending and block_index % checkpoint.every_blocks == 0:
+                    drain_pending()
+                if not pending:
+                    with timer.section("checkpoint"):
+                        checkpoint.maybe_save(block_index, total, fail,
+                                              n_words, grand=grand,
+                                              epoch_words=epoch_words)
 
-    if fill:
-        tail = np.zeros(chunk_words, dtype=np.uint16)
-        tail[:fill] = buf[:fill]
-        emit_chunk(tail, fill, final=True)
-    elif pending:
-        while pending:
-            fut, w = pending.popleft()
-            with timer.section("transpose_wait"):
-                planes = fut.result()
-            dispatch_chunk(planes, w)
-    if xpool is not None:
-        xpool.shutdown()
+        if fill:
+            tail = np.zeros(chunk_words, dtype=np.uint16)
+            tail[:fill] = buf[:fill]
+            emit_chunk(tail, fill)
+        drain_pending()
+    finally:
+        if xpool is not None:
+            xpool.shutdown()
 
     counters = _jit_assemble()(total, fail, jnp.int32(epoch_words))
     return grand + np.asarray(counters, dtype=np.int64).astype(np.uint64)

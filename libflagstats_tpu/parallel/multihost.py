@@ -196,7 +196,13 @@ def flagstat_multihost_bam(path, n_threads: int = 0) -> np.ndarray:
     P, pid = jax.process_count(), jax.process_index()
     lo = total * pid // P
     hi = total * (pid + 1) // P
-    res = flagstat_bam_byte_range(path, lo, hi, threads=n_threads)
+    try:
+        res = flagstat_bam_byte_range(path, lo, hi, threads=n_threads)
+    except ValueError:
+        # a local hard error must still reach the allgather below as
+        # ok=0 — raising here would leave the other processes hung in
+        # the collective (review r1)
+        res = None
     if res is None:
         ok, counters, start, end = 0, np.zeros(32, np.uint64), 0, 0
     else:

@@ -188,3 +188,30 @@ def test_bam_flagstat_parallel_matches_sequential(tmp_path):
     ref = flagstat_numpy(x)
     np.testing.assert_array_equal(seq.astype(np.int64), ref)
     np.testing.assert_array_equal(par.astype(np.int64), ref)
+
+
+def test_bam_byte_range_inside_header_is_empty_not_error(tmp_path):
+    """Review r1: a shard range that ends inside the BAM header must be
+    an EMPTY shard with both endpoints at the record start (so the
+    cross-shard chain still stitches), never a ValueError — multihost
+    runs on small files / many ranks hit this."""
+    from libflagstats_tpu.io import native_lib
+    from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
+    if native_lib.load() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    x = generate_flags(50_000, seed=31, full_range=True)
+    p = tmp_path / "hdr.bam"
+    bamio.write_bam(p, x, level=1)
+    total = bamio.bam_raw_size(p)
+    r0 = bamio.flagstat_bam_byte_range(p, 0, 4)      # ends inside header
+    assert r0 is not None
+    c0, n0, s0, e0 = r0
+    assert n0 == 0 and s0 == e0
+    r1 = bamio.flagstat_bam_byte_range(p, 4, total)  # rest of the file
+    c1, n1, s1, e1 = r1
+    assert s1 == e0 and e1 == total and n0 + n1 == x.size
+    np.testing.assert_array_equal((c0 + c1).astype(np.int64),
+                                  flagstat_numpy(x))

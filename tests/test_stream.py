@@ -293,3 +293,27 @@ def test_stream_pallas_pre_rejects_partial_groups():
 
     with pytest.raises(ValueError, match="multiple"):
         flagstat_stream("/nonexistent", impl="pallas_pre", chunk_words=1000)
+
+
+def test_stream_pallas_pre_checkpoints_and_resumes(tmp_path):
+    """Review r3: the pre tier's 2-deep transpose window must drain at
+    due block boundaries so checkpoints actually happen, and a resumed
+    run must complete exactly."""
+    from libflagstats_tpu.ops.pallas_kernels import GROUP_WORDS
+
+    x = generate_flags(3 * GROUP_WORDS, seed=43, full_range=True)
+    path = tmp_path / "ck_pre.lz4"
+    # small blocks so several block boundaries land on chunk boundaries
+    C.write_framed(path, x, codec="lz4", level=1,
+                   block_bytes=2 * GROUP_WORDS)
+    ck = StreamCheckpoint(str(tmp_path / "pre.ck"), every_blocks=2)
+    got = flagstat_stream(path, codec="lz4", impl="pallas_pre",
+                          chunk_words=GROUP_WORDS, checkpoint=ck)
+    assert_counters_equal(flagstat_numpy(x), got)
+    assert ck.block_index > 0, "pre tier never checkpointed (review r3)"
+    # resume from the persisted state and finish: still exact
+    ck2 = StreamCheckpoint(str(tmp_path / "pre.ck"), every_blocks=2)
+    assert ck2.block_index == ck.block_index
+    got2 = flagstat_stream(path, codec="lz4", impl="pallas_pre",
+                           chunk_words=GROUP_WORDS, checkpoint=ck2)
+    assert_counters_equal(flagstat_numpy(x), got2)
