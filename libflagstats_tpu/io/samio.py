@@ -323,7 +323,9 @@ def flagstat_sam(path, threads: int = 0, impl: str | None = None):
     return flagstats_u16(read_sam_flags(path, threads=threads), impl=impl)
 
 
-def _flagstat_bgzf_sam_parallel(path, threads: int = 0):
+def _flagstat_bgzf_sam_parallel(path, threads: int = 0,
+                                member_start: int = 0,
+                                member_stop: int | None = None):
     """In-process member-range-parallel BGZF-SAM counting (round 4).
 
     The single fused walker is bound by its sequential text-parse
@@ -334,10 +336,12 @@ def _flagstat_bgzf_sam_parallel(path, threads: int = 0):
     range split INSIDE one process — R concurrent range walkers (each
     with its own inflate pool and parse thread; line ownership at range
     boundaries is exact, sam_reader.cpp bgzf_sam_walk), counters summed
-    — capturing the multi-process speedup with one call. Returns None
-    (caller falls back to the single fused walker) when the native lib
-    is missing, the input is not BGZF, or the file is too small for the
-    split to pay."""
+    — capturing the multi-process speedup with one call. With
+    ``member_start``/``member_stop`` it sub-splits one member range
+    (the multihost per-process shard), so distributed legs get the same
+    internal parallelism. Returns None (caller falls back to the single
+    fused walker) when the native lib is missing, the input is not
+    BGZF, or the range is too small for the split to pay."""
     import concurrent.futures as cf
     import os as _os
 
@@ -353,12 +357,16 @@ def _flagstat_bgzf_sam_parallel(path, threads: int = 0):
         n_members = bgzf_member_count(path)
     except ValueError:
         return None                    # gzip-but-not-BGZF etc.
-    if shards < 2 or n_members < 16 * shards:
+    if member_stop is None:
+        member_stop = n_members
+    span = member_stop - member_start
+    if shards < 2 or span < 16 * shards:
         return None                    # too small: split overhead loses
     # prefetch once (the range walkers map the file without WILLNEED)
     native_lib.map_sequential(path)
     per = max(2, ncpu // shards)
-    ranges = shard_block_ranges(n_members, shards)
+    ranges = [(member_start + a, member_start + b)
+              for a, b in shard_block_ranges(span, shards)]
     with cf.ThreadPoolExecutor(shards) as pool:
         parts = list(pool.map(
             lambda r: flagstat_sam_range(path, r[0], r[1], threads=per),

@@ -168,7 +168,17 @@ def flagstat_multihost_bgzf_sam(path, n_threads: int = 0) -> np.ndarray:
     n_members = bgzf_member_count(path)
     ranges = C.shard_block_ranges(n_members, jax.process_count())
     start, stop = ranges[jax.process_index()]
-    local = flagstat_sam_range(path, start, stop, threads=n_threads)
+    # sub-split the local member range across in-process range walkers
+    # (round 4): one walker per process is parse-thread-bound once
+    # libdeflate made inflate cheap — the same split that fixed the
+    # single-host path applies per process
+    from ..io.samio import _flagstat_bgzf_sam_parallel
+
+    local = _flagstat_bgzf_sam_parallel(path, threads=n_threads,
+                                        member_start=start,
+                                        member_stop=stop)
+    if local is None:
+        local = flagstat_sam_range(path, start, stop, threads=n_threads)
     return _global_counter_sum(local)
 
 
