@@ -80,7 +80,11 @@ PROBE_RESERVE_S = 900.0   # stop probing and just try a worker when less
 # hung subprocess.run in the main thread. Reference anchor for the
 # bounded-run discipline: linux/instrumented_benchmark.cpp:107-142.
 # ---------------------------------------------------------------------------
-DEADLINE_S = _env_f("LFS_BENCH_DEADLINE_S", 2400.0)
+DEADLINE_S = _env_f("LFS_BENCH_DEADLINE_S", 1800.0)
+#   default sized under the driver's apparent r03 capture window
+#   (~20-30 min before its kill): warm runs complete in 12-18 min with
+#   the persistent compile cache, and the fallback line must print
+#   BEFORE the external timeout, not after
 #   hard wall for the WHOLE run: print the best available structured line
 #   (results-so-far > stale cache > zero-artifact error) and exit
 OUTAGE_DEADLINE_S = _env_f("LFS_BENCH_OUTAGE_DEADLINE_S", 480.0)
