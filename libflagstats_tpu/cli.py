@@ -189,6 +189,7 @@ def _cmd_inmemory(args):
         impls.append("pallas_words")
         if n >= 8 * 65536:
             impls.append("pallas")
+            impls.append("pallas_pre")   # the shipped tier (round 4)
     ok_all = True
     for impl in impls:
         fn = get_function(n, impl=impl)
