@@ -625,7 +625,13 @@ static int64_t bam_parallel_range(const uint8_t* data, int64_t n_bytes,
     };
 
     // shards: ~3 per worker for load balance, each >= 16 MiB so the
-    // resync scan window (4 MiB) stays well inside a shard
+    // resync scan window (4 MiB) stays well inside a shard. A single
+    // worker gains nothing from sharding (its Cursor inflates inline),
+    // so the whole-file threads<2 case delegates to the ring-pipeline
+    // sequential walker, which still overlaps inflate with the walk.
+    if (threads < 2 && whole_file)
+        return lfs_bam_flagstat(data, n_bytes, counters, threads,
+                                chunk_flags);
     int64_t shards = std::min<int64_t>((int64_t)threads * 3,
                                        span / (16 << 20) + 1);
     ShardResult agg;
