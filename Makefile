@@ -4,9 +4,15 @@
 
 PY ?= python3
 
-# libdeflate: fast whole-buffer BGZF inflate when the dev header exists
-# (io/native/bgzf.h); the define selects the zlib-only fallback otherwise
-DEFLATE := $(shell [ -e /usr/include/libdeflate.h ] && echo -ldeflate \
+# libdeflate: fast whole-buffer BGZF inflate (io/native/bgzf.h). The
+# probe try-compiles+links with the ACTUAL compiler — same decision
+# rule as native_lib._libdeflate_flags, so a header only visible via
+# CPATH//usr/local can never enable bgzf.h's __has_include path without
+# the matching link line (ADVICE r04 #1)
+# (\043 is '#': a literal # would start a make comment, and make's \#
+#  unescaping does not survive into the shell's printf)
+DEFLATE := $(shell printf '\043include <libdeflate.h>\nint main(){return 0;}\n' \
+  | g++ -x c++ - -ldeflate -o /dev/null 2>/dev/null && echo -ldeflate \
   || echo -DLFS_NO_LIBDEFLATE)
 
 .PHONY: all native test test-tpu bench inmemory clean

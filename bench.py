@@ -60,6 +60,11 @@ def _env_f(name: str, default: float) -> float:
 N_WORDS = 64 * 1024 * 1024
 AGREE_PCT = 5.0           # cross-process reproduction tolerance
 MAX_ATTEMPTS = 4          # in-process remeasure attempts
+ALT_ATTEMPTS = 3          # alt-row fit attempts (1 + 2 refits, VERDICT r04 #1)
+HEADLINE_MODE = {"tpu": "pre_full_parity"}   # per-backend current headline
+#   mode (default "full_parity"); the stale-cache replay compares against
+#   this so a cached line from an older headline cannot masquerade as the
+#   current one without a note (ADVICE r04 #2)
 MAX_WORKERS = 4           # worker launches before giving up
 WALL_BUDGET_S = 3600.0    # stop launching new workers past this; a
                           # worker series of tunnel hangs must still
@@ -108,6 +113,47 @@ _REAL_MONOTONIC = time.monotonic   # captured at import: the watchdog must
 #   keep real wall time even when tests monkeypatch time.monotonic to a
 #   fake clock (they do, to simulate budget exhaustion)
 _CURRENT_WORKER: list = []         # [Popen] while a worker subprocess is live
+
+
+def _alt_row(alt_mode: str, n_words: int, roof: float, post: float,
+             fit_fn, bracket_fn, spec: float | None) -> dict | None:
+    """Measure the secondary (alt) kernel row with bounded retries.
+
+    ``fit_fn`` produces one kernel_time_fit sample; ``bracket_fn`` one
+    gate-passing roofline sample (NaN allowed). Each attempt is
+    bracketed by the previous roofline sample (the headline's post
+    sample on attempt 0) and one fresh sample, so the row shares the
+    congestion window with its own denominator. Returns the accepted
+    row dict or None after ALT_ATTEMPTS gate rejections (the gates are
+    the headline's: fit ok, dispersion, nominal-HBM cap / measured-
+    roofline margin when the part is unknown)."""
+    from libflagstats_tpu.bench.harness import DISPERSION_MAX, ROOF_MARGIN
+
+    prev_bracket = post
+    for alt_attempt in range(ALT_ATTEMPTS):
+        fit_alt = fit_fn()
+        post2 = bracket_fn()
+        bks = [b for b in (prev_bracket, post2) if b == b]
+        alt_window = (sum(bks) / len(bks)) if bks else roof
+        prev_bracket = post2   # next retry brackets against fresh samples
+        alt_bps = 2.0 * n_words / fit_alt.slope_s
+        if (fit_alt.ok and fit_alt.dispersion < DISPERSION_MAX
+                and not (spec and alt_bps > spec * 1.02)
+                and not (not spec and alt_bps > max(roof, alt_window)
+                         * ROOF_MARGIN)):
+            return {
+                "mode": alt_mode,
+                "kernel_ms": fit_alt.slope_s * 1e3,
+                "bytes_per_s": alt_bps,
+                "vs_roofline": alt_bps / max(alt_window, alt_bps),
+                "vs_defended": alt_bps / roof,
+                "window_roofline_gbs": alt_window / 1e9,
+            }
+        print(f"[bench] alt row attempt {alt_attempt} rejected by gates "
+              f"(ok={fit_alt.ok} disp={fit_alt.dispersion:.3f}); "
+              f"{'retrying' if alt_attempt + 1 < ALT_ATTEMPTS else 'giving up'}",
+              file=sys.stderr)
+    return None
 
 
 def _measure_worker() -> dict:
@@ -345,38 +391,32 @@ def _measure_worker() -> dict:
     # secondary defended row: the in-VMEM-transpose kernel (the former
     # headline), measured right after the accepted headline fit and
     # bracketed by the headline's post-sample plus one fresh sample so
-    # both rows share the congestion window
+    # both rows share the congestion window. Round-5 (VERDICT r04 #1):
+    # a gate-rejected alt fit is RETRIED (bounded) instead of shipping
+    # alt=null — the reference reports every variant side by side
+    # (benchmark/inmemory.cpp:61-104), so the archived artifact should
+    # carry both tiers whenever the chip allows it.
     alt = None
     if body_alt is not None:
-        fit_alt = kernel_time_fit(body_alt, x_alt, ks=ks,
-                                  salt_base=(time.time_ns() >> 10) & 0x3FFF)
-        post2 = roof_bracket()
-        bks = [b for b in (post, post2) if b == b]
-        alt_window = (sum(bks) / len(bks)) if bks else roof
         from libflagstats_tpu.bench.harness import hbm_nominal_bytes_per_s
 
-        spec = hbm_nominal_bytes_per_s()
-        alt_bps = 2.0 * n_words / fit_alt.slope_s
-        if (fit_alt.ok and fit_alt.dispersion < DISPERSION_MAX
-                and not (spec and alt_bps > spec * 1.02)
-                and not (not spec and alt_bps > max(roof, alt_window)
-                         * ROOF_MARGIN)):
-            alt = {
-                "mode": alt_mode,
-                "kernel_ms": fit_alt.slope_s * 1e3,
-                "bytes_per_s": alt_bps,
-                "vs_roofline": alt_bps / max(alt_window, alt_bps),
-                "window_roofline_gbs": alt_window / 1e9,
-            }
-        else:
-            print("[bench] alt row rejected by gates "
-                  f"(ok={fit_alt.ok} disp={fit_alt.dispersion:.3f})",
-                  file=sys.stderr)
+        alt = _alt_row(
+            alt_mode, n_words, roof, post,
+            fit_fn=lambda: kernel_time_fit(
+                body_alt, x_alt, ks=ks,
+                salt_base=(time.time_ns() >> 10) & 0x3FFF),
+            bracket_fn=roof_bracket, spec=hbm_nominal_bytes_per_s())
 
     return {
         "backend": backend,
         "n_words": n_words,
         "mode": mode,
+        # the timed unit in pre mode is the transpose-free device kernel;
+        # the host AVX2 bit transpose runs as an (untimed) ingest-pipeline
+        # stage — disclosed explicitly so value/vs_baseline are never read
+        # as apples-to-apples with a full_parity line (ADVICE r04 #2)
+        "host_preprocess": ("bit_transpose" if mode == "pre_full_parity"
+                            else None),
         "alt": alt,
         "nblk": nblk,
         "kernel_ms": t_kernel * 1e3,
@@ -390,6 +430,12 @@ def _measure_worker() -> dict:
         "defended_roofline_gbs": roof / 1e9,
         "roofline_kind": roof_name,
         "vs_roofline": bps / denom,
+        # UNCAPPED ratio vs the defended multi-sample roofline — shipped
+        # alongside vs_roofline so a 1.00-vs-bracket reading can never be
+        # mistaken for 1.00-vs-defended (VERDICT r04 weak #1); can exceed
+        # 1.0 when the defended roofline was measured in a busier window
+        # than the kernel fit
+        "vs_defended": bps / roof,
         "fit_residual": fit.rel_residual,
         "fit_dispersion": fit.dispersion,
         "dispatch_ms": fit.intercept_s * 1e3,
@@ -497,12 +543,17 @@ def _final_line(slow: dict, spread, agreement: str) -> dict:
         "roofline_kind": slow.get("roofline_kind", "?"),
         "defended_roofline_gbs": round(slow["defended_roofline_gbs"], 1)
         if "defended_roofline_gbs" in slow else None,
+        "vs_defended": (round(slow["vs_defended"], 4)
+                        if "vs_defended" in slow else None),
         "mode": slow.get("mode", "full_parity"),
+        "host_preprocess": slow.get("host_preprocess"),
         "alt": ({
             "mode": slow["alt"]["mode"],
             "kernel_ms": round(slow["alt"]["kernel_ms"], 4),
             "gbytes_per_s": round(slow["alt"]["bytes_per_s"] / 1e9, 1),
             "vs_roofline": round(slow["alt"]["vs_roofline"], 4),
+            "vs_defended": (round(slow["alt"]["vs_defended"], 4)
+                            if "vs_defended" in slow["alt"] else None),
         } if slow.get("alt") else None),
         "nblk": slow.get("nblk"),
         "cross_process_spread_pct": (None if spread is None
@@ -595,8 +646,19 @@ def _fallback_line(results: list[dict], why: str) -> tuple[dict, int]:
         line["agreement"] = "stale_cache"
         line["stale"] = True
         line["stale_age_s"] = round(time.time() - cached["saved_at_unix"], 1)
-        line["note"] = (f"{why}; reporting the last cross-process-agreed "
-                        "measurement, labeled stale")
+        note = (f"{why}; reporting the last cross-process-agreed "
+                "measurement, labeled stale")
+        expected = HEADLINE_MODE.get(line.get("backend"), "full_parity")
+        if line.get("mode", "full_parity") != expected:
+            # a cached line from an OLDER headline definition is not
+            # comparable to the current one — say so rather than letting
+            # a metric/value consumer read it as the current headline
+            # (ADVICE r04 #2)
+            note += (f"; CACHED MODE MISMATCH: cached mode="
+                     f"{line.get('mode')!r} differs from the current "
+                     f"headline mode {expected!r} — values are not "
+                     "comparable across modes")
+        line["note"] = note
         return line, 0
     return _zero_artifact_line(why), 1
 

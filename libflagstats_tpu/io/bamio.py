@@ -81,6 +81,19 @@ _QUAL_LUT = np.repeat(_QUAL_BINS,
 _SEQ_PAIR_LUT = ((_SEQ_CODES[np.arange(256) & 3] << 4)
                  | _SEQ_CODES[(np.arange(256) >> 2) & 3]).astype(np.uint8)
 
+#: realistic-record aux block (RG:Z: + AS:i: + YT:Z:), shared by the
+#: template builder and the length derivation below
+_REALISTIC_AUX = (b"RGZ" + b"NA12878L1\x00"
+                  + b"ASi" + struct.pack("<i", 0)
+                  + b"YTZ" + b"UU\x00")
+_REALISTIC_NAME_LEN = len(_RNAME_PREFIX) + 5 + 1 + 7 + 1      # + NUL
+#: full on-disk record length (4-byte block_size + body) of one
+#: realistic record — DERIVED from the same arithmetic that builds the
+#: _realistic_chunk template, so chunk sizing can never silently drift
+#: from the actual record shape (ADVICE r04 #3; was a hardcoded 333)
+REALISTIC_REC_LEN = (4 + _FIXED + _REALISTIC_NAME_LEN
+                     + (READ_LEN + 1) // 2 + READ_LEN + len(_REALISTIC_AUX))
+
 
 def _realistic_chunk(part: np.ndarray, start: int, seed: int) -> bytes:
     """Vectorized (n, rec_len) realistic BAM records for FLAG chunk
@@ -89,11 +102,9 @@ def _realistic_chunk(part: np.ndarray, start: int, seed: int) -> bytes:
     coordinates so only FLAG semantics matter, like the minimal writer."""
     n = part.size
     rng = np.random.default_rng(np.uint64(seed) ^ np.uint64(start))
-    name_len = len(_RNAME_PREFIX) + 5 + 1 + 7 + 1          # + NUL
+    name_len = _REALISTIC_NAME_LEN
     seq_bytes = (READ_LEN + 1) // 2
-    aux = (b"RGZ" + b"NA12878L1\x00"                       # RG:Z:
-           + b"ASi" + struct.pack("<i", 0)                 # AS:i:
-           + b"YTZ" + b"UU\x00")                           # YT:Z:
+    aux = _REALISTIC_AUX
     body_len = _FIXED + name_len + seq_bytes + READ_LEN + len(aux)
     template = (struct.pack("<i", body_len)
                 + struct.pack("<iiBBHH", -1, -1, name_len, 0, 4680, 0)
@@ -103,6 +114,7 @@ def _realistic_chunk(part: np.ndarray, start: int, seed: int) -> bytes:
                 + b"\x00" * (seq_bytes + READ_LEN)
                 + aux)
     rec_len = len(template)
+    assert rec_len == REALISTIC_REC_LEN, (rec_len, REALISTIC_REC_LEN)
     recs = np.broadcast_to(
         np.frombuffer(template, dtype=np.uint8), (n, rec_len)).copy()
     recs[:, 18:20] = part.view(np.uint8).reshape(-1, 2)
@@ -149,7 +161,7 @@ def write_bam(path, flags, read_name: bytes = b"r",
                 + b"\x00\x00"                       # FLAG placeholder
                 + struct.pack("<iiii", 0, -1, -1, 0)
                 + name)
-    rec_len = len(template) if payload == "minimal" else 333
+    rec_len = len(template) if payload == "minimal" else REALISTIC_REC_LEN
     chunk_records = max(1, (1 << 24) // rec_len)    # ~16 MB of raw records
 
     with open(path, "wb") as fh, cf.ThreadPoolExecutor(threads) as pool:

@@ -318,8 +318,36 @@ bool validate_chain(Cursor& c, int64_t o, int64_t total, int k = 4) {
 // on the cursor's sticky inflate-failure flag — without this, one
 // uninflatable member inside the window would re-run its failing
 // inflate for every scanned candidate offset (review finding r4).
+//
+// Work bound (ADVICE r04 #4): the scan is bounded by BYTES (the 4 MiB
+// window) but each candidate surviving the cheap block-size test costs
+// several cursor reads in validate_chain. On degenerate/adversarial
+// inflated content the cheap test rarely rejects (~1.6% of random
+// 4-byte ints land in [33, 64Mi]), so a 4 MiB window can deep-validate
+// ~65k candidates and the parallel path can run slower than sequential
+// without ever failing. Cap the deep validations; tripping the cap
+// returns -1, which the callers already treat as "resync failed" and
+// fall back to attempt(1)/the sequential walker (arrival-exactness is
+// unaffected — this only bounds wasted work on non-BAM-shaped bytes).
+// Budget sizing: genuine content deep-validates ~1.6% of the bytes
+// scanned before the true record start (<= one record length), so 65536
+// covers records up to the full 4 MiB scan window with margin, while
+// crafted everywhere-plausible content drops from ~4M deep validations
+// to 65k (~64x less wasted work before the sequential fallback).
 int64_t resync(Cursor& c, int64_t lo, int64_t hi, int64_t total) {
+    int64_t deep_budget = 65536;
     for (int64_t o = lo; o < hi; o++) {
+        uint8_t h[4];
+        if (o + 4 > total || !c.read(o, h, 4)) {
+            if (c.bad) return -1;
+            continue;
+        }
+        int32_t bs;
+        std::memcpy(&bs, h, 4);
+        if (bs < 33 || (int64_t)bs > kMaxBlockSize ||
+            o + 4 + (int64_t)bs > total)
+            continue;                      // cheap reject: one cached read
+        if (--deep_budget < 0) return -1;  // work bound tripped
         if (validate_chain(c, o, total)) return o;
         if (c.bad) return -1;
     }

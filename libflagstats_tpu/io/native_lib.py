@@ -35,6 +35,31 @@ _lib = None
 _load_error: Exception | None = None
 
 
+def _libdeflate_flags() -> list[str]:
+    """Single-sourced libdeflate decision (ADVICE r04 #1): try-compile a
+    real libdeflate call with the ACTUAL compiler. bgzf.h enables its
+    libdeflate path via __has_include, which searches every compiler
+    include path — so a header visible only via /usr/local/include or
+    CPATH would pass a hardcoded /usr/include existence check's
+    *negation*, compile the libdeflate call without -ldeflate, fail the
+    link, and load() would silently degrade every native fast path to
+    the pure-Python fallback. A compile+link probe is the only check
+    that cannot disagree with the real build; on failure the zlib-only
+    fallback is forced explicitly so header and link line stay in
+    agreement."""
+    probe = ("#include <libdeflate.h>\n"
+             "int main(){return libdeflate_alloc_decompressor()==nullptr;}\n")
+    try:
+        r = subprocess.run(
+            ["g++", "-x", "c++", "-", "-ldeflate", "-o", os.devnull],
+            input=probe, text=True, capture_output=True, timeout=60)
+        if r.returncode == 0:
+            return ["-ldeflate"]
+    except (OSError, subprocess.TimeoutExpired):
+        pass
+    return ["-DLFS_NO_LIBDEFLATE"]
+
+
 def _build() -> Path:
     _BUILD_DIR.mkdir(exist_ok=True)
     src_mtime = max(s.stat().st_mtime for s in _SRCS)
@@ -51,15 +76,11 @@ def _build() -> Path:
             "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
             *(str(s) for s in _SRCS), "-o", tmp, "-lzstd", "-lz",
             "-pthread",
+            # libdeflate (2.5x zlib on whole-buffer BGZF members, measured
+            # in io/native/bgzf.h) — linked iff the compiler itself can
+            # compile AND link it (see _libdeflate_flags)
+            *_libdeflate_flags(),
         ]
-        # libdeflate (2.5x zlib on whole-buffer BGZF members, measured
-        # in io/native/bgzf.h) — link it when the dev header exists;
-        # otherwise compile the zlib-only fallback explicitly so the
-        # header's __has_include can never disagree with the link line
-        if os.path.exists("/usr/include/libdeflate.h"):
-            cmd.append("-ldeflate")
-        else:
-            cmd.append("-DLFS_NO_LIBDEFLATE")
         subprocess.run(cmd, check=True, capture_output=True)
         os.replace(tmp, _LIB_PATH)
     except BaseException:

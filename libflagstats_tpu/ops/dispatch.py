@@ -48,7 +48,13 @@ POSPOPCNT_IMPLS = {
     "pallas": "bit-sliced transpose + Harley-Seal CSA VMEM kernel",
 }
 
-# Measured dispatch crossovers (tools/crossover_sweep.py, 2026-08-17;
+# Measured dispatch crossovers — the constants below are this
+# environment's DEFAULTS; a deployment re-derives them with
+# `python tools/crossover_sweep.py --write` (plus `--pospopcnt --write`),
+# which records the measurements in calibration.json with provenance,
+# and _apply_calibration() below overrides the constants at import
+# (reference analogue: runtime-probed cached dispatch,
+# libflagstats.h:2977-3022). Measured here 2026-08-17;
 # reference analogue: the measured size tiers of STORM_pospopcnt_u16,
 # libalgebra.h:3519-3543, and FLAGSTATS_u16, libflagstats.h:2999-3021).
 #
@@ -89,12 +95,30 @@ POSPOPCNT_XLA_MIN_CPU = 1 << 17
 # H2D bandwidth binds, ~26 MB/s of uint16 in that window) vs 0.35 s
 # native — through a remote tunnel the host tier wins at EVERY size
 # (and, unlike the device paths, counts in uint64 with no cap), so the
-# crossover is effectively disabled here. On a co-located TPU re-derive
-# with tools/crossover_sweep.py (it prints a native column + suggested
-# NATIVE_DEVICE_MIN when the lib is present); there the device should
-# win from ~1Mi words.
+# crossover is effectively disabled here. On a co-located TPU run
+# `python tools/crossover_sweep.py --write` once: it measures the real
+# crossover (there the device should win from ~1Mi words) and writes it
+# to calibration.json, which overrides these constants at import — no
+# source edit needed.
 NATIVE_DEVICE_MIN_TPU = 1 << 62
 POSPOPCNT_NATIVE_DEVICE_MIN_TPU = 1 << 62
+
+
+def _apply_calibration() -> list[str]:
+    """Override the measured-crossover constants from calibration.json
+    (written by tools/crossover_sweep.py --write; schema + rationale in
+    calibration.py). Returns the names applied, for logging/tests.
+    Runs at import; call again after editing the file at runtime."""
+    from ..calibration import load_thresholds
+
+    applied = []
+    for name, value in load_thresholds().items():
+        globals()[name] = value
+        applied.append(name)
+    return applied
+
+
+_CALIBRATED = _apply_calibration()
 
 
 def pallas_min(nblk: int = 8) -> int:

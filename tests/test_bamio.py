@@ -148,7 +148,10 @@ def test_realistic_payload_roundtrip(tmp_path):
     p = tmp_path / "real.bam"
     n = bamio.write_bam(p, x, level=1, payload="realistic", seed=3)
     assert n == x.size
-    raw_per_rec = 333          # 4 + 32 fixed + 44 name + 76 seq + 151 qual + 26 aux
+    # single-sourced from the template arithmetic (ADVICE r04 #3);
+    # _realistic_chunk asserts the built template matches it exactly
+    raw_per_rec = bamio.REALISTIC_REC_LEN
+    assert raw_per_rec == 333  # 4 + 32 fixed + 44 name + 76 seq + 151 qual + 26 aux
     np.testing.assert_array_equal(bamio.read_bam_flags(p), x)
     np.testing.assert_array_equal(
         bamio.read_bam_flags_py(p, max_records=2000), x[:2000])

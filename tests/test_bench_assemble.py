@@ -232,3 +232,111 @@ def test_defended_roofline_with_kind_cpu():
     assert value > 0
     assert kind and all(part in ("read_sum", "read_xor", "read_xor_pallas")
                         for part in kind.split("+"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 (VERDICT r04 #1 + ADVICE r04 #2): alt-row bounded retry, dual
+# ratios (vs_roofline in-window bracket AND vs_defended multi-sample),
+# host_preprocess disclosure, stale-replay mode-mismatch note.
+# ---------------------------------------------------------------------------
+
+
+class _FakeFit:
+    def __init__(self, slope_s, ok=True, dispersion=0.05):
+        self.slope_s = slope_s
+        self.ok = ok
+        self.dispersion = dispersion
+
+
+def test_alt_row_retries_until_gates_pass():
+    """A dispersion-rejected first fit must not ship alt=null when a
+    later attempt passes the gates (the r04 artifact had alt=null from
+    exactly one rejected fit)."""
+    n_words = 64 * 1024 * 1024
+    good_slope = 2 * n_words / 700e9   # 700 GB/s
+    fits = iter([_FakeFit(good_slope, dispersion=0.9),    # gate-rejected
+                 _FakeFit(good_slope, dispersion=0.05)])  # accepted
+    brackets = iter([720e9, 725e9])
+    row = bench._alt_row("full_parity", n_words, roof=730e9, post=718e9,
+                         fit_fn=lambda: next(fits),
+                         bracket_fn=lambda: next(brackets, float("nan")),
+                         spec=819e9)
+    assert row is not None
+    assert row["mode"] == "full_parity"
+    assert row["bytes_per_s"] == pytest.approx(700e9)
+    # both ratios present: in-window bracket (capped by construction at
+    # 1.0 via the max() denominator) and uncapped vs the defended roofline
+    # the accepted (second) attempt is bracketed by the carried-forward
+    # 720 sample and the fresh 725 sample -> window mean 722.5 GB/s
+    assert row["vs_roofline"] == pytest.approx(700e9 / 722.5e9, rel=1e-6)
+    assert row["vs_defended"] == pytest.approx(700e9 / 730e9, rel=1e-6)
+
+
+def test_alt_row_gives_up_after_bounded_attempts():
+    n_words = 64 * 1024 * 1024
+    calls = {"n": 0}
+
+    def bad_fit():
+        calls["n"] += 1
+        return _FakeFit(2 * n_words / 700e9, dispersion=0.9)
+
+    row = bench._alt_row("full_parity", n_words, roof=730e9, post=718e9,
+                         fit_fn=bad_fit, bracket_fn=lambda: 720e9,
+                         spec=819e9)
+    assert row is None
+    assert calls["n"] == bench.ALT_ATTEMPTS
+
+
+def test_alt_row_rejects_above_nominal_hbm():
+    """A caching-artifact fit implying reads above the part's nominal
+    HBM bandwidth is rejected on every attempt."""
+    n_words = 64 * 1024 * 1024
+    row = bench._alt_row("full_parity", n_words, roof=730e9, post=718e9,
+                         fit_fn=lambda: _FakeFit(2 * n_words / 900e9),
+                         bracket_fn=lambda: 720e9, spec=819e9)
+    assert row is None
+
+
+def test_final_line_carries_dual_ratios_and_host_preprocess():
+    slow = _res(360e9)
+    slow["mode"] = "pre_full_parity"
+    slow["host_preprocess"] = "bit_transpose"
+    slow["vs_defended"] = 0.92
+    slow["defended_roofline_gbs"] = 801.3
+    slow["alt"] = {"mode": "full_parity", "kernel_ms": 0.19,
+                   "bytes_per_s": 690e9, "vs_roofline": 0.96,
+                   "vs_defended": 0.861}
+    line = bench._final_line(slow, 0.5, "cross_process")
+    assert line["vs_defended"] == 0.92
+    assert line["host_preprocess"] == "bit_transpose"
+    assert line["alt"]["vs_roofline"] == 0.96
+    assert line["alt"]["vs_defended"] == 0.861
+
+
+def test_stale_replay_notes_mode_mismatch(monkeypatch, tmp_path):
+    """A cached last-good line whose mode differs from the CURRENT
+    headline mode must say so in its note (ADVICE r04 #2: a consumer
+    keying on metric/value must not read an old-mode line as the
+    current headline)."""
+    import json as _json
+    import time as _time
+
+    path = tmp_path / "lg.json"
+    old_line = bench._final_line(dict(_res(360e9), mode="full_parity"),
+                                 0.4, "cross_process")
+    path.write_text(_json.dumps(
+        {"saved_at_unix": _time.time(), "line": old_line}))
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH", str(path))
+    line, rc = bench._fallback_line([], "outage")
+    assert rc == 0
+    assert line["agreement"] == "stale_cache"
+    assert "CACHED MODE MISMATCH" in line["note"]
+
+    # same-mode replay carries no mismatch warning
+    cur_line = bench._final_line(dict(_res(360e9), mode="pre_full_parity"),
+                                 0.4, "cross_process")
+    path.write_text(_json.dumps(
+        {"saved_at_unix": _time.time(), "line": cur_line}))
+    line2, rc2 = bench._fallback_line([], "outage")
+    assert rc2 == 0
+    assert "CACHED MODE MISMATCH" not in line2["note"]

@@ -16,6 +16,14 @@ Prints a TSV plus suggested XLA_MIN / PALLAS_MIN values for both
 decision regimes. Run on TPU (idle) — results are recorded in
 docs/BENCHMARKS.md and encoded in ops/dispatch.py.
 
+``--write`` additionally records the measured crossovers (with
+provenance: date, backend, device kind, dispatch RTT) in
+calibration.json, which ops/dispatch.py reads at import — the
+deployment-portable path (VERDICT r04 #4; reference analogue:
+runtime-probed cached dispatch, libflagstats.h:2977-3022). A
+deployment move (e.g. tunnel -> co-located TPU) is then one sweep run,
+not a source edit.
+
 ``--pospopcnt`` sweeps the pure positional-popcount tiers instead
 (the STORM_pospopcnt_u16 analogue): host per-bit count vs fused-XLA
 shift-mask-reduce vs bit-sliced Pallas. pospopcnt shares flagstat's
@@ -34,7 +42,49 @@ import time
 import numpy as np
 
 
-def pospopcnt_sweep(sizes) -> int:
+def _provenance(backend: str, rtt_ms: float | None) -> dict:
+    import datetime
+
+    import jax
+
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        kind = "unknown"
+    prov = {
+        "date": datetime.date.today().isoformat(),
+        "backend": backend,
+        "device_kind": kind,
+        "tool": "crossover_sweep",
+    }
+    if rtt_ms is not None and rtt_ms == rtt_ms:
+        prov["dispatch_rtt_ms"] = round(rtt_ms, 1)
+    return prov
+
+
+def _write_calibration(thresholds: dict, backend: str,
+                       rtt_ms: float | None) -> None:
+    from libflagstats_tpu.calibration import write_thresholds
+
+    thresholds = {k: v for k, v in thresholds.items() if v is not None}
+    if not thresholds:
+        print("# --write: no crossover measured in this size range; "
+              "calibration.json left untouched")
+        return
+    path = write_thresholds(thresholds, _provenance(backend, rtt_ms))
+    print(f"# wrote {sorted(thresholds)} to {path} "
+          "(ops/dispatch.py applies it at import)")
+
+
+def _rtt_ms(rows, wall_col: int, kern_col: int) -> float:
+    """Median wall-minus-kernel gap over the device-measured rows — the
+    per-call dispatch round trip the single-call crossovers price in."""
+    gaps = sorted((r[wall_col] - r[kern_col]) * 1e3 for r in rows
+                  if r[wall_col] == r[wall_col] and r[kern_col] == r[kern_col])
+    return gaps[len(gaps) // 2] if gaps else float("nan")
+
+
+def pospopcnt_sweep(sizes, write: bool = False) -> int:
     import jax
     import jax.numpy as jnp
 
@@ -108,6 +158,20 @@ def pospopcnt_sweep(sizes) -> int:
           f"native host): {nat_dev_min}")
     print("# compare against flagstat sweep: dispatch shares one "
           "device_min for both entry points")
+    if write:
+        native_measured = any(r[2] == r[2] for r in rows)
+        if backend == "tpu":
+            th = {"POSPOPCNT_DEVICE_MIN_TPU": dev_min}
+            if native_measured:
+                # no crossover in range + native measured -> the host tier
+                # wins everywhere tested: record the disabled sentinel the
+                # source default uses, so a previous calibration cannot
+                # linger after the machine got slower
+                th["POSPOPCNT_NATIVE_DEVICE_MIN_TPU"] = (
+                    nat_dev_min if nat_dev_min is not None else 1 << 62)
+        else:
+            th = {"POSPOPCNT_XLA_MIN_CPU": dev_min}
+        _write_calibration(th, backend, _rtt_ms(rows, 3, 4))
     return 0
 
 
@@ -126,11 +190,12 @@ def main() -> int:
     # 4x-stepped grid bounds the remote-compile count (each size is a
     # fresh executable per body per K); fine-grained refinement around a
     # crossover can be a follow-up run with an explicit list
-    argv = [a for a in sys.argv[1:] if a != "--pospopcnt"]
+    argv = [a for a in sys.argv[1:] if a not in ("--pospopcnt", "--write")]
+    write = "--write" in sys.argv[1:]
     sizes = ([int(s) for s in argv] if argv
              else [1 << k for k in range(10, 27, 2)])  # 1Ki..64Mi, 4x steps
     if "--pospopcnt" in sys.argv[1:]:
-        return pospopcnt_sweep(sizes)
+        return pospopcnt_sweep(sizes, write=write)
     pallas_min_words = 8 * PK.GROUP_WORDS
 
     from libflagstats_tpu.ops import native_host
@@ -205,6 +270,21 @@ def main() -> int:
     print(f"# suggested PALLAS_MIN (dispatch-free kernel): {pallas_min_kern}")
     print("# suggested NATIVE_DEVICE_MIN (device wall beats native host): "
           f"{native_dev_min}")
+    if write:
+        device_min = first_size(lambda r: min(r[3], r[5]) == min(r[3], r[5])
+                                and min(r[3], r[5]) < r[1])
+        native_measured = any(r[2] == r[2] for r in rows)
+        if backend == "tpu":
+            th = {"DEVICE_MIN_TPU": device_min}
+            if native_measured:
+                # see pospopcnt_sweep: None with native measured means the
+                # host tier won everywhere tested -> record the disabled
+                # sentinel rather than leaving a stale lower threshold
+                th["NATIVE_DEVICE_MIN_TPU"] = (
+                    native_dev_min if native_dev_min is not None else 1 << 62)
+        else:
+            th = {"XLA_MIN_CPU": xla_min_wall}
+        _write_calibration(th, backend, _rtt_ms(rows, 3, 4))
     return 0
 
 
