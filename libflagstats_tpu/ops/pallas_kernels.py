@@ -110,6 +110,24 @@ def _stream_inputs_pospopcnt(rows: list[jax.Array]) -> list[jax.Array]:
     return list(zip(h1, h2))
 
 
+def _stream_inputs_raw(rows: list[jax.Array]) -> list[jax.Array]:
+    """Transposed rows -> 29 RAW plane streams (count-only probe).
+
+    The flagstat stream COUNT and CSA schedule with the mask-select
+    transform deleted: C-stream k and F-stream k both count raw plane k
+    directly. Exists for the measured stage decomposition (round 5,
+    VERDICT r04 #2): T(pre) - T(raw) isolates the transform's device
+    cost, the way the reference brackets kernels between memcpy and the
+    full variant (linux/instrumented_benchmark.cpp:456-544). Counts are
+    well-defined (positional popcounts, duplicated across strata), so
+    the probe kernel is itself oracle-checkable."""
+    c = [(rows[B.first_half_row(k)], rows[B.second_half_row(k)])
+         for k in B.C_STREAMS]
+    f = [(rows[B.first_half_row(k)], rows[B.second_half_row(k)])
+         for k in B.F_STREAMS]
+    return c + f
+
+
 def _make_kernel(nblk: int, mode: str, pre: bool = False,
                  two_level: bool | None = None):
     """Build the Pallas kernel body for `mode` in
@@ -127,6 +145,18 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False,
     (round 3) runs the whole second level IN-step — four sixteens pair
     to one peeled 64s plane with no cross-step pending machinery and
     half the per-step scratch round-trips of nblk=16."""
+    repeat = 1
+    if mode.startswith("flagstat_raw@"):
+        # repeat-chained count probe (stage decomposition): the whole
+        # nblk-group CSA consumption runs `repeat` times per grid step
+        # with the accumulators CHAINED across repetitions (v changes
+        # every rep, so no two _csa calls are common subexpressions a
+        # compiler could fold). Counts come out exactly repeat x the
+        # rep-1 counts — still oracle-checkable. Differencing two
+        # compute-bound repeat counts isolates the CSA+peel ALU time
+        # from the DMA shadow (tools/stage_decomposition.py).
+        repeat = int(mode.split("@", 1)[1])
+        mode = "flagstat_raw"
     if mode == "flagstat":
         n_streams = B.N_STREAMS
         stages = B.pruned_pairs()
@@ -135,6 +165,16 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False,
         n_streams = B.N_REPORT_STREAMS
         stages = B.pruned_pairs(B.REPORT_NEEDED_ROWS)
         make_streams = functools.partial(_stream_inputs_flagstat, report=True)
+    elif mode == "flagstat_raw":
+        # count-only decomposition probe: full stream count, no transform
+        if not pre:
+            # the pruned transpose only materializes NEEDED_ROWS (planes
+            # 0-11); raw streams read planes 0-14, so this mode is
+            # defined over host-pretransposed tiles only
+            raise ValueError("flagstat_raw requires pre=True plane tiles")
+        n_streams = B.N_STREAMS
+        stages = None
+        make_streams = _stream_inputs_raw
     else:
         n_streams = 16
         stages = {j: B.swap_pairs(j) for j, _ in B.TRANSPOSE_STAGES}
@@ -149,6 +189,8 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False,
         two_level = False
     if two_level and nblk not in (8, 16, 32):
         raise ValueError("two_level schedules exist for nblk in (8,16,32)")
+    if repeat > 1 and two_level:
+        raise ValueError("repeat-chained probes have no two_level schedule")
 
     def kernel(x_ref, out_ref, v1_ref, v2_ref, v4_ref, v8_ref, *extra):
         step = pl.program_id(0)
@@ -173,38 +215,43 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False,
 
         # Harley-Seal over nblk register-groups: each group contributes an
         # (even, odd) input pair per stream; nblk=8 is one 16-input body.
-        twosA = [None] * n_streams
-        foursA = [None] * n_streams
-        eightsA = [None] * n_streams
-        for g in range(nblk):
-            if pre:
-                rows = [x_ref[g, k] for k in range(REGS)]
-            else:
-                # free sublane reinterpretation: (16,128) uint16 -> (8,128)
-                # uint32, each word landing intact in one 16-bit field (any
-                # pairing is count-neutral)
-                regs = [pltpu.bitcast(x_ref[g, k], _U32) for k in range(REGS)]
-                rows = _transpose32(regs, stages)
-            pairs = make_streams(rows)
-            for s, (d0, d1) in enumerate(pairs):
-                v1[s], twos = _csa(v1[s], d0, d1)
-                if g % 2 == 0:
-                    twosA[s] = twos
-                    continue
-                v2[s], fours = _csa(v2[s], twosA[s], twos)
-                if g % 4 == 1:
-                    foursA[s] = fours
-                    continue
-                v4[s], eights = _csa(v4[s], foursA[s], fours)
-                if g % 8 == 3:
-                    eightsA[s] = eights
-                    continue
-                v8[s], sixteens = _csa(v8[s], eightsA[s], eights)
-                if two_level:
-                    s16[s].append(sixteens)
+        # The rep loop only unrolls >1 for the repeat-chained count probe
+        # (stage decomposition; accumulators chain across reps, so no rep
+        # is CSE-foldable and counts scale exactly by `repeat`).
+        for _rep in range(repeat):
+            twosA = [None] * n_streams
+            foursA = [None] * n_streams
+            eightsA = [None] * n_streams
+            for g in range(nblk):
+                if pre:
+                    rows = [x_ref[g, k] for k in range(REGS)]
                 else:
-                    pc = _popcount32(sixteens) << 4   # each bit = 16 words
-                    acc[s] = pc if acc[s] is None else acc[s] + pc
+                    # free sublane reinterpretation: (16,128) uint16 ->
+                    # (8,128) uint32, each word landing intact in one
+                    # 16-bit field (any pairing is count-neutral)
+                    regs = [pltpu.bitcast(x_ref[g, k], _U32)
+                            for k in range(REGS)]
+                    rows = _transpose32(regs, stages)
+                pairs = make_streams(rows)
+                for s, (d0, d1) in enumerate(pairs):
+                    v1[s], twos = _csa(v1[s], d0, d1)
+                    if g % 2 == 0:
+                        twosA[s] = twos
+                        continue
+                    v2[s], fours = _csa(v2[s], twosA[s], twos)
+                    if g % 4 == 1:
+                        foursA[s] = fours
+                        continue
+                    v4[s], eights = _csa(v4[s], foursA[s], fours)
+                    if g % 8 == 3:
+                        eightsA[s] = eights
+                        continue
+                    v8[s], sixteens = _csa(v8[s], eightsA[s], eights)
+                    if two_level:
+                        s16[s].append(sixteens)
+                    else:
+                        pc = _popcount32(sixteens) << 4  # bit = 16 words
+                        acc[s] = pc if acc[s] is None else acc[s] + pc
 
         for s in range(n_streams):
             v1_ref[s] = v1[s]
@@ -519,6 +566,182 @@ def read_xor_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((SUB, LANE), _U32),
         interpret=interpret,
     )(xg)
+    return jax.lax.reduce(out.ravel(), _u32(0), jax.lax.bitwise_xor, (0,))[None]
+
+
+# ---------------------------------------------------------------------------
+# Stage-decomposition probe kernels (round 5, VERDICT r04 #2): measure
+# each stage of the in-VMEM-transpose kernel instead of asserting its op
+# model on paper. Over the SAME 128 MiB of HBM traffic:
+#
+#   T_read       read_xor_pallas               (pure read + xor fold)
+#   T_transpose  transpose_xor_pallas          (read + bitcast + pruned
+#                                               transpose + xor fold)
+#   T_raw        stream_sums_pallas_raw        (read pre-planes + 29-stream
+#                                               CSA count, NO transform)
+#   T_pre        stream_sums_pallas_pre        (read pre-planes + transform
+#                                               + CSA count)
+#   T_full       stream_sums_pallas            (everything in-VMEM)
+#
+# transpose share = T_transpose - T_read; transform share = T_pre - T_raw;
+# count share = T_raw - T_read; additivity check: T_full ≈ T_transpose +
+# T_pre - T_read. Driven by tools/stage_decomposition.py with the
+# defended fit + bracketing method; results in docs/BENCHMARKS.md.
+# Reference discipline: the memcpy speed-of-light bracketing of
+# linux/instrumented_benchmark.cpp:456-544.
+# ---------------------------------------------------------------------------
+
+
+def stream_sums_pallas_raw(planes: jax.Array, nblk: int = 8,
+                           interpret: bool = False,
+                           repeat: int = 1) -> jax.Array:
+    """Count-only probe: the flagstat kernel's exact stream count and
+    CSA schedule over host-pretransposed plane tiles with the transform
+    deleted (see _stream_inputs_raw). Returns the (32,) per-stream
+    totals: entry s < 15 and entry 15 + s both hold the positional
+    popcount of plane s (strata duplicated), so callers can verify
+    against pospopcnt. ``repeat`` chains the whole CSA consumption that
+    many times per grid step (counts scale exactly by repeat) —
+    differencing two compute-bound repeat counts isolates the CSA+peel
+    ALU time from the DMA shadow."""
+    if planes.ndim != 4 or planes.shape[1:] != (REGS, SUB, LANE):
+        raise ValueError(
+            f"expected (G, 32, 8, 128) plane tiles, got {planes.shape}")
+    if planes.shape[0] == 0:
+        return jnp.zeros(32, jnp.int32)
+    groups = planes.shape[0]
+    if groups % nblk:
+        pad = nblk - groups % nblk
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((pad, REGS, SUB, LANE), planes.dtype)])
+    mode = "flagstat_raw" if repeat == 1 else f"flagstat_raw@{repeat}"
+    return _run_kernel(planes, nblk, mode, interpret, pre=True)
+
+
+def _make_transpose_roof_kernel(nblk: int, stages, fold_rows, repeat: int):
+    def kernel(x_ref, out_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        acc = None
+        for g in range(nblk):
+            rows = [pltpu.bitcast(x_ref[g, k], _U32) for k in range(REGS)]
+            # chained repetitions: each rep transposes the PREVIOUS
+            # rep's output (a true data dependence — the network is
+            # GF(2)-linear, so an input-tweak scheme could be hoisted
+            # by a constant-folding compiler; a chain cannot)
+            for _rep in range(repeat):
+                rows = _transpose32(rows, stages)
+            for r in fold_rows:
+                acc = rows[r] if acc is None else acc ^ rows[r]
+        out_ref[...] = out_ref[...] ^ acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "repeat"))
+def transpose_xor_pallas(x: jax.Array, interpret: bool = False,
+                         repeat: int = 1) -> jax.Array:
+    """Transpose-only probe: read + bitcast + the flagstat kernel's own
+    pruned masked-swap transpose, consumed by an xor fold of the
+    NEEDED_ROWS planes (the cheapest use that keeps every transpose op
+    live — the fold's ~23 xors/group are within noise of
+    read_xor_pallas's 31, so T(this) - T(read_xor) isolates the
+    transpose's device cost). Returns uint32[1]; at repeat=1 the digest
+    equals the xor-fold of the same planes computed on host (tested in
+    interpret mode), so the probe is itself correctness-checkable.
+    ``repeat`` chains the transpose onto its own output that many times
+    per group; differencing two compute-bound repeat counts isolates
+    the transpose ALU time from the DMA shadow. (Reps 2+ transpose
+    plane-space data — op count is identical, which is all the timing
+    needs; only the pruned network's passthrough rows differ in
+    content.)"""
+    if x.size == 0:
+        return jnp.zeros((1,), _U32)
+    nblk = 8
+    xg = _pack_stream(x, nblk)
+    out = pl.pallas_call(
+        _make_transpose_roof_kernel(nblk, B.pruned_pairs(),
+                                    sorted(B.NEEDED_ROWS), repeat),
+        grid=(xg.shape[0] // nblk,),
+        in_specs=[
+            pl.BlockSpec((nblk, REGS, SUB16, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((SUB, LANE), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SUB, LANE), _U32),
+        interpret=interpret,
+    )(xg)
+    return jax.lax.reduce(out.ravel(), _u32(0), jax.lax.bitwise_xor, (0,))[None]
+
+
+def _make_transform_roof_kernel(nblk: int, repeat: int):
+    def kernel(x_ref, out_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        acc = None
+        for g in range(nblk):
+            rows = [x_ref[g, k] for k in range(REGS)]
+            for half_of in (B.first_half_row, B.second_half_row):
+                p = [rows[half_of(j)] for j in range(12)]
+                # chained repetitions: each rep transforms the previous
+                # rep's output planes (t[:12] is shape-compatible with
+                # the 12 input planes), so no rep is CSE-foldable
+                for _rep in range(repeat):
+                    t = B.transform_planes(p)
+                    p = t[:12]
+                q = t[F.FQCFAIL_OFF]
+                for k in B.C_STREAMS:
+                    acc = t[k] if acc is None else acc ^ t[k]
+                for k in B.F_STREAMS:
+                    acc = acc ^ (t[k] & q)
+        out_ref[...] = out_ref[...] ^ acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "repeat"))
+def transform_xor_pallas_pre(planes: jax.Array, interpret: bool = False,
+                             repeat: int = 1) -> jax.Array:
+    """Transform-only probe over host-pretransposed plane tiles: read +
+    the full flagstat plane transform (both word halves, including the
+    F-stratum AND) consumed by an xor fold of all 29 stream planes.
+    ``repeat`` chains the transform onto its own output planes;
+    differencing two compute-bound repeat counts isolates the
+    transform's ALU time (model: ~0.94 ops/word incl. the F AND,
+    docs/BENCHMARKS.md op table) from the DMA shadow. Returns
+    uint32[1] (digest checked against the host fold at repeat=1)."""
+    if planes.ndim != 4 or planes.shape[1:] != (REGS, SUB, LANE):
+        raise ValueError(
+            f"expected (G, 32, 8, 128) plane tiles, got {planes.shape}")
+    if planes.shape[0] == 0:
+        return jnp.zeros((1,), _U32)
+    nblk = 8
+    groups = planes.shape[0]
+    if groups % nblk:
+        pad = nblk - groups % nblk
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((pad, REGS, SUB, LANE), planes.dtype)])
+    out = pl.pallas_call(
+        _make_transform_roof_kernel(nblk, repeat),
+        grid=(planes.shape[0] // nblk,),
+        in_specs=[
+            pl.BlockSpec((nblk, REGS, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((SUB, LANE), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SUB, LANE), _U32),
+        interpret=interpret,
+    )(planes)
     return jax.lax.reduce(out.ravel(), _u32(0), jax.lax.bitwise_xor, (0,))[None]
 
 
