@@ -7,14 +7,19 @@ reference validates every benchmark iteration against FLAGSTAT_scalar,
 linux/instrumented_benchmark.cpp:181-208; its min/avg + memcpy
 speed-of-light method is instrumented_benchmark.cpp:107-142,456-544).
 
-Headline mode (round 4): full-parity over PRE-TRANSPOSED plane tiles —
-the production device tier the streaming pipeline ships
-(io/stream.py impl="pallas_pre"): the host AVX2 bit transpose runs as a
-pipeline stage and the device kernel, stripped of its in-VMEM
-transpose, reads the same bytes at the HBM wall in every congestion
-window. The in-VMEM-transpose kernel is measured between the same
-roofline brackets and published as the `alt` row, so both tiers stay
-defended in one artifact.
+Headline mode (round 5): full-parity over PACKED pre-transposed plane
+tiles — the production device tier the streaming pipeline ships
+(io/stream.py impl="pallas_pre"): the host AVX2 bit transpose runs as
+a pipeline stage emitting only the 24 (of 32) plane rows the flagstat
+transform consumes, so the device kernel reads 1.5 bytes/word instead
+of 2 — 25% less HBM traffic at the same read wall, i.e. ~1.3x the
+words/s of the round-4 headline (layout A/B: tools/packed_probe.py,
+pack24/full32 = 0.758). vs_baseline prices the bytes the kernel
+actually reads (kernel_bytes_per_word in the JSON), so the ratio
+remains an honest fraction of the measured read wall. The in-VMEM-
+transpose kernel (which must read all 16 bit-planes) is measured
+between the same roofline brackets and published as the `alt` row, so
+both tiers stay defended in one artifact.
 
 Self-defending measurement (round 2 — the round-1 driver capture was a
 remote-execution-caching artifact claiming 7.5x the HBM roofline):
@@ -61,7 +66,7 @@ N_WORDS = 64 * 1024 * 1024
 AGREE_PCT = 5.0           # cross-process reproduction tolerance
 MAX_ATTEMPTS = 4          # in-process remeasure attempts
 ALT_ATTEMPTS = 3          # alt-row fit attempts (1 + 2 refits, VERDICT r04 #1)
-HEADLINE_MODE = {"tpu": "pre_full_parity"}   # per-backend current headline
+HEADLINE_MODE = {"tpu": "pre_packed_full_parity"}  # per-backend current headline
 #   mode (default "full_parity"); the stale-cache replay compares against
 #   this so a cached line from an older headline cannot masquerade as the
 #   current one without a note (ADVICE r04 #2)
@@ -182,8 +187,10 @@ def _measure_worker() -> dict:
 
     if backend == "tpu":
         from libflagstats_tpu.config import nblk_for
-        from libflagstats_tpu.ops.bitslice import pretranspose_host
+        from libflagstats_tpu.ops.bitslice import pretranspose_host_packed
         from libflagstats_tpu.ops.pallas_kernels import (
+            PACKED_ROWS_FULL,
+            PACKED_ROWS_REPORT,
             flagstat_pallas,
             flagstat_pallas_pre,
             stream_sums_pallas,
@@ -206,22 +213,32 @@ def _measure_worker() -> dict:
         report_fn = jax.jit(
             lambda a: flagstat_pallas(a, n=n_words, report=True))
         check_idx = list(range(32))
-        planes_host = pretranspose_host(x_host)
+        # round 5: PACKED plane tiles — the transform never reads the
+        # planes of FLAG bits 12-15, so the shipped layout carries only
+        # 24 of 32 rows = 1.5 bytes/word of device HBM traffic (measured
+        # 0.758x the full-tile read, tools/packed_probe.py); words/s
+        # rises ~1.3x while vs_baseline stays the fraction of the
+        # roofline achieved on the bytes actually read
+        planes_host = pretranspose_host_packed(x_host, PACKED_ROWS_FULL)
+        planes_report_host = pretranspose_host_packed(x_host,
+                                                      PACKED_ROWS_REPORT)
         pre_full = jax.jit(
-            lambda p: flagstat_pallas_pre(p, n=n_words, nblk=nblk))
+            lambda p: flagstat_pallas_pre(p, n=n_words, nblk=nblk,
+                                          packed=True))
         pre_report = jax.jit(
             lambda p: flagstat_pallas_pre(p, n=n_words, nblk=nblk,
-                                          report=True))
+                                          report=True, packed=True))
 
         def body(p):
-            total, fail = stream_sums_pallas_pre(p, nblk=nblk)
+            total, fail = stream_sums_pallas_pre(p, nblk=nblk, packed=True)
             return jnp.concatenate([total, fail])
 
         def body_alt(a):
             total, fail = stream_sums_pallas(a, nblk=nblk)
             return jnp.concatenate([total, fail])
 
-        mode, alt_mode = "pre_full_parity", "full_parity"
+        mode, alt_mode = "pre_packed_full_parity", "full_parity"
+        kernel_bytes = planes_host.nbytes      # 1.5 B/word (24/32 rows)
     else:  # CPU fallback so the bench is runnable anywhere
         from libflagstats_tpu.ops.xla_ops import flagstat_xla, stream_sums_xla
 
@@ -229,8 +246,9 @@ def _measure_worker() -> dict:
         full = jax.jit(lambda a: flagstat_xla(a, n=n_words))
         report_fn = None
         check_idx = list(range(32))
-        planes_host = None
+        planes_host = planes_report_host = None
         pre_full = pre_report = None
+        kernel_bytes = 2 * n_words
 
         def body(a):
             total, fail = stream_sums_xla(a)
@@ -256,17 +274,20 @@ def _measure_worker() -> dict:
         print(f"expected {ref}\ngot      {got}", file=sys.stderr)
         return {"error": "counter mismatch vs oracle"}
     if planes_host is not None:
-        # the timed input: pre-transposed plane tiles, gated bit-exactly
-        # in BOTH modes before any timing
+        # the timed input: PACKED pre-transposed plane tiles, gated
+        # bit-exactly in BOTH modes before any timing (each mode packs
+        # its own row set: 24 full / 20 report)
         x_pre = jax.block_until_ready(jnp.asarray(planes_host))
         got_pre = np.asarray(pre_full(x_pre), dtype=np.int64)
         idx = list(FL.REPORT_COUNTERS)
-        got_pre_rep = np.asarray(pre_report(x_pre), dtype=np.int64)
+        x_pre_rep = jax.block_until_ready(jnp.asarray(planes_report_host))
+        got_pre_rep = np.asarray(pre_report(x_pre_rep), dtype=np.int64)
         if not ((got_pre == ref).all()
                 and (got_pre_rep[idx] == ref[idx]).all()):
             print(f"expected {ref}\npre got  {got_pre}", file=sys.stderr)
             return {"error": "pre-mode counter mismatch vs oracle"}
         x_alt, x = x, x_pre
+        del x_pre_rep
     else:
         x_alt = None
 
@@ -313,7 +334,12 @@ def _measure_worker() -> dict:
         brackets = [b for b in (pre, post) if b == b]
         roof_window = (sum(brackets) / len(brackets)) if brackets else roof
         t_kernel = fit.slope_s
-        bps = 2.0 * n_words / t_kernel
+        # the headline kernel's own HBM traffic: 1.5 B/word with packed
+        # tiles (2 B/word otherwise) — the roofline gates and the
+        # vs-roofline ratio must price the bytes actually read, not the
+        # uint16 stream size, or the packed kernel would look like it
+        # "beats physics"
+        bps = kernel_bytes / t_kernel
         last = (fit, t_kernel, bps, roof_window)
         print(f"[bench] attempt {attempt}: slope={t_kernel*1e3:.4f}ms "
               f"({bps/1e9:.1f} GB/s) intercept={fit.intercept_s*1e3:.1f}ms "
@@ -414,9 +440,13 @@ def _measure_worker() -> dict:
         # the timed unit in pre mode is the transpose-free device kernel;
         # the host AVX2 bit transpose runs as an (untimed) ingest-pipeline
         # stage — disclosed explicitly so value/vs_baseline are never read
-        # as apples-to-apples with a full_parity line (ADVICE r04 #2)
-        "host_preprocess": ("bit_transpose" if mode == "pre_full_parity"
-                            else None),
+        # as apples-to-apples with a full_parity line (ADVICE r04 #2).
+        # "packed24": the tiles carry only the 24 consumed rows, so the
+        # device reads 1.5 B/word (kernel_bytes below prices this)
+        "host_preprocess": (
+            "bit_transpose_packed24" if mode == "pre_packed_full_parity"
+            else "bit_transpose" if mode == "pre_full_parity" else None),
+        "kernel_bytes_per_word": kernel_bytes / n_words,
         "alt": alt,
         "nblk": nblk,
         "kernel_ms": t_kernel * 1e3,
@@ -547,6 +577,7 @@ def _final_line(slow: dict, spread, agreement: str) -> dict:
                         if "vs_defended" in slow else None),
         "mode": slow.get("mode", "full_parity"),
         "host_preprocess": slow.get("host_preprocess"),
+        "kernel_bytes_per_word": slow.get("kernel_bytes_per_word", 2.0),
         "alt": ({
             "mode": slow["alt"]["mode"],
             "kernel_ms": round(slow["alt"]["kernel_ms"], 4),

@@ -591,18 +591,22 @@ constexpr uint32_t kStageM[4] = {0x00FF00FFu, 0x0F0F0F0Fu, 0x33333333u,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// src: n_words uint16 (n_words % 65536 == 0); dst: (n_words/65536, 32, 8, 128)
-// uint32. Returns 0 on success.
-int64_t lfs_bit_transpose(const uint16_t* src, int64_t n_words,
-                          uint32_t* dst, int n_threads) {
+// shared transpose walk: dst_row_map[orig_row] = packed destination row
+// or -1 to skip (the packed pre-mode layout ships only the rows the
+// device transform consumes — 24/32 full, 20/32 report — cutting the
+// device's HBM read 25%/37.5%; ops/pallas_kernels.PACKED_ROWS_*).
+// n_dst_rows is the per-group row stride of dst.
+int64_t bit_transpose_rows(const uint16_t* src, int64_t n_words,
+                           uint32_t* dst, const int32_t* dst_row_map,
+                           int n_dst_rows, int n_threads) {
     if (n_words % 65536) return -1;
     const int64_t n_groups = n_words / 65536;
 
     auto do_group = [&](int64_t g) {
         const uint16_t* gs = src + g * 65536;
-        uint32_t* gd = dst + g * 32 * 8 * 128;
+        uint32_t* gd = dst + g * (int64_t)n_dst_rows * 8 * 128;
         for (int half = 0; half < 2; ++half) {
             const int k0 = half * 16;
             for (int s = 0; s < 8; ++s) {
@@ -628,8 +632,10 @@ int64_t lfs_bit_transpose(const uint16_t* src, int64_t n_words,
                         }
                     }
                     for (int k = 0; k < 16; ++k) {
+                        const int dr = dst_row_map[k0 + k];
+                        if (dr < 0) continue;
                         _mm256_storeu_si256(
-                            (__m256i*)(gd + (k0 + k) * 1024 + s * 128 + lc),
+                            (__m256i*)(gd + dr * 1024 + s * 128 + lc),
                             A[k]);
                     }
                 }
@@ -648,9 +654,12 @@ int64_t lfs_bit_transpose(const uint16_t* src, int64_t n_words,
                         lfs_swap_pair_scalar(A[k], A[k + j], j, kStageM[st], 128);
                     }
                 }
-                for (int k = 0; k < 16; ++k)
-                    std::memcpy(gd + (k0 + k) * 1024 + s * 128, A[k],
+                for (int k = 0; k < 16; ++k) {
+                    const int dr = dst_row_map[k0 + k];
+                    if (dr < 0) continue;
+                    std::memcpy(gd + dr * 1024 + s * 128, A[k],
                                 128 * sizeof(uint32_t));
+                }
 #endif
             }
         }
@@ -677,6 +686,37 @@ int64_t lfs_bit_transpose(const uint16_t* src, int64_t n_words,
         for (auto& th : pool) th.join();
     }
     return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// src: n_words uint16 (n_words % 65536 == 0); dst: (n_words/65536, 32, 8, 128)
+// uint32. Returns 0 on success.
+int64_t lfs_bit_transpose(const uint16_t* src, int64_t n_words,
+                          uint32_t* dst, int n_threads) {
+    int32_t identity[32];
+    for (int k = 0; k < 32; ++k) identity[k] = k;
+    return bit_transpose_rows(src, n_words, dst, identity, 32, n_threads);
+}
+
+// Packed variant: dst carries only the listed original rows, in order —
+// dst shape (n_words/65536, n_rows, 8, 128) uint32. rows must be unique
+// and in [0, 32). Returns 0 on success, -1 on a bad length, -2 on a bad
+// row list.
+int64_t lfs_bit_transpose_packed(const uint16_t* src, int64_t n_words,
+                                 uint32_t* dst, const int32_t* rows,
+                                 int32_t n_rows, int n_threads) {
+    if (n_rows < 1 || n_rows > 32) return -2;
+    int32_t map[32];
+    for (int k = 0; k < 32; ++k) map[k] = -1;
+    for (int32_t i = 0; i < n_rows; ++i) {
+        const int32_t r = rows[i];
+        if (r < 0 || r >= 32 || map[r] != -1) return -2;
+        map[r] = i;
+    }
+    return bit_transpose_rows(src, n_words, dst, map, n_rows, n_threads);
 }
 
 }  // extern "C"

@@ -39,9 +39,13 @@ def _jit_chunk_sums(impl: str, chunk_words: int, report: bool = False,
                                          interpret=interp)
             return total + t, fail + f
     elif impl == "pallas_pre":
+        # packed tiles (round 5): the host transpose stage emits only
+        # the rows the transform consumes, cutting the device HBM read
+        # 25% (full) / 37.5% (report) — see PK.stream_sums_pallas_pre
         def fn(chunk, total, fail):
             t, f = PK.stream_sums_pallas_pre(chunk, report=report,
-                                             nblk=nblk, interpret=interp)
+                                             nblk=nblk, interpret=interp,
+                                             packed=True)
             return total + t, fail + f
     else:
         def fn(chunk, total, fail):
@@ -291,9 +295,11 @@ def flagstat_stream(path, codec: str | int = "lz4", impl: str | None = None,
         if xpool is None:
             dispatch_chunk(chunk, words)
             return
-        from ..ops.bitslice import pretranspose_host
+        from ..ops.bitslice import pretranspose_host_packed
 
-        pending.append((xpool.submit(pretranspose_host, chunk, 2), words))
+        rows = PK.packed_rows_for(report and device_pallas)
+        pending.append((xpool.submit(pretranspose_host_packed, chunk,
+                                     rows, 2), words))
         drain_pending(keep=2)
 
     block_index = start_block

@@ -257,6 +257,44 @@ def pretranspose_host(arr: np.ndarray, threads: int = 0) -> np.ndarray:
     return out
 
 
+def pretranspose_host_packed(arr: np.ndarray, rows: tuple,
+                             threads: int = 0) -> np.ndarray:
+    """Packed host bit transpose (round 5): emit only the plane rows
+    the device transform consumes — (G, len(rows), 8, 128) uint32 —
+    cutting BOTH the host store traffic and the device HBM read by
+    (32 - len(rows))/32 (25% full mode, 37.5% report mode; measured
+    0.758x device read time at 24/32 rows, tools/packed_probe.py).
+    ``rows`` is the packed row order (pallas_kernels.PACKED_ROWS_*).
+    The reference has no analogue: its kernels must read every uint16
+    (libflagstats.h:1706-2428); bit-sliced layout makes the dead FLAG
+    bits 12-15 physically skippable."""
+    from ..io import native_lib
+
+    arr = np.ascontiguousarray(np.asarray(arr, dtype=np.uint16)).ravel()
+    group_words = 32 * 16 * 128
+    pad = (-arr.size) % group_words
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint16)])
+    n_rows = len(rows)
+    lib = native_lib.load()
+    if lib is None:
+        full = pretranspose_host_np(arr)
+        return np.ascontiguousarray(full[:, list(rows)])
+    import ctypes
+
+    rows_arr = np.asarray(rows, dtype=np.int32)
+    out = np.empty((arr.size // group_words, n_rows, 8, 128),
+                   dtype=np.uint32)
+    r = lib.lfs_bit_transpose_packed(
+        arr.ctypes.data_as(ctypes.c_void_p), arr.size,
+        out.ctypes.data_as(ctypes.c_void_p),
+        rows_arr.ctypes.data_as(ctypes.c_void_p), n_rows, threads,
+    )
+    if r != 0:
+        raise RuntimeError(f"native packed bit transpose failed (rc={r})")
+    return out
+
+
 def popcount32_np(x: np.ndarray) -> np.ndarray:
     """SWAR popcount of uint32 (the kernel's v16 'peel' step)."""
     x = x.astype(np.uint32)

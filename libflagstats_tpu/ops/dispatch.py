@@ -281,16 +281,19 @@ def get_function(n_len: int, impl: str | None = None):
             )
         )
     if impl == "pallas_pre":
-        from .bitslice import pretranspose_host
+        from .bitslice import pretranspose_host_packed
 
         interpret = backend() != "tpu"
+        rows = pallas_kernels.packed_rows_for(report=False)
 
         def run_pre(arr):
-            planes = pretranspose_host(_bucket_pad(arr, pallas_min()))
+            # packed tiles (round 5): 25% less device HBM traffic
+            planes = pretranspose_host_packed(
+                _bucket_pad(arr, pallas_min()), rows)
             return np.asarray(
                 pallas_kernels.flagstat_pallas_pre(
                     jax.numpy.asarray(planes), n=int(arr.size),
-                    interpret=interpret,
+                    interpret=interpret, packed=True,
                 )
             )
 

@@ -128,11 +128,29 @@ def _stream_inputs_raw(rows: list[jax.Array]) -> list[jax.Array]:
     return c + f
 
 
+#: packed pre-mode row order (round 5): the flagstat transform never
+#: reads the planes of FLAG bits 12-15, so the pre-transposed layout
+#: can ship only the rows the kernel consumes — 24 of 32 in full mode,
+#: 20 in report mode — cutting device HBM traffic 25% / 37.5% below
+#: the 16-bit read wall (measured: tools/packed_probe.py). Order is
+#: sorted original row index; the kernel maps original -> packed at
+#: trace time.
+PACKED_ROWS_FULL = tuple(sorted(B.NEEDED_ROWS))        # 24 rows
+PACKED_ROWS_REPORT = tuple(sorted(B.REPORT_NEEDED_ROWS))  # 20 rows
+
+
+def packed_rows_for(report: bool = False) -> tuple[int, ...]:
+    return PACKED_ROWS_REPORT if report else PACKED_ROWS_FULL
+
+
 def _make_kernel(nblk: int, mode: str, pre: bool = False,
-                 two_level: bool | None = None):
+                 two_level: bool | None = None,
+                 packed_rows: tuple | None = None):
     """Build the Pallas kernel body for `mode` in
     {"flagstat", "flagstat_report", "pospopcnt"}; ``pre=True`` consumes
-    host-pretransposed plane tiles and skips the in-VMEM transpose.
+    host-pretransposed plane tiles and skips the in-VMEM transpose;
+    ``packed_rows`` (pre only) says the input tiles carry only those
+    original rows, in that order (PACKED_ROWS_FULL/_REPORT).
 
     Returns (kernel, n_streams, two_level). With nblk == 8 (one
     Harley-Seal body per grid step) a SECOND Harley-Seal tree runs over
@@ -223,7 +241,15 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False,
             foursA = [None] * n_streams
             eightsA = [None] * n_streams
             for g in range(nblk):
-                if pre:
+                if pre and packed_rows is not None:
+                    # packed tiles: only the consumed rows ship (24 full /
+                    # 20 report) — map original row index -> packed slot;
+                    # unshipped rows stay None and are never touched
+                    # (the stream builders skip them by construction)
+                    slot = {orig: i for i, orig in enumerate(packed_rows)}
+                    rows = [x_ref[g, slot[k]] if k in slot else None
+                            for k in range(REGS)]
+                elif pre:
                     rows = [x_ref[g, k] for k in range(REGS)]
                 else:
                     # free sublane reinterpretation: (16,128) uint16 ->
@@ -352,17 +378,26 @@ def _make_kernel(nblk: int, mode: str, pre: bool = False,
 
 
 @functools.partial(jax.jit, static_argnames=("nblk", "mode", "interpret", "pre",
-                                              "two_level"))
+                                              "two_level", "packed_rows"))
 def _run_kernel(xg: jax.Array, nblk: int, mode: str, interpret: bool,
-                pre: bool = False, two_level: bool | None = None) -> jax.Array:
+                pre: bool = False, two_level: bool | None = None,
+                packed_rows: tuple | None = None) -> jax.Array:
     """xg: (groups, 32, 16, 128) uint16 — or, with pre=True,
-    (groups, 32, 8, 128) uint32 host-pretransposed plane tiles;
+    (groups, 32, 8, 128) uint32 host-pretransposed plane tiles (with
+    packed_rows: (groups, len(packed_rows), 8, 128));
     groups % nblk == 0."""
+    if packed_rows is not None and mode not in ("flagstat",
+                                                "flagstat_report"):
+        # raw/pospopcnt streams read planes outside the packed row set
+        raise ValueError(f"packed_rows unsupported for mode {mode!r}")
     kernel, n_streams, two_level = _make_kernel(nblk, mode, pre=pre,
-                                                two_level=two_level)
+                                                two_level=two_level,
+                                                packed_rows=packed_rows)
     groups = xg.shape[0]
     out_rows = 16 if mode == "pospopcnt" else 32
-    in_block = (nblk, REGS, SUB, LANE) if pre else (nblk, REGS, SUB16, LANE)
+    n_in_rows = REGS if packed_rows is None else len(packed_rows)
+    in_block = (nblk, n_in_rows, SUB, LANE) if pre \
+        else (nblk, REGS, SUB16, LANE)
     # + v16/v32 (+ s16-pending/t32-pending below nblk=32)
     n_scratch = 4 if not two_level else (6 if nblk == 32 else 8)
     out = pl.pallas_call(
@@ -456,7 +491,7 @@ def flagstat_pallas(x: jax.Array, n=None, nblk: int = 8, interpret: bool = False
 
 def stream_sums_pallas_pre(
     planes: jax.Array, nblk: int = 8, interpret: bool = False,
-    report: bool = False,
+    report: bool = False, packed: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Raw stratified stream sums (C[k], F[k]) over host-pretransposed
     plane tiles (bitslice.pretranspose_host / native lfs_bit_transpose):
@@ -465,10 +500,19 @@ def stream_sums_pallas_pre(
     every congestion window (docs/BENCHMARKS.md), which is why the
     streaming pipeline's device tier feeds this shape (round-4).
     ``planes``: (groups, 32, 8, 128) uint32; accumulate/psum-mergeable
-    like stream_sums_pallas."""
-    if planes.ndim != 4 or planes.shape[1:] != (REGS, SUB, LANE):
+    like stream_sums_pallas.
+
+    ``packed=True`` (round 5): the tiles carry only the rows the
+    transform consumes (bitslice.pretranspose_host_packed) —
+    (groups, 24, 8, 128) full / (groups, 20, 8, 128) report — cutting
+    device HBM traffic 25% / 37.5% below the 16-bit read wall
+    (measured 0.758x the full-tile time, tools/packed_probe.py; the
+    reference has no analogue — it must read every uint16)."""
+    rows = packed_rows_for(report) if packed else None
+    n_rows = len(rows) if packed else REGS
+    if planes.ndim != 4 or planes.shape[1:] != (n_rows, SUB, LANE):
         raise ValueError(
-            f"expected (G, 32, 8, 128) plane tiles, got {planes.shape}")
+            f"expected (G, {n_rows}, 8, 128) plane tiles, got {planes.shape}")
     if nblk % 8 != 0:
         # same contract as _pack_stream: the kernel schedule is built
         # from whole 8-block Harley-Seal bodies — a smaller nblk would
@@ -480,21 +524,25 @@ def stream_sums_pallas_pre(
     if groups % nblk:
         pad = nblk - groups % nblk
         planes = jnp.concatenate(
-            [planes, jnp.zeros((pad, REGS, SUB, LANE), planes.dtype)]
+            [planes, jnp.zeros((pad, n_rows, SUB, LANE), planes.dtype)]
         )
     mode = "flagstat_report" if report else "flagstat"
-    sums = _run_kernel(planes, nblk, mode, interpret, pre=True)
+    sums = _run_kernel(planes, nblk, mode, interpret, pre=True,
+                       packed_rows=rows)
     return _sums_to_streams(sums, report)
 
 
 def flagstat_pallas_pre(planes: jax.Array, n: int, nblk: int = 8,
-                        interpret: bool = False, report: bool = False) -> jax.Array:
+                        interpret: bool = False, report: bool = False,
+                        packed: bool = False) -> jax.Array:
     """Flagstat over host-pretransposed plane tiles (see
-    stream_sums_pallas_pre). ``planes``: (groups, 32, 8, 128) uint32;
+    stream_sums_pallas_pre). ``planes``: (groups, 32, 8, 128) uint32
+    (packed=True: only the consumed rows, see stream_sums_pallas_pre);
     ``n`` is the true (pre-padding) word count for the derived
     pass-total (reference: libflagstats.h:429)."""
     total, fail = stream_sums_pallas_pre(planes, nblk=nblk,
-                                         interpret=interpret, report=report)
+                                         interpret=interpret, report=report,
+                                         packed=packed)
     return assemble_counters(total, fail, n)
 
 

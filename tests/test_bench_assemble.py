@@ -333,8 +333,9 @@ def test_stale_replay_notes_mode_mismatch(monkeypatch, tmp_path):
     assert "CACHED MODE MISMATCH" in line["note"]
 
     # same-mode replay carries no mismatch warning
-    cur_line = bench._final_line(dict(_res(360e9), mode="pre_full_parity"),
-                                 0.4, "cross_process")
+    cur_line = bench._final_line(
+        dict(_res(360e9), mode="pre_packed_full_parity"), 0.4,
+        "cross_process")
     path.write_text(_json.dumps(
         {"saved_at_unix": _time.time(), "line": cur_line}))
     line2, rc2 = bench._fallback_line([], "outage")

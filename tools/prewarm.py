@@ -95,44 +95,53 @@ def main() -> int:
         print(f"[prewarm] stream chunk step (full, nblk={nfull}): "
               f"{time.time()-t0:.1f}s", flush=True)
 
-    # round 4: the pre-transposed production tier — eager kernels, the
-    # stream chunk step, and the bench's exact timed units (_repeated
-    # fori-loop wrappers at the headline repetition counts) for BOTH the
-    # pre headline and the alt in-VMEM-transpose row
-    from libflagstats_tpu.ops.bitslice import pretranspose_host
+    # round 4/5: the pre-transposed production tier (PACKED tiles since
+    # round 5) — eager kernels, the stream chunk step, and the bench's
+    # exact timed units (_repeated fori-loop wrappers at the headline
+    # repetition counts) for BOTH the pre headline and the alt
+    # in-VMEM-transpose row
+    from libflagstats_tpu.ops.bitslice import pretranspose_host_packed
     from libflagstats_tpu.ops.pallas_kernels import (
+        PACKED_ROWS_FULL,
+        PACKED_ROWS_REPORT,
         flagstat_pallas_pre,
         stream_sums_pallas,
         stream_sums_pallas_pre,
     )
 
     for n in (nfull * GROUP_WORDS, n64):
-        planes = jnp.asarray(pretranspose_host(generate_flags(n, seed=0)))
-        for label, fn in (
-            ("full", lambda p: flagstat_pallas_pre(p, n=n, nblk=nfull)),
+        words = generate_flags(n, seed=0)
+        pf = jnp.asarray(pretranspose_host_packed(words, PACKED_ROWS_FULL))
+        pr = jnp.asarray(pretranspose_host_packed(words, PACKED_ROWS_REPORT))
+        for label, fn, planes in (
+            ("full", lambda p: flagstat_pallas_pre(p, n=n, nblk=nfull,
+                                                   packed=True), pf),
             ("report", lambda p: flagstat_pallas_pre(p, n=n, nblk=nfull,
-                                                     report=True)),
+                                                     report=True,
+                                                     packed=True), pr),
         ):
             t0 = time.time()
             jax.block_until_ready(fn(planes))
-            print(f"[prewarm] pre {n // GROUP_WORDS}-group {label}: "
+            print(f"[prewarm] pre-packed {n // GROUP_WORDS}-group {label}: "
                   f"{time.time()-t0:.1f}s", flush=True)
 
     chunk_full = nfull * GROUP_WORDS
     step = _jit_chunk_sums("pallas_pre", chunk_full, False, nblk=nfull)
-    pc = jnp.asarray(pretranspose_host(generate_flags(chunk_full, seed=0)))
+    pc = jnp.asarray(pretranspose_host_packed(
+        generate_flags(chunk_full, seed=0), PACKED_ROWS_FULL))
     t0 = time.time()
     jax.block_until_ready(step(pc, zero, zero))
-    print(f"[prewarm] stream pre chunk step (full, nblk={nfull}): "
+    print(f"[prewarm] stream pre-packed chunk step (full, nblk={nfull}): "
           f"{time.time()-t0:.1f}s", flush=True)
 
     from libflagstats_tpu.bench.harness import _repeated, _sync
 
-    planes64 = jnp.asarray(pretranspose_host(generate_flags(n64, seed=0)))
+    planes64 = jnp.asarray(pretranspose_host_packed(
+        generate_flags(n64, seed=0), PACKED_ROWS_FULL))
     x64 = jnp.asarray(generate_flags(n64, seed=0))
 
     def body_pre(p):
-        t, f = stream_sums_pallas_pre(p, nblk=nfull)
+        t, f = stream_sums_pallas_pre(p, nblk=nfull, packed=True)
         return jnp.concatenate([t, f])
 
     def body_alt(a):
