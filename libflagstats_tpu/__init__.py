@@ -66,6 +66,10 @@ def flagstat_file(path, threads: int = 0, impl: str | None = None):
         from .io.samio import flagstat_sam
 
         return flagstat_sam(path, threads=threads, impl=impl)
+    if kind == "cram":
+        from .io.cramio import flagstat_cram
+
+        return flagstat_cram(path, threads=threads, impl=impl)
     if kind.startswith("framed-"):
         # the streaming pipeline (fused native mmap->decode->count off
         # device; overlapped decode-ahead on device) — never decodes

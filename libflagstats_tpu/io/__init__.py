@@ -26,6 +26,8 @@ def sniff_format(path) -> str:
       (io/bamio.py walker);
     * any other gzip, or plain ``.sam`` / ``.txt`` -> ``"sam"``
       (SAM text / bare FLAG column, io/samio.py);
+    * ``CRAM`` magic -> ``"cram"`` (columnar FLAG extraction,
+      io/cramio.py — subset reader, see its module docstring);
     * ``.lz4`` / ``.zst`` -> ``"framed-lz4"`` / ``"framed-zstd"``
       (the reference's own container, flagstats.cpp:136-138);
     * anything else -> ``"binary"`` (raw little-endian uint16 column,
@@ -34,6 +36,13 @@ def sniff_format(path) -> str:
     from . import samio
 
     name = str(path)
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(4)
+    except OSError:
+        head = b""
+    if head == b"CRAM":
+        return "cram"
     if samio.is_gzip(path):
         import gzip
         import zlib
@@ -76,6 +85,10 @@ def read_flags_auto(path, threads: int = 0, kind: str | None = None):
         from .samio import read_sam_flags
 
         return read_sam_flags(path, threads=threads)
+    if kind == "cram":
+        from .cramio import read_cram_flags
+
+        return read_cram_flags(path, threads=threads)
     if kind.startswith("framed-"):
         from .codec import read_framed
 

@@ -701,6 +701,41 @@ int64_t lfs_bit_transpose(const uint16_t* src, int64_t n_words,
     return bit_transpose_rows(src, n_words, dst, identity, 32, n_threads);
 }
 
+// CRAM itf8 stream decoder (io/cramio.py fast path): decode exactly
+// max_out values, returning the bytes consumed, or -1 on truncation.
+// itf8 (CRAM 3.0 §2.3): leading-ones prefix gives 0-4 extra bytes; the
+// 5-byte form uses only the LOW 4 bits of its last byte.
+int64_t lfs_itf8_decode(const uint8_t* src, int64_t n_bytes,
+                        int32_t* out, int64_t max_out) {
+    int64_t off = 0;
+    for (int64_t i = 0; i < max_out; ++i) {
+        if (off >= n_bytes) return -1;
+        const uint8_t b0 = src[off];
+        uint32_t v;
+        int need;
+        if (b0 < 0x80) { v = b0; need = 1; }
+        else if (b0 < 0xC0) { v = (uint32_t)(b0 & 0x3F) << 8; need = 2; }
+        else if (b0 < 0xE0) { v = (uint32_t)(b0 & 0x1F) << 16; need = 3; }
+        else if (b0 < 0xF0) { v = (uint32_t)(b0 & 0x0F) << 24; need = 4; }
+        else { v = (uint32_t)(b0 & 0x0F) << 28; need = 5; }
+        if (off + need > n_bytes) return -1;
+        switch (need) {
+            case 2: v |= src[off + 1]; break;
+            case 3: v |= (uint32_t)src[off + 1] << 8 | src[off + 2]; break;
+            case 4: v |= (uint32_t)src[off + 1] << 16 |
+                         (uint32_t)src[off + 2] << 8 | src[off + 3]; break;
+            case 5: v |= (uint32_t)src[off + 1] << 20 |
+                         (uint32_t)src[off + 2] << 12 |
+                         (uint32_t)src[off + 3] << 4 |
+                         (src[off + 4] & 0x0F); break;
+            default: break;
+        }
+        out[i] = (int32_t)v;
+        off += need;
+    }
+    return off;
+}
+
 // Packed variant: dst carries only the listed original rows, in order —
 // dst shape (n_words/65536, n_rows, 8, 128) uint32. rows must be unique
 // and in [0, 32). Returns 0 on success, -1 on a bad length, -2 on a bad

@@ -206,6 +206,9 @@ def _bind(lib):
     lib.lfs_bit_transpose_packed.restype = i64
     lib.lfs_bit_transpose_packed.argtypes = [
         ctypes.c_void_p, i64, ctypes.c_void_p, ctypes.c_void_p, i32, i32]
+    lib.lfs_itf8_decode.restype = i64
+    lib.lfs_itf8_decode.argtypes = [ctypes.c_void_p, i64,
+                                    ctypes.c_void_p, i64]
     lib.lfs_flagstat_u16.restype = i64
     lib.lfs_flagstat_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
     lib.lfs_flagstat_framed.restype = i64

@@ -1,0 +1,238 @@
+"""CRAM 3.0 subset ingest (round 5, beyond reference — the reference
+has no container support; samtools flagstat on CRAM is its published
+4m50s comparison, /root/reference/README.md:34).
+
+Same conformance pattern as the BAM/SAM suites: the spec-conform
+writer is the oracle, hostile mutations of its output drive the
+reader's error paths (every data byte is CRC-covered; the reader must
+error or return the exact truth, never miscount or crash).
+"""
+import numpy as np
+import pytest
+
+import libflagstats_tpu as lfs
+from libflagstats_tpu.io import cramio, sniff_format
+from libflagstats_tpu.oracle import flagstat_numpy, generate_flags
+
+from conftest import assert_counters_equal
+
+
+def test_itf8_roundtrip_edges():
+    vals = np.array([0, 1, 127, 128, 0x3FFF, 0x4000, 0x1FFFFF, 0x200000,
+                     0xFFFFFFF, 0x10000000, 0x7FFFFFFF, -1, -(2 ** 31)],
+                    dtype=np.int64)
+    enc = b"".join(cramio.itf8_encode(int(v)) for v in vals)
+    assert enc == cramio.itf8_encode_stream(vals)  # vectorized == scalar
+    dec = cramio.itf8_decode_stream(enc, len(vals))
+    np.testing.assert_array_equal(dec.astype(np.int64),
+                                  vals.astype(np.int32).astype(np.int64))
+
+
+def test_itf8_python_fallback_matches_native(monkeypatch):
+    from libflagstats_tpu.io import native_lib
+
+    vals = np.array([5, 200, 70000, 2 ** 24, -3], dtype=np.int64)
+    enc = cramio.itf8_encode_stream(vals)
+    native = cramio.itf8_decode_stream(enc, len(vals))
+    monkeypatch.setattr(native_lib, "load", lambda: None)
+    pure = cramio.itf8_decode_stream(enc, len(vals))
+    np.testing.assert_array_equal(native, pure)
+
+
+def test_ltf8_roundtrip():
+    for v in (0, 1, 127, 128, 1 << 13, 1 << 20, 1 << 34, 1 << 50,
+              (1 << 63) - 1):
+        e = cramio.ltf8_encode(v)
+        got, off = cramio.ltf8_decode(e, 0)
+        assert (got, off) == (v, len(e)), (v, got, e.hex())
+
+
+def test_eof_container_is_structurally_valid():
+    """The canonical 38-byte EOF constant must parse as a zero-record
+    container with a valid header CRC and one CRC-valid block — i.e.
+    our own parser validates the published constant."""
+    hdr, off = cramio._parse_container_header(
+        memoryview(cramio.EOF_CONTAINER), 0)
+    assert hdr["n_records"] == 0 and hdr["n_blocks"] == 1
+    blk, _ = cramio._read_block(
+        memoryview(cramio.EOF_CONTAINER)[hdr["body"][0]:hdr["body"][1]], 0)
+    assert blk["ctype"] == cramio.CT_COMPRESSION_HEADER
+    assert off == len(cramio.EOF_CONTAINER)
+
+
+@pytest.mark.parametrize("method", [cramio.GZIP, cramio.RAW])
+def test_roundtrip(tmp_path, method, full_range):
+    x = generate_flags(123_457, seed=4, full_range=full_range)
+    p = tmp_path / "t.cram"
+    n = cramio.write_cram(p, x, records_per_container=50_000,
+                          method=method)
+    assert n == x.size
+    np.testing.assert_array_equal(cramio.read_cram_flags(p), x)
+
+
+def test_roundtrip_edge_sizes(tmp_path):
+    for arr in (np.zeros(0, np.uint16), np.array([0xFFFF], np.uint16),
+                np.arange(4096, dtype=np.uint16)):
+        p = tmp_path / "e.cram"
+        cramio.write_cram(p, arr)
+        np.testing.assert_array_equal(cramio.read_cram_flags(p), arr)
+
+
+def test_sniff_and_flagstat_file(tmp_path):
+    x = generate_flags(60_000, seed=6, full_range=True)
+    p = tmp_path / "t.cram"
+    cramio.write_cram(p, x)
+    assert sniff_format(p) == "cram"
+    got = np.asarray(lfs.flagstat_file(p), dtype=np.int64)
+    assert_counters_equal(flagstat_numpy(x).astype(np.int64), got)
+
+
+def test_cli_flagstat_cram(tmp_path, capsys):
+    from libflagstats_tpu.cli import main
+
+    x = generate_flags(20_000, seed=8, full_range=True)
+    p = tmp_path / "t.cram"
+    cramio.write_cram(p, x)
+    assert main(["flagstat", str(p)]) == 0
+    out = capsys.readouterr().out
+    from libflagstats_tpu.report import counters_to_report
+
+    assert out.strip() == counters_to_report(flagstat_numpy(x)).text()
+
+
+def test_bad_magic_and_version(tmp_path):
+    p = tmp_path / "x.cram"
+    p.write_bytes(b"CRAX" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="not a CRAM"):
+        cramio.read_cram_flags(p)
+    p.write_bytes(b"CRAM\x02\x01" + b"\x00" * 30)
+    with pytest.raises(ValueError, match="unsupported"):
+        cramio.read_cram_flags(p)
+
+
+def test_unsupported_series_codec(tmp_path):
+    """A BF series with a non-EXTERNAL encoding must error clearly,
+    not guess."""
+    x = generate_flags(100, seed=1)
+    p = tmp_path / "t.cram"
+    cramio.write_cram(p, x, method=cramio.RAW)
+    raw = bytearray(p.read_bytes())
+    # rebuild with a HUFFMAN(3) encoding id for BF by patching the
+    # writer instead of byte-surgery: swap the encoding map builder
+    orig = cramio._compression_header_block
+
+    def bad_header(method):
+        pres = cramio._write_map([(b"RN", b"\x01")])
+        ds = cramio._write_map([
+            (b"BF", cramio.itf8_encode(3) + cramio.itf8_encode(0)),
+            (b"CF", cramio.itf8_encode(cramio.ENC_EXTERNAL)
+             + cramio.itf8_encode(1) + cramio.itf8_encode(cramio.ID_CF)),
+        ])
+        return cramio._write_block(cramio.RAW,
+                                   cramio.CT_COMPRESSION_HEADER, 0,
+                                   pres + ds + cramio._write_map([]))
+
+    cramio._compression_header_block = bad_header
+    try:
+        cramio.write_cram(p, x, method=cramio.RAW)
+    finally:
+        cramio._compression_header_block = orig
+    with pytest.raises(ValueError, match="EXTERNAL"):
+        cramio.read_cram_flags(p)
+
+
+def test_mate_downstream_refused(tmp_path):
+    """Within-slice mate linking (CF 0x4, not detached) cannot be
+    FLAG-reconstructed without full record decode — must refuse."""
+    x = np.array([0x43, 0x83], dtype=np.uint16)
+    p = tmp_path / "t.cram"
+    orig = cramio.CF_DETACHED
+    try:
+        cramio.CF_DETACHED = cramio.CF_MATE_DOWNSTREAM  # writer emits 0x4
+        cramio.write_cram(p, x, method=cramio.RAW)
+    finally:
+        cramio.CF_DETACHED = orig
+    with pytest.raises(ValueError, match="mate linking"):
+        cramio.read_cram_flags(p)
+
+
+def test_truncation_never_miscounts(tmp_path):
+    """Every prefix of a valid CRAM either errors or (at container
+    boundaries) returns exactly the records of the complete containers
+    it holds — never garbage."""
+    x = generate_flags(3_000, seed=3, full_range=True)
+    p = tmp_path / "t.cram"
+    cramio.write_cram(p, x, records_per_container=1_000)
+    blob = p.read_bytes()
+    q = tmp_path / "trunc.cram"
+    rng = np.random.default_rng(0)
+    cuts = sorted(set(rng.integers(1, len(blob), 200).tolist())
+                  | {1, 25, 26, 27, len(blob) - 1, len(blob) - 39})
+    ok_prefix = 0
+    for cut in cuts:
+        q.write_bytes(blob[:cut])
+        try:
+            got = cramio.read_cram_flags(q)
+        except ValueError:
+            continue
+        # clean-container-boundary prefix: must be an exact prefix
+        assert got.size in (0, 1000, 2000, 3000)
+        np.testing.assert_array_equal(got, x[:got.size])
+        ok_prefix += 1
+    assert ok_prefix < len(cuts)   # truncations do get caught
+
+
+def test_mutation_never_miscounts(tmp_path):
+    """Single-byte corruptions: every read must either raise ValueError
+    or return the exact original column (e.g. flips inside the ignored
+    20-byte file id) — CRCs cover all structural/data bytes."""
+    x = generate_flags(2_000, seed=5, full_range=True)
+    p = tmp_path / "t.cram"
+    cramio.write_cram(p, x)
+    blob = bytearray(p.read_bytes())
+    q = tmp_path / "mut.cram"
+    rng = np.random.default_rng(1)
+    for pos in rng.integers(0, len(blob), 250).tolist():
+        mut = bytearray(blob)
+        mut[pos] ^= 1 << int(rng.integers(0, 8))
+        q.write_bytes(bytes(mut))
+        try:
+            got = cramio.read_cram_flags(q)
+        except (ValueError, OverflowError):
+            continue
+        np.testing.assert_array_equal(got, x)
+
+
+def test_record_count_mismatch_caught(tmp_path):
+    """Container vs slice record-count disagreement is an error (the
+    walk refuses to pick one silently)."""
+    x = generate_flags(64, seed=7)
+    p = tmp_path / "t.cram"
+    orig = cramio._parse_slice_header
+    cramio.write_cram(p, x, method=cramio.RAW)
+
+    # corrupt via writer: slice claims one fewer record
+    orig_slice = cramio._slice_blocks
+
+    def bad_slice(flags, counter, method):
+        blocks = orig_slice(flags, counter, method)
+        # rewrite the slice header with n-1 records
+        head = (cramio.itf8_encode(-1) + cramio.itf8_encode(0)
+                + cramio.itf8_encode(0)
+                + cramio.itf8_encode(max(flags.size - 1, 0))
+                + cramio.ltf8_encode(counter) + cramio.itf8_encode(4)
+                + cramio.itf8_encode(3)
+                + b"".join(cramio.itf8_encode(c) for c in (1, 2, 3))
+                + cramio.itf8_encode(-1) + b"\x00" * 16)
+        blocks[0] = cramio._write_block(cramio.RAW,
+                                        cramio.CT_SLICE_HEADER, 0, head)
+        return blocks
+
+    cramio._slice_blocks = bad_slice
+    try:
+        cramio.write_cram(p, x, method=cramio.RAW)
+    finally:
+        cramio._slice_blocks = orig_slice
+    assert cramio._parse_slice_header is orig
+    with pytest.raises(ValueError, match="count mismatch"):
+        cramio.read_cram_flags(p)

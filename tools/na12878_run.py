@@ -172,6 +172,52 @@ def drop_page_cache() -> bool:
         return False
 
 
+def _write_sam_gz_streaming(path, arr, payload: str,
+                            chunk_records: int = 1 << 20) -> None:
+    """BGZF-SAM writer with O(chunk) disk/memory — no whole-file plain
+    .tmp. The round-4 flow materialized the full SAM text first, which
+    at scale 2 realistic is ~160 GB and exceeds this box's disk; SAM
+    text chunks per FLAG slice compress straight to BGZF members
+    (members are independent, so per-chunk compression concatenates
+    into a valid BGZF stream)."""
+    import concurrent.futures as cf
+    import io as _io
+
+    from libflagstats_tpu.io.bamio import BGZF_EOF, _bgzf_member
+
+    with open(path, "wb") as fh, cf.ThreadPoolExecutor(4) as pool:
+        for start in range(0, arr.size, chunk_records):
+            part = arr[start:start + chunk_records]
+            buf = _io.BytesIO()
+            # reuse the canonical SAM writer chunk-wise; header only on
+            # the first chunk, record names continue via the start index
+            _write_sam_chunk(buf, part, start, payload,
+                             with_header=start == 0)
+            data = buf.getbuffer()
+            offs = range(0, len(data), 60000)
+            for member in pool.map(
+                    lambda o: _bgzf_member(bytes(data[o:o + 60000]),
+                                           level=1),
+                    offs, chunksize=64):
+                fh.write(member)
+        fh.write(BGZF_EOF)
+
+
+def _write_sam_chunk(fh, part, start: int, payload: str,
+                     with_header: bool) -> None:
+    from libflagstats_tpu.io import samio
+
+    if with_header:
+        fh.write(b"@HD\tVN:1.6\tSO:unsorted\n"
+                 b"@PG\tID:lfs\tPN:libflagstats_tpu\n")
+    if payload == "realistic":
+        fh.write(samio._realistic_sam_chunk(part, start, 0))
+    else:
+        fh.write("".join(
+            f"r{start + i}\t{v}\t*\t0\t0\t*\t*\t0\t0\t*\t*\n"
+            for i, v in enumerate(part.tolist())).encode())
+
+
 def _container_run(args, wd: Path) -> int:
     """Full `samtools flagstat <container>` conformance: synthesize the
     column, build the container, count straight from it."""
@@ -192,29 +238,12 @@ def _container_run(args, wd: Path) -> int:
             from libflagstats_tpu.io.bamio import write_bam
 
             write_bam(path, arr, level=1, payload=args.payload)
-        else:
+        elif args.container == "sam":
             from libflagstats_tpu.io.samio import write_sam
 
-            sam_tmp = path if args.container == "sam" else (
-                wd / f"na12878_s{args.scale}{tag}.sam.tmp")
-            write_sam(sam_tmp, arr, payload=args.payload)
-            if args.container == "sam.gz":
-                import concurrent.futures as cf
-
-                from libflagstats_tpu.io.bamio import BGZF_EOF, _bgzf_member
-
-                data = np.memmap(sam_tmp, dtype=np.uint8, mode="r")
-                with open(path, "wb") as fh, \
-                        cf.ThreadPoolExecutor(4) as pool:
-                    offs = range(0, len(data), 60000)
-                    for member in pool.map(
-                            lambda o: _bgzf_member(
-                                data[o:o + 60000].tobytes(), level=1),
-                            offs, chunksize=64):
-                        fh.write(member)
-                    fh.write(BGZF_EOF)
-                del data
-                sam_tmp.unlink()
+            write_sam(path, arr, payload=args.payload)
+        else:
+            _write_sam_gz_streaming(path, arr, args.payload)
         print(f"[container] {path.name}: "
               f"{path.stat().st_size/1e9:.2f} GB in "
               f"{time.perf_counter()-t0:.1f}s", flush=True)
