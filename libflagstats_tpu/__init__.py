@@ -15,7 +15,8 @@ Public API:
   popcnt / intersect_count / union_count / diff_count
                            set-algebra bitmap counts (libalgebra.h:500-3398)
   flagstat_file(path)      counters straight from any container
-                           (.bam/.sam[.gz]/framed .lz4/.zst/raw binary)
+                           (.bam/.sam[.gz]/.cram/framed .lz4/.zst/raw
+                           binary)
 """
 from __future__ import annotations
 
@@ -51,10 +52,10 @@ def flagstat_sharded(values, **kwargs):
 def flagstat_file(path, threads: int = 0, impl: str | None = None):
     """32-counter vector straight from any supported container — the
     `samtools flagstat <file>` workload with no samtools in the loop
-    (format sniffed by io.sniff_format: .bam, .sam[.gz], framed
-    .lz4/.zst, raw binary column). BAM and BGZF-SAM take the fused
-    native walk+count (O(window) memory at any size); the rest read
-    the column then count."""
+    (format sniffed by io.sniff_format: .bam, .sam[.gz], .cram subset,
+    framed .lz4/.zst, raw binary column). BAM and BGZF-SAM take the
+    fused native walk+count (O(window) memory at any size); the rest
+    read the column then count."""
     from .io import read_flags_auto, sniff_format
 
     kind = sniff_format(path)

@@ -59,7 +59,7 @@ EOF_CONTAINER = bytes([
 ])
 
 #: block compression methods (CRAM 3.0 §8)
-RAW, GZIP = 0, 1
+RAW, GZIP, RANS = 0, 1, 4
 #: block content types
 CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_SLICE_HEADER = 0, 1, 2
 CT_EXTERNAL, CT_CORE = 4, 5
@@ -249,12 +249,154 @@ def itf8_decode_stream(buf: bytes, n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _rans_compress(data: bytes) -> bytes:
+    from . import native_lib
+
+    lib = native_lib.load()
+    if lib is None or not hasattr(lib, "lfs_rans4x8_compress"):
+        raise RuntimeError(
+            "rANS block compression needs the native lib "
+            "(io/native/rans4x8.cpp); use method=GZIP otherwise")
+    import ctypes
+
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = int(lib.lfs_rans4x8_bound(src.size))
+    out = np.empty(cap, dtype=np.uint8)
+    got = lib.lfs_rans4x8_compress(
+        src.ctypes.data_as(ctypes.c_void_p), src.size,
+        out.ctypes.data_as(ctypes.c_void_p), cap)
+    if got < 0:
+        raise RuntimeError("rANS compression failed")
+    return out[:got].tobytes()
+
+
+def _rans_decompress(comp: bytes, raw_size: int) -> bytes:
+    from . import native_lib
+
+    lib = native_lib.load()
+    if lib is not None and hasattr(lib, "lfs_rans4x8_decompress"):
+        import ctypes
+
+        src = np.frombuffer(comp, dtype=np.uint8)
+        out = np.empty(max(raw_size, 1), dtype=np.uint8)
+        got = lib.lfs_rans4x8_decompress(
+            src.ctypes.data_as(ctypes.c_void_p), src.size,
+            out.ctypes.data_as(ctypes.c_void_p), raw_size)
+        if got == -3:
+            raise ValueError(
+                "rANS order-1 block: not supported by the CRAM subset "
+                "reader (order-0 only)")
+        if got < 0:
+            raise ValueError("rANS block: corrupt stream")
+        return out[:got].tobytes()
+    return _rans_decompress_py(comp)
+
+
+def _rans_decompress_py(comp: bytes) -> bytes:
+    """Pure-Python rANS-4x8 order-0 decoder (fallback; the native
+    decoder is the fast path — this one is the executable spec and the
+    differential test partner)."""
+    if len(comp) < 9:
+        raise ValueError("rANS block: truncated header")
+    order = comp[0]
+    if order == 1:
+        raise ValueError(
+            "rANS order-1 block: not supported by the CRAM subset "
+            "reader (order-0 only)")
+    if order != 0:
+        raise ValueError("rANS block: bad order byte")
+    remainder = int.from_bytes(comp[1:5], "little")
+    raw = int.from_bytes(comp[5:9], "little")
+    if 9 + remainder > len(comp):
+        raise ValueError("rANS block: truncated vs declared size")
+    if raw == 0:
+        return b""
+    buf = comp[9:9 + remainder]
+    off = 0
+
+    F = [0] * 256
+    rle = 0
+    if not buf:
+        raise ValueError("rANS block: missing frequency table")
+    j = buf[off]
+    off += 1
+    total = 0
+    while True:
+        if off >= len(buf):
+            raise ValueError("rANS block: truncated frequency table")
+        f = buf[off]
+        off += 1
+        if f >= 0x80:
+            if off >= len(buf):
+                raise ValueError("rANS block: truncated frequency")
+            f = ((f & 0x7F) << 8) | buf[off]
+            off += 1
+        if f == 0 or F[j]:
+            raise ValueError("rANS block: bad frequency table")
+        F[j] = f
+        total += f
+        if total > 4096:
+            raise ValueError("rANS block: frequencies exceed 4096")
+        if rle:
+            rle -= 1
+            j += 1
+            if j > 255:
+                raise ValueError("rANS block: run past symbol 255")
+            continue
+        if off >= len(buf):
+            raise ValueError("rANS block: truncated table")
+        nj = buf[off]
+        off += 1
+        if nj == 0:
+            break
+        if nj == j + 1:
+            if off >= len(buf):
+                raise ValueError("rANS block: truncated run length")
+            rle = buf[off]
+            off += 1
+        j = nj
+    if total != 4096:
+        raise ValueError("rANS block: frequency total != 4096")
+    C = [0] * 257
+    for s in range(256):
+        C[s + 1] = C[s] + F[s]
+    cum2sym = bytearray(4096)
+    for s in range(256):
+        for c in range(C[s], C[s + 1]):
+            cum2sym[c] = s
+
+    R = []
+    for _ in range(4):
+        if off + 4 > len(buf):
+            raise ValueError("rANS block: truncated states")
+        R.append(int.from_bytes(buf[off:off + 4], "little"))
+        off += 4
+        if R[-1] < 1 << 23:
+            raise ValueError("rANS block: invalid initial state")
+    out = bytearray(raw)
+    for i in range(raw):
+        st = R[i & 3]
+        c = st & 0xFFF
+        s = cum2sym[c]
+        out[i] = s
+        st = F[s] * (st >> 12) + c - C[s]
+        while st < 1 << 23:
+            if off >= len(buf):
+                raise ValueError("rANS block: stream exhausted")
+            st = (st << 8) | buf[off]
+            off += 1
+        R[i & 3] = st
+    return bytes(out)
+
+
 def _write_block(method: int, ctype: int, content_id: int,
                  data: bytes) -> bytes:
     if method == GZIP:
         import gzip as _gzip
 
         comp = _gzip.compress(data, 6, mtime=0)
+    elif method == RANS:
+        comp = _rans_compress(data)
     else:
         comp = data
     body = (bytes([method, ctype]) + itf8_encode(content_id)
@@ -291,10 +433,12 @@ def _read_block(buf, off: int):
             data = zlib.decompress(comp, wbits=31)
         except zlib.error as e:
             raise ValueError(f"block: bad gzip stream ({e})") from None
+    elif method == RANS:
+        data = _rans_decompress(comp, raw_size)
     else:
         raise ValueError(
             f"block: compression method {method} not supported by the "
-            "CRAM subset reader (raw/gzip)")
+            "CRAM subset reader (raw/gzip/rans4x8)")
     if len(data) != raw_size:
         raise ValueError(
             f"block: raw size mismatch (declared {raw_size}, got "

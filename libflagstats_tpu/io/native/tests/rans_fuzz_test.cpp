@@ -1,0 +1,87 @@
+// ASan/UBSan fuzz of the rANS-4x8 codec and the itf8 stream decoder
+// (CRAM ingest, io/native/rans4x8.cpp + flagstats_io.cpp): roundtrip
+// property over assorted distributions, then thousands of
+// corrupted/truncated decodes that must error (negative rc) or
+// produce bounded output — never read/write out of bounds (ASan is
+// the referee).
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <random>
+#include <vector>
+
+extern "C" {
+int64_t lfs_rans4x8_bound(int64_t);
+int64_t lfs_rans4x8_compress(const uint8_t*, int64_t, uint8_t*, int64_t);
+int64_t lfs_rans4x8_decompress(const uint8_t*, int64_t, uint8_t*, int64_t);
+int64_t lfs_itf8_decode(const uint8_t*, int64_t, int32_t*, int64_t);
+}
+
+int main() {
+    std::mt19937_64 rng(42);
+
+    // roundtrip property
+    for (int trial = 0; trial < 200; ++trial) {
+        int64_t n = (int64_t)(rng() % 20000);
+        std::vector<uint8_t> src((size_t)n);
+        int mode = trial % 4;
+        for (auto& b : src) {
+            if (mode == 0) b = (uint8_t)rng();
+            else if (mode == 1) b = (uint8_t)(rng() % 4);
+            else if (mode == 2) b = 7;
+            else b = (uint8_t)((rng() % 2) ? 200 : (rng() % 256));
+        }
+        std::vector<uint8_t> comp((size_t)lfs_rans4x8_bound(n));
+        int64_t cn = lfs_rans4x8_compress(src.data(), n, comp.data(),
+                                          (int64_t)comp.size());
+        if (cn < 0) { printf("compress fail trial %d\n", trial); return 1; }
+        std::vector<uint8_t> out((size_t)n + 1);
+        int64_t dn = lfs_rans4x8_decompress(comp.data(), cn, out.data(), n);
+        if (dn != n || std::memcmp(out.data(), src.data(), (size_t)n)) {
+            printf("roundtrip fail trial %d\n", trial);
+            return 1;
+        }
+
+        // corrupted decodes of this stream
+        for (int c = 0; c < 40; ++c) {
+            std::vector<uint8_t> bad(comp.begin(), comp.begin() + cn);
+            int what = c % 3;
+            if (what == 0 && cn > 1) {
+                bad.resize(1 + rng() % (size_t)cn);          // truncate
+            } else if (what == 1) {
+                bad[rng() % (size_t)cn] ^= 1 << (rng() % 8); // bit flip
+            } else {
+                for (int k = 0; k < 8 && cn; ++k)
+                    bad[rng() % (size_t)cn] = (uint8_t)rng();
+            }
+            std::vector<uint8_t> o2((size_t)n + 64);
+            int64_t r = lfs_rans4x8_decompress(bad.data(),
+                                               (int64_t)bad.size(),
+                                               o2.data(), n + 64);
+            (void)r;   // any rc is fine; ASan flags OOB/UB
+        }
+    }
+
+    // pure-garbage decodes (headers lie arbitrarily)
+    for (int trial = 0; trial < 4000; ++trial) {
+        int64_t n = (int64_t)(rng() % 300);
+        std::vector<uint8_t> junk((size_t)n ? (size_t)n : 1);
+        for (auto& b : junk) b = (uint8_t)rng();
+        if (n > 0) junk[0] = (uint8_t)(rng() % 3);  // hit order 0/1/bad
+        std::vector<uint8_t> out(4096);
+        (void)lfs_rans4x8_decompress(junk.data(), n, out.data(), 4096);
+    }
+
+    // itf8 garbage decodes: must consume <= n and never overrun
+    for (int trial = 0; trial < 4000; ++trial) {
+        int64_t n = (int64_t)(rng() % 64);
+        std::vector<uint8_t> junk((size_t)n ? (size_t)n : 1);
+        for (auto& b : junk) b = (uint8_t)rng();
+        std::vector<int32_t> out(32);
+        int64_t used = lfs_itf8_decode(junk.data(), n, out.data(), 32);
+        if (used > n) { printf("itf8 overrun trial %d\n", trial); return 1; }
+    }
+
+    printf("rANS/itf8 fuzz OK\n");
+    return 0;
+}

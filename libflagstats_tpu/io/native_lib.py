@@ -20,6 +20,7 @@ _SRCS = [
     Path(__file__).parent / "native" / "perf_events.cpp",
     Path(__file__).parent / "native" / "bam_reader.cpp",
     Path(__file__).parent / "native" / "sam_reader.cpp",
+    Path(__file__).parent / "native" / "rans4x8.cpp",
 ]
 _BUILD_DIR = Path(__file__).resolve().parent.parent.parent / "build"
 # -march=native binaries are host-specific: on a shared checkout
@@ -209,6 +210,16 @@ def _bind(lib):
     lib.lfs_itf8_decode.restype = i64
     lib.lfs_itf8_decode.argtypes = [ctypes.c_void_p, i64,
                                     ctypes.c_void_p, i64]
+    lib.lfs_rans4x8_bound.restype = i64
+    lib.lfs_rans4x8_bound.argtypes = [i64]
+    lib.lfs_rans4x8_compress.restype = i64
+    lib.lfs_rans4x8_compress.argtypes = [ctypes.c_void_p, i64,
+                                         ctypes.c_void_p, i64]
+    lib.lfs_rans4x8_size.restype = i64
+    lib.lfs_rans4x8_size.argtypes = [ctypes.c_void_p, i64]
+    lib.lfs_rans4x8_decompress.restype = i64
+    lib.lfs_rans4x8_decompress.argtypes = [ctypes.c_void_p, i64,
+                                           ctypes.c_void_p, i64]
     lib.lfs_flagstat_u16.restype = i64
     lib.lfs_flagstat_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
     lib.lfs_flagstat_framed.restype = i64

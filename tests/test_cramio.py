@@ -236,3 +236,80 @@ def test_record_count_mismatch_caught(tmp_path):
     assert cramio._parse_slice_header is orig
     with pytest.raises(ValueError, match="count mismatch"):
         cramio.read_cram_flags(p)
+
+
+# ---------------------------------------------------------------------------
+# rANS-4x8 order-0 codec (CRAM 3.0 §13; io/native/rans4x8.cpp + the
+# pure-Python differential decoder)
+# ---------------------------------------------------------------------------
+
+
+def _native_rans_available():
+    from libflagstats_tpu.io import native_lib
+
+    lib = native_lib.load()
+    return lib is not None and hasattr(lib, "lfs_rans4x8_compress")
+
+
+@pytest.mark.skipif(not _native_rans_available(),
+                    reason="native lib unavailable")
+def test_rans_roundtrip_and_differential():
+    rng = np.random.default_rng(0)
+    cases = [b"", b"x", b"x" * 9999,
+             rng.integers(0, 256, 40000, dtype=np.uint8).tobytes(),
+             rng.integers(0, 3, 80000, dtype=np.uint8).tobytes(),
+             bytes(range(256)) * 64]
+    for data in cases:
+        comp = cramio._rans_compress(data)
+        assert cramio._rans_decompress(comp, len(data)) == data
+        # the Python decoder is the executable spec — must agree
+        assert cramio._rans_decompress_py(comp) == data
+
+
+@pytest.mark.skipif(not _native_rans_available(),
+                    reason="native lib unavailable")
+def test_cram_rans_blocks_roundtrip(tmp_path):
+    x = generate_flags(70_000, seed=12, full_range=True)
+    p = tmp_path / "t.cram"
+    cramio.write_cram(p, x, method=cramio.RANS)
+    np.testing.assert_array_equal(cramio.read_cram_flags(p), x)
+    # and the pure-Python decode path reads the same file
+    from libflagstats_tpu.io import native_lib
+
+    lib = native_lib.load
+    try:
+        native_lib.load = lambda: None
+        np.testing.assert_array_equal(cramio.read_cram_flags(p), x)
+    finally:
+        native_lib.load = lib
+
+
+@pytest.mark.skipif(not _native_rans_available(),
+                    reason="native lib unavailable")
+def test_rans_order1_refused_and_corruption_caught():
+    data = b"hello rans" * 50
+    comp = bytearray(cramio._rans_compress(data))
+    comp[0] = 1                       # claim order-1
+    with pytest.raises(ValueError, match="order-1"):
+        cramio._rans_decompress(bytes(comp), len(data))
+    with pytest.raises(ValueError, match="order-1"):
+        cramio._rans_decompress_py(bytes(comp))
+    comp[0] = 0
+    # truncations and flips: error or exact, never garbage
+    rng = np.random.default_rng(2)
+    good = bytes(comp)
+    for _ in range(150):
+        mut = bytearray(good)
+        if rng.integers(0, 2):
+            mut = mut[:int(rng.integers(1, len(good)))]
+        else:
+            mut[int(rng.integers(0, len(good)))] ^= 1 << int(
+                rng.integers(0, 8))
+        for dec in (lambda b: cramio._rans_decompress(bytes(b), len(data)),
+                    lambda b: cramio._rans_decompress_py(bytes(b))):
+            try:
+                got = dec(mut)
+            except ValueError:
+                continue
+            # a surviving decode must still be size-consistent
+            assert len(got) == len(data)

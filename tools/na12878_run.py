@@ -41,9 +41,11 @@ def main() -> int:
     ap.add_argument("--chunk-words", type=int, default=None,
                     help="device chunk size (default: one kernel grid step)")
     ap.add_argument("--container", default=None,
-                    choices=["bam", "sam", "sam.gz"],
+                    choices=["bam", "sam", "sam.gz", "cram"],
                     help="run through the container-ingest path instead "
-                         "of the framed stream")
+                         "of the framed stream (cram: flags-only subset "
+                         "container, io/cramio.py — payload must be "
+                         "minimal)")
     ap.add_argument("--payload", default="minimal",
                     choices=["minimal", "realistic"],
                     help="container record weight: flags-only records, or "
@@ -238,6 +240,13 @@ def _container_run(args, wd: Path) -> int:
             from libflagstats_tpu.io.bamio import write_bam
 
             write_bam(path, arr, level=1, payload=args.payload)
+        elif args.container == "cram":
+            from libflagstats_tpu.io.cramio import write_cram
+
+            if args.payload != "minimal":
+                raise SystemExit("cram container carries the FLAG column "
+                                 "only (payload=minimal)")
+            write_cram(path, arr)
         elif args.container == "sam":
             from libflagstats_tpu.io.samio import write_sam
 
