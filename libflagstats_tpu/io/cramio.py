@@ -650,12 +650,79 @@ def _parse_slice_header(data: bytes):
     return {"n_records": n_records, "n_blocks": n_blocks}
 
 
+def _decode_data_container(body, n_records: int, n_blocks: int) -> np.ndarray:
+    """One data container's body -> its FLAG values (order preserved).
+    Pure function of the body bytes, so containers decode in parallel
+    (zlib, the native rANS codec, and the native itf8 decoder all
+    release the GIL)."""
+    boff = 0
+    blocks = []
+    for _ in range(n_blocks):
+        blk, boff = _read_block(body, boff)
+        blocks.append(blk)
+    if not blocks or blocks[0]["ctype"] != CT_COMPRESSION_HEADER:
+        raise ValueError(
+            "container: first block is not a compression header")
+    ids = _parse_encoding_map(blocks[0]["data"])
+    for key in (b"BF", b"CF"):
+        if key not in ids:
+            raise ValueError(
+                f"CRAM compression header lacks the {key.decode()} "
+                "series encoding")
+    slice_hdrs = [b for b in blocks if b["ctype"] == CT_SLICE_HEADER]
+    if not slice_hdrs:
+        raise ValueError("container with records but no slice header")
+    n_rec = sum(_parse_slice_header(b["data"])["n_records"]
+                for b in slice_hdrs)
+    if n_rec != n_records:
+        raise ValueError(
+            f"container/slice record count mismatch "
+            f"({n_records} vs {n_rec})")
+    # series blocks are per-slice; with one slice per container the
+    # id->data map is unambiguous. Multi-slice containers repeat
+    # ids — concatenating same-id blocks preserves record order
+    # because slices are stored in order.
+    ext_all: dict[int, bytes] = {}
+    for b in blocks:
+        if b["ctype"] == CT_EXTERNAL:
+            ext_all[b["id"]] = ext_all.get(b["id"], b"") + b["data"]
+    bf_raw = ext_all.get(ids[b"BF"])
+    cf_raw = ext_all.get(ids[b"CF"])
+    if bf_raw is None or cf_raw is None:
+        raise ValueError("BF/CF external block missing from slice")
+    bf = itf8_decode_stream(bf_raw, n_rec).astype(np.int64)
+    cf = itf8_decode_stream(cf_raw, n_rec).astype(np.int64)
+    detached = (cf & CF_DETACHED) != 0
+    downstream = ((cf & CF_MATE_DOWNSTREAM) != 0) & ~detached
+    flags = bf & 0xFFFF
+    need_mf = int(np.count_nonzero(detached))
+    if need_mf:
+        if b"MF" not in ids or ids[b"MF"] not in ext_all:
+            raise ValueError("detached records but no MF series")
+        mf = itf8_decode_stream(ext_all[ids[b"MF"]],
+                                need_mf).astype(np.int64)
+        mate_bits = ((mf & 1) << 5) | (((mf >> 1) & 1) << 3)
+        add = np.zeros(n_rec, dtype=np.int64)
+        add[detached] = mate_bits
+        flags = flags | add
+    if bool(np.count_nonzero(downstream)):
+        raise ValueError(
+            "CRAM slice uses within-slice mate linking (CF 0x4); "
+            "mate flags live on the mate records, which this "
+            "FLAG-only subset reader does not decode — refusing "
+            "to miscount")
+    if bool(np.any((bf < 0) | (bf > 0xFFFF))):
+        raise ValueError("BF value out of FLAG range")
+    return flags.astype(np.uint16)
+
+
 def read_cram_flags(path, threads: int = 0) -> np.ndarray:
     """FLAG column of a CRAM 3.0 subset file -> uint16 ndarray.
 
-    ``threads`` accepted for interface parity with the other readers
-    (CRAM series blocks are decoded serially; they are tiny next to
-    the seq/qual blocks this reader never touches)."""
+    Containers are independent, so they decode on a thread pool
+    (``threads``: 0 = os.cpu_count(), 1 = serial); the header walk
+    that finds them is sequential and cheap (a few itf8 reads per
+    container)."""
     with open(path, "rb") as fh:
         buf = memoryview(fh.read())
     if len(buf) < 26 or bytes(buf[:4]) != b"CRAM":
@@ -664,7 +731,7 @@ def read_cram_flags(path, threads: int = 0) -> np.ndarray:
         raise ValueError(
             f"CRAM version {buf[4]}.{buf[5]} unsupported (3.0 only)")
     off = 26
-    out: list[np.ndarray] = []
+    jobs: list[tuple] = []             # (body, n_records, n_blocks)
     first = True
     while True:
         if bytes(buf[off:off + 38]) == EOF_CONTAINER:
@@ -688,67 +755,20 @@ def read_cram_flags(path, threads: int = 0) -> np.ndarray:
             if blk is None or blk["ctype"] == CT_COMPRESSION_HEADER:
                 continue               # EOF container (canonical or not)
             continue
-        boff = 0
-        blocks = []
-        for _ in range(hdr["n_blocks"]):
-            blk, boff = _read_block(body, boff)
-            blocks.append(blk)
-        if not blocks or blocks[0]["ctype"] != CT_COMPRESSION_HEADER:
-            raise ValueError(
-                "container: first block is not a compression header")
-        ids = _parse_encoding_map(blocks[0]["data"])
-        for key in (b"BF", b"CF"):
-            if key not in ids:
-                raise ValueError(
-                    f"CRAM compression header lacks the {key.decode()} "
-                    "series encoding")
-        slice_hdrs = [b for b in blocks if b["ctype"] == CT_SLICE_HEADER]
-        if not slice_hdrs:
-            raise ValueError("container with records but no slice header")
-        n_rec = sum(_parse_slice_header(b["data"])["n_records"]
-                    for b in slice_hdrs)
-        if n_rec != hdr["n_records"]:
-            raise ValueError(
-                f"container/slice record count mismatch "
-                f"({hdr['n_records']} vs {n_rec})")
-        # series blocks are per-slice; with one slice per container the
-        # id->data map is unambiguous. Multi-slice containers repeat
-        # ids — concatenating same-id blocks preserves record order
-        # because slices are stored in order.
-        ext_all: dict[int, bytes] = {}
-        for b in blocks:
-            if b["ctype"] == CT_EXTERNAL:
-                ext_all[b["id"]] = ext_all.get(b["id"], b"") + b["data"]
-        bf_raw = ext_all.get(ids[b"BF"])
-        cf_raw = ext_all.get(ids[b"CF"])
-        if bf_raw is None or cf_raw is None:
-            raise ValueError("BF/CF external block missing from slice")
-        bf = itf8_decode_stream(bf_raw, n_rec).astype(np.int64)
-        cf = itf8_decode_stream(cf_raw, n_rec).astype(np.int64)
-        detached = (cf & CF_DETACHED) != 0
-        downstream = ((cf & CF_MATE_DOWNSTREAM) != 0) & ~detached
-        flags = bf & 0xFFFF
-        need_mf = int(np.count_nonzero(detached))
-        if need_mf:
-            if b"MF" not in ids or ids[b"MF"] not in ext_all:
-                raise ValueError("detached records but no MF series")
-            mf = itf8_decode_stream(ext_all[ids[b"MF"]],
-                                    need_mf).astype(np.int64)
-            mate_bits = ((mf & 1) << 5) | (((mf >> 1) & 1) << 3)
-            add = np.zeros(n_rec, dtype=np.int64)
-            add[detached] = mate_bits
-            flags = flags | add
-        if bool(np.count_nonzero(downstream)):
-            raise ValueError(
-                "CRAM slice uses within-slice mate linking (CF 0x4); "
-                "mate flags live on the mate records, which this "
-                "FLAG-only subset reader does not decode — refusing "
-                "to miscount")
-        if bool(np.any((bf < 0) | (bf > 0xFFFF))):
-            raise ValueError("BF value out of FLAG range")
-        out.append(flags.astype(np.uint16))
-    return (np.concatenate(out) if out
-            else np.zeros(0, dtype=np.uint16))
+        jobs.append((body, hdr["n_records"], hdr["n_blocks"]))
+    if not jobs:
+        return np.zeros(0, dtype=np.uint16)
+    if threads == 1 or len(jobs) == 1:
+        out = [_decode_data_container(*j) for j in jobs]
+    else:
+        import concurrent.futures as cf
+        import os as _os
+
+        nt = threads if threads > 0 else (_os.cpu_count() or 1)
+        with cf.ThreadPoolExecutor(min(nt, len(jobs))) as pool:
+            out = list(pool.map(lambda j: _decode_data_container(*j),
+                                jobs))
+    return np.concatenate(out)
 
 
 def flagstat_cram(path, threads: int = 0, impl: str | None = None):
