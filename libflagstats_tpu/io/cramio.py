@@ -652,14 +652,20 @@ def _parse_slice_header(data: bytes):
 
 def _decode_data_container(body, n_records: int, n_blocks: int) -> np.ndarray:
     """One data container's body -> its FLAG values (order preserved).
-    Pure function of the body bytes, so containers decode in parallel
-    (zlib, the native rANS codec, and the native itf8 decoder all
-    release the GIL)."""
+    Pure function of the body bytes (the in-memory twin of the
+    seek-walk path; both funnel into _decode_parsed_blocks)."""
     boff = 0
     blocks = []
     for _ in range(n_blocks):
         blk, boff = _read_block(body, boff)
         blocks.append(blk)
+    return _decode_parsed_blocks(blocks, n_records)
+
+
+def _decode_parsed_blocks(blocks: list[dict], n_records: int) -> np.ndarray:
+    """Decompressed blocks -> FLAG values. Blocks whose ``data`` is
+    None were seek-skipped as not flag-bearing (full-payload CRAMs:
+    seq/qual/name externals) and are ignored here."""
     if not blocks or blocks[0]["ctype"] != CT_COMPRESSION_HEADER:
         raise ValueError(
             "container: first block is not a compression header")
@@ -684,7 +690,7 @@ def _decode_data_container(body, n_records: int, n_blocks: int) -> np.ndarray:
     # because slices are stored in order.
     ext_all: dict[int, bytes] = {}
     for b in blocks:
-        if b["ctype"] == CT_EXTERNAL:
+        if b["ctype"] == CT_EXTERNAL and b["data"] is not None:
             ext_all[b["id"]] = ext_all.get(b["id"], b"") + b["data"]
     bf_raw = ext_all.get(ids[b"BF"])
     cf_raw = ext_all.get(ids[b"CF"])
@@ -719,56 +725,226 @@ def _decode_data_container(body, n_records: int, n_blocks: int) -> np.ndarray:
 def read_cram_flags(path, threads: int = 0) -> np.ndarray:
     """FLAG column of a CRAM 3.0 subset file -> uint16 ndarray.
 
-    Containers are independent, so they decode on a thread pool
-    (``threads``: 0 = os.cpu_count(), 1 = serial); the header walk
-    that finds them is sequential and cheap (a few itf8 reads per
-    container)."""
+    The walk is COLUMNAR IN IO, not just in decode: unneeded blocks
+    (sequences, qualities, names, tags — anything that is not the
+    compression header, a slice header, or a BF/CF/MF external block)
+    are skipped with `seek`, so a full-payload CRAM costs only the
+    flag-bearing bytes plus per-block headers — the disk never serves
+    the seq/qual blocks at all. Skipped blocks' CRCs are necessarily
+    unverified (verifying would mean reading them); every block that
+    IS read stays fully CRC/bounds-gated.
+
+    Containers are independent, so their series decode on a thread
+    pool (``threads``: 0 = os.cpu_count(), 1 = serial); the header
+    walk that finds them is sequential and cheap."""
     with open(path, "rb") as fh:
-        buf = memoryview(fh.read())
-    if len(buf) < 26 or bytes(buf[:4]) != b"CRAM":
-        raise ValueError("not a CRAM file")
-    if bytes(buf[4:6]) != b"\x03\x00":
-        raise ValueError(
-            f"CRAM version {buf[4]}.{buf[5]} unsupported (3.0 only)")
-    off = 26
-    jobs: list[tuple] = []             # (body, n_records, n_blocks)
-    first = True
-    while True:
-        if bytes(buf[off:off + 38]) == EOF_CONTAINER:
-            break                      # canonical EOF container
-        parsed = _parse_container_header(buf, off)
-        if parsed is None:
-            break                      # clean EOF without the canonical
-        hdr, off = parsed              # container — accepted
-        b0, b1 = hdr["body"]
-        body = buf[b0:b1]
-        if first:
-            first = False
-            # SAM-header container: single FILE_HEADER block
-            blk, _ = _read_block(body, 0)
-            if blk["ctype"] == CT_FILE_HEADER:
+        head = fh.read(26)
+        if len(head) < 26 or head[:4] != b"CRAM":
+            raise ValueError("not a CRAM file")
+        if head[4:6] != b"\x03\x00":
+            raise ValueError(
+                f"CRAM version {head[4]}.{head[5]} unsupported (3.0 only)")
+        jobs: list[tuple] = []         # (needed_blocks, n_records)
+        first = True
+        while True:
+            hdr = _read_container_header_fh(fh)
+            if hdr is None:
+                break                  # clean EOF / canonical EOF
+            end = fh.tell() + hdr["len"]
+            if first:
+                first = False
+                blk = _read_block_fh(fh, want_data=False)
+                if blk["ctype"] == CT_FILE_HEADER:
+                    fh.seek(end)
+                    continue
+                # not spec-conform (no header container) but countable
+                fh.seek(end)
+                # re-walk this container as data
+                raise ValueError(
+                    "CRAM: first container is not a SAM-header container")
+            if hdr["n_records"] == 0:
+                fh.seek(end)           # EOF container or empty — skip
                 continue
-            # no header container (not spec-conform, but countable):
-            # fall through and treat as data
-        if hdr["n_records"] == 0:
-            blk, _ = _read_block(body, 0) if hdr["n_blocks"] else (None, 0)
-            if blk is None or blk["ctype"] == CT_COMPRESSION_HEADER:
-                continue               # EOF container (canonical or not)
-            continue
-        jobs.append((body, hdr["n_records"], hdr["n_blocks"]))
+            jobs.append((_collect_needed_blocks(fh, hdr["n_blocks"], end),
+                         hdr["n_records"]))
+            fh.seek(end)
     if not jobs:
         return np.zeros(0, dtype=np.uint16)
     if threads == 1 or len(jobs) == 1:
-        out = [_decode_data_container(*j) for j in jobs]
+        out = [_decode_container_job(*j) for j in jobs]
     else:
         import concurrent.futures as cf
         import os as _os
 
         nt = threads if threads > 0 else (_os.cpu_count() or 1)
         with cf.ThreadPoolExecutor(min(nt, len(jobs))) as pool:
-            out = list(pool.map(lambda j: _decode_data_container(*j),
+            out = list(pool.map(lambda j: _decode_container_job(*j),
                                 jobs))
     return np.concatenate(out)
+
+
+def _read_exact(fh, n: int) -> bytes:
+    data = fh.read(n)
+    if len(data) != n:
+        raise ValueError("CRAM: truncated file")
+    return data
+
+
+def _read_container_header_fh(fh):
+    """Container header via incremental reads (CRC-checked); None at a
+    clean end of file or the canonical/structural EOF container."""
+    raw = fh.read(4)
+    if not raw:
+        return None
+    if len(raw) < 4:
+        raise ValueError("container: truncated length")
+    acc = bytearray(raw)
+    (length,) = struct.unpack("<i", raw)
+    if length < 0:
+        raise ValueError("container: negative length")
+
+    def take(n):
+        b = _read_exact(fh, n)
+        acc.extend(b)
+        return b
+
+    def itf8():
+        b0 = take(1)[0]
+        extra = 0 if b0 < 0x80 else 1 if b0 < 0xC0 else \
+            2 if b0 < 0xE0 else 3 if b0 < 0xF0 else 4
+        rest = take(extra) if extra else b""
+        v, _ = itf8_decode(bytes([b0]) + rest, 0)
+        return v
+
+    def ltf8():
+        b0 = take(1)[0]
+        extra, mask = 0, 0x80
+        while extra < 8 and (b0 & mask):
+            extra += 1
+            mask >>= 1
+        rest = take(extra) if extra else b""
+        v, _ = ltf8_decode(bytes([b0]) + rest, 0)
+        return v
+
+    itf8()                             # ref seq id
+    itf8()                             # start
+    itf8()                             # span
+    n_records = itf8()
+    ltf8()                             # record counter
+    ltf8()                             # bases
+    n_blocks = itf8()
+    n_land = itf8()
+    if n_records < 0 or n_blocks < 0 or n_land < 0 or n_land > length:
+        raise ValueError("container: header counts out of bounds")
+    for _ in range(n_land):
+        itf8()
+    (crc,) = struct.unpack("<I", _read_exact(fh, 4))
+    if zlib.crc32(bytes(acc)) != crc:
+        raise ValueError("container: header CRC mismatch")
+    return {"len": length, "n_records": n_records, "n_blocks": n_blocks}
+
+
+def _read_block_fh(fh, want_data: bool = True):
+    """One block via incremental reads. ``want_data=False`` seeks past
+    the payload+CRC (the columnar skip — those bytes never leave the
+    disk); otherwise the payload is read raw (decompression deferred
+    to the decode pool) and the CRC is verified."""
+    acc = bytearray(_read_exact(fh, 2))
+    method, ctype = acc[0], acc[1]
+
+    def itf8():
+        b0 = fh.read(1)
+        if not b0:
+            raise ValueError("block: truncated header")
+        acc.extend(b0)
+        b0 = b0[0]
+        extra = 0 if b0 < 0x80 else 1 if b0 < 0xC0 else \
+            2 if b0 < 0xE0 else 3 if b0 < 0xF0 else 4
+        rest = _read_exact(fh, extra) if extra else b""
+        acc.extend(rest)
+        v, _ = itf8_decode(bytes([b0]) + rest, 0)
+        return v
+
+    content_id = itf8()
+    comp_size = itf8()
+    raw_size = itf8()
+    if comp_size < 0 or raw_size < 0:
+        raise ValueError("block: negative size")
+    if not want_data:
+        fh.seek(comp_size + 4, 1)
+        return {"method": method, "ctype": ctype, "id": content_id,
+                "comp": None, "raw_size": raw_size}
+    comp = _read_exact(fh, comp_size)
+    (crc,) = struct.unpack("<I", _read_exact(fh, 4))
+    if zlib.crc32(bytes(acc) + comp) != crc:
+        raise ValueError("block: CRC mismatch")
+    return {"method": method, "ctype": ctype, "id": content_id,
+            "comp": comp, "raw_size": raw_size}
+
+
+def _collect_needed_blocks(fh, n_blocks: int, end: int) -> list[dict]:
+    """Walk a data container's blocks, reading only what flag
+    reconstruction needs and seeking past the rest. The compression
+    header (always block 0) yields the BF/CF/MF content ids that
+    decide which external blocks to read."""
+    if n_blocks < 1:
+        raise ValueError("container with records but no blocks")
+    blocks = []
+    first = _read_block_fh(fh, want_data=True)
+    if first["ctype"] != CT_COMPRESSION_HEADER:
+        raise ValueError(
+            "container: first block is not a compression header")
+    blocks.append(first)
+    ids = _parse_encoding_map(
+        _decompress_payload(first["method"], first["comp"],
+                            first["raw_size"]))
+    needed_ids = set(ids.values())
+    for _ in range(n_blocks - 1):
+        if fh.tell() >= end:
+            raise ValueError("container: blocks run past declared length")
+        pos = fh.tell()
+        blk = _read_block_fh(fh, want_data=False)
+        want = (blk["ctype"] == CT_SLICE_HEADER
+                or (blk["ctype"] == CT_EXTERNAL
+                    and blk["id"] in needed_ids))
+        if want:
+            fh.seek(pos)
+            blk = _read_block_fh(fh, want_data=True)
+        blocks.append(blk)
+    return blocks
+
+
+def _decompress_payload(method: int, comp: bytes, raw_size: int) -> bytes:
+    if method == RAW:
+        data = comp
+    elif method == GZIP:
+        try:
+            data = zlib.decompress(comp, wbits=31)
+        except zlib.error as e:
+            raise ValueError(f"block: bad gzip stream ({e})") from None
+    elif method == RANS:
+        data = _rans_decompress(comp, raw_size)
+    else:
+        raise ValueError(
+            f"block: compression method {method} not supported by the "
+            "CRAM subset reader (raw/gzip/rans4x8)")
+    if len(data) != raw_size:
+        raise ValueError(
+            f"block: raw size mismatch (declared {raw_size}, got "
+            f"{len(data)})")
+    return data
+
+
+def _decode_container_job(blocks: list[dict], n_records: int) -> np.ndarray:
+    """Deferred (pool-side) half of the walk: decompress the collected
+    blocks and run the series reconstruction — the same logic
+    _decode_data_container applies to an in-memory body."""
+    parsed = []
+    for b in blocks:
+        data = (_decompress_payload(b["method"], b["comp"], b["raw_size"])
+                if b["comp"] is not None else None)
+        parsed.append({"ctype": b["ctype"], "id": b["id"], "data": data})
+    return _decode_parsed_blocks(parsed, n_records)
 
 
 def flagstat_cram(path, threads: int = 0, impl: str | None = None):

@@ -313,3 +313,36 @@ def test_rans_order1_refused_and_corruption_caught():
                 continue
             # a surviving decode must still be size-consistent
             assert len(got) == len(data)
+
+
+def test_columnar_io_skips_unneeded_blocks(tmp_path):
+    """Full-payload simulation: a container carrying a large extra
+    external block (stand-in for seq/qual) whose payload is NOT even
+    valid for its declared compression method. The seek-walk must
+    never read/decompress it — flags come back exact; a reader that
+    touched the block would raise on its bogus gzip stream."""
+    x = generate_flags(5_000, seed=17, full_range=True)
+    p = tmp_path / "heavy.cram"
+    orig = cramio._slice_blocks
+
+    def heavy_slice(flags, counter, method):
+        blocks = orig(flags, counter, method)
+        bogus = b"\x00" * 200_000               # not a gzip stream
+        body = (bytes([cramio.GZIP, cramio.CT_EXTERNAL])
+                + cramio.itf8_encode(99)        # id no series references
+                + cramio.itf8_encode(len(bogus))
+                + cramio.itf8_encode(1 << 20)   # declared raw size: 1 MiB
+                + bogus)
+        import struct as _struct
+        import zlib as _zlib
+
+        blocks.append(body + _struct.pack("<I", _zlib.crc32(body)))
+        return blocks
+
+    cramio._slice_blocks = heavy_slice
+    try:
+        cramio.write_cram(p, x)
+    finally:
+        cramio._slice_blocks = orig
+    np.testing.assert_array_equal(cramio.read_cram_flags(p), x)
+    np.testing.assert_array_equal(cramio.read_cram_flags(p, threads=1), x)
