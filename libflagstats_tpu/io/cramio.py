@@ -738,36 +738,12 @@ def read_cram_flags(path, threads: int = 0) -> np.ndarray:
     pool (``threads``: 0 = os.cpu_count(), 1 = serial); the header
     walk that finds them is sequential and cheap."""
     with open(path, "rb") as fh:
-        head = fh.read(26)
-        if len(head) < 26 or head[:4] != b"CRAM":
-            raise ValueError("not a CRAM file")
-        if head[4:6] != b"\x03\x00":
-            raise ValueError(
-                f"CRAM version {head[4]}.{head[5]} unsupported (3.0 only)")
         jobs: list[tuple] = []         # (needed_blocks, n_records)
-        first = True
-        while True:
-            hdr = _read_container_header_fh(fh)
-            if hdr is None:
-                break                  # clean EOF / canonical EOF
-            end = fh.tell() + hdr["len"]
-            if first:
-                first = False
-                blk = _read_block_fh(fh, want_data=False)
-                if blk["ctype"] == CT_FILE_HEADER:
-                    fh.seek(end)
-                    continue
-                # not spec-conform (no header container) but countable
-                fh.seek(end)
-                # re-walk this container as data
-                raise ValueError(
-                    "CRAM: first container is not a SAM-header container")
-            if hdr["n_records"] == 0:
-                fh.seek(end)           # EOF container or empty — skip
-                continue
-            jobs.append((_collect_needed_blocks(fh, hdr["n_blocks"], end),
-                         hdr["n_records"]))
-            fh.seek(end)
+        for hdr, body_off in _iter_data_containers(fh):
+            fh.seek(body_off)
+            jobs.append((_collect_needed_blocks(
+                fh, hdr["n_blocks"], body_off + hdr["len"]),
+                hdr["n_records"]))
     if not jobs:
         return np.zeros(0, dtype=np.uint16)
     if threads == 1 or len(jobs) == 1:
@@ -781,6 +757,71 @@ def read_cram_flags(path, threads: int = 0) -> np.ndarray:
             out = list(pool.map(lambda j: _decode_container_job(*j),
                                 jobs))
     return np.concatenate(out)
+
+
+def _iter_data_containers(fh):
+    """Walk a CRAM file's container headers (seek-only — no block data
+    is read), yielding (header_dict, body_offset) for each DATA
+    container in file order. Validates the magic/version, the
+    SAM-header first container, and every container-header CRC; leaves
+    the file position unspecified between yields (callers seek)."""
+    fh.seek(0)
+    head = fh.read(26)
+    if len(head) < 26 or head[:4] != b"CRAM":
+        raise ValueError("not a CRAM file")
+    if head[4:6] != b"\x03\x00":
+        raise ValueError(
+            f"CRAM version {head[4]}.{head[5]} unsupported (3.0 only)")
+    first = True
+    while True:
+        hdr = _read_container_header_fh(fh)
+        if hdr is None:
+            return                     # clean EOF
+        body_off = fh.tell()
+        end = body_off + hdr["len"]
+        if first:
+            first = False
+            blk = _read_block_fh(fh, want_data=False)
+            if blk["ctype"] == CT_FILE_HEADER:
+                fh.seek(end)
+                continue
+            raise ValueError(
+                "CRAM: first container is not a SAM-header container")
+        if hdr["n_records"] == 0:
+            fh.seek(end)               # EOF container or empty — skip
+            continue
+        yield hdr, body_off
+        fh.seek(end)
+
+
+def data_container_count(path) -> int:
+    """Number of data containers (the multihost shard unit) — a
+    header-only walk, a few dozen bytes read per container."""
+    with open(path, "rb") as fh:
+        return sum(1 for _ in _iter_data_containers(fh))
+
+
+def flagstat_cram_range(path, start: int, stop: int,
+                        threads: int = 0) -> np.ndarray:
+    """32-counter vector over data containers [start, stop) — the
+    multihost shard leg (parallel/multihost.flagstat_multihost_cram):
+    containers are independent, so P processes each counting a
+    contiguous container range sum exactly (the block-accumulative
+    contract; counter 9 derives per chunk inside flagstats_u16)."""
+    from ..ops.dispatch import flagstats_u16
+
+    with open(path, "rb") as fh:
+        jobs = []
+        for idx, (hdr, body_off) in enumerate(_iter_data_containers(fh)):
+            if start <= idx < stop:
+                fh.seek(body_off)
+                jobs.append((_collect_needed_blocks(
+                    fh, hdr["n_blocks"], body_off + hdr["len"]),
+                    hdr["n_records"]))
+    acc = np.zeros(32, dtype=np.uint64)
+    for job in jobs:
+        flagstats_u16(_decode_container_job(*job), out=acc)
+    return acc
 
 
 def _read_exact(fh, n: int) -> bytes:

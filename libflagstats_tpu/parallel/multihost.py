@@ -234,6 +234,26 @@ def flagstat_multihost_bam(path, n_threads: int = 0) -> np.ndarray:
     return _global_counter_sum(counters)
 
 
+def flagstat_multihost_cram(path, n_threads: int = 0) -> np.ndarray:
+    """Multi-host flagstat of one CRAM (round 5) — completing the
+    container set next to framed/.sam.gz/.bam.
+
+    CRAM is the easy one: containers are self-describing and
+    independent, so each process walks the header chain (seek-only, a
+    few dozen bytes per container — no resync heuristics needed, unlike
+    BAM) and fused-counts its contiguous container range
+    (io/cramio.flagstat_cram_range); only the 32 uint64 counters cross
+    processes."""
+    from ..io.cramio import data_container_count, flagstat_cram_range
+    from ..io import codec as C
+
+    n = data_container_count(path)
+    ranges = C.shard_block_ranges(n, jax.process_count())
+    start, stop = ranges[jax.process_index()]
+    local = flagstat_cram_range(path, start, stop, threads=n_threads)
+    return _global_counter_sum(local)
+
+
 def _allgather_i64(values: np.ndarray) -> np.ndarray:
     """Allgather a small int64 vector -> (P, len) int64 (identity
     single-process); (lo, hi) uint32 pair discipline like _global_sum."""

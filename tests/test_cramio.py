@@ -346,3 +346,19 @@ def test_columnar_io_skips_unneeded_blocks(tmp_path):
         cramio._slice_blocks = orig
     np.testing.assert_array_equal(cramio.read_cram_flags(p), x)
     np.testing.assert_array_equal(cramio.read_cram_flags(p, threads=1), x)
+
+
+def test_container_range_counting(tmp_path):
+    """The multihost shard primitive: container-range counters sum to
+    the whole-file truth across an uneven split, and the header-only
+    container count walks without reading block data."""
+    x = generate_flags(250_000, seed=23, full_range=True)
+    p = tmp_path / "t.cram"
+    cramio.write_cram(p, x, records_per_container=60_000)   # 5 containers
+    assert cramio.data_container_count(p) == 5
+    whole = flagstat_numpy(x).astype(np.uint64)
+    a = cramio.flagstat_cram_range(p, 0, 3)
+    b = cramio.flagstat_cram_range(p, 3, 5)
+    np.testing.assert_array_equal(a + b, whole)
+    # empty range contributes zeros
+    assert (cramio.flagstat_cram_range(p, 5, 5) == 0).all()

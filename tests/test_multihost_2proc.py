@@ -73,10 +73,14 @@ c6 = (multihost.flagstat_multihost_bgzf_sam(sys.argv[5], n_threads=2)
 c7 = (multihost.flagstat_multihost_bam(sys.argv[6], n_threads=2)
       if native_host.available() else c1)
 
+# leg 8 (round 5): CRAM sharded by container range — header-only
+# seek-walk to enumerate shards, columnar decode per range
+c8 = multihost.flagstat_multihost_cram(sys.argv[7], n_threads=2)
+
 np.savez(sys.argv[4], c1=c1.astype(np.int64), c2=c2.astype(np.int64),
          c3=c3.astype(np.int64), c4=c4.astype(np.int64),
          c5=c5.astype(np.int64), c6=c6.astype(np.int64),
-         c7=c7.astype(np.int64))
+         c7=c7.astype(np.int64), c8=c8.astype(np.int64))
 '''
 
 
@@ -103,6 +107,13 @@ def test_two_process_multihost(tmp_path):
     bam_path = tmp_path / "mh.bam"
     bamio.write_bam(bam_path, x, level=1, payload="realistic")
 
+    # CRAM container for leg 8 (round 5: container-range sharding —
+    # 5 containers across 2 processes exercises an uneven 3/2 split)
+    from libflagstats_tpu.io import cramio
+
+    cram_path = tmp_path / "mh.cram"
+    cramio.write_cram(cram_path, x, records_per_container=400_000)
+
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
     env = dict(os.environ)
@@ -122,7 +133,7 @@ def test_two_process_multihost(tmp_path):
             subprocess.Popen(
                 [sys.executable, str(script), coord, str(i), str(path),
                  str(tmp_path / f"out{i}.npz"), str(sam_gz),
-                 str(bam_path)],
+                 str(bam_path), str(cram_path)],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                 env=env,
             )
@@ -173,3 +184,4 @@ def test_two_process_multihost(tmp_path):
             np.testing.assert_array_equal(z["c5"], ref5)
             np.testing.assert_array_equal(z["c6"], ref1)
             np.testing.assert_array_equal(z["c7"], ref1)
+            np.testing.assert_array_equal(z["c8"], ref1)
