@@ -51,12 +51,20 @@ _ENV = "LFS_CALIBRATION_FILE"
 
 
 def calibration_path() -> Path | None:
-    """The calibration file path: $LFS_CALIBRATION_FILE, or
-    <repo root>/calibration.json; None when disabled (env set empty)."""
+    """The calibration file path: $LFS_CALIBRATION_FILE; else
+    <repo root>/calibration.json when running from a source checkout;
+    else a user-writable config path (an installed package's directory
+    lives in site-packages — not writable, and wiped on upgrade, so a
+    deployment's calibration must not live there). None when disabled
+    (env set empty)."""
     env = os.environ.get(_ENV)
     if env is not None:
         return Path(env) if env else None
-    return Path(__file__).resolve().parent.parent / "calibration.json"
+    root = Path(__file__).resolve().parent.parent
+    if (root / "pyproject.toml").is_file():
+        return root / "calibration.json"
+    return (Path(os.path.expanduser("~")) / ".config"
+            / "libflagstats-tpu" / "calibration.json")
 
 
 def load_thresholds(path: Path | None = None) -> dict[str, int]:
@@ -72,6 +80,9 @@ def load_thresholds(path: Path | None = None) -> dict[str, int]:
         with open(path) as fh:
             blob = json.load(fh)
         entries = blob["thresholds"]
+        if not isinstance(entries, dict):
+            raise ValueError(f"'thresholds' must be a map, got "
+                             f"{type(entries).__name__}")
         out = {}
         for name, ent in entries.items():
             if name not in KNOWN_THRESHOLDS:
@@ -81,8 +92,12 @@ def load_thresholds(path: Path | None = None) -> dict[str, int]:
                 raise ValueError(f"threshold {name}: bad value {v!r}")
             out[name] = v
         return out
-    except (OSError, KeyError, ValueError, TypeError,
+    except (OSError, KeyError, ValueError, TypeError, AttributeError,
             json.JSONDecodeError) as exc:
+        # AttributeError/TypeError cover shape surprises (non-dict blob,
+        # list thresholds, ...): a malformed file must NEVER break
+        # `import libflagstats_tpu` — the built-in constants are the
+        # documented fallback
         print(f"[libflagstats_tpu] WARNING: calibration file {path} "
               f"unusable ({type(exc).__name__}: {exc}); using built-in "
               f"dispatch thresholds", file=sys.stderr)
@@ -115,6 +130,7 @@ def write_thresholds(thresholds: dict[str, int], provenance: dict,
                   f"({exc}); rewriting", file=sys.stderr)
     for name, value in thresholds.items():
         blob["thresholds"][name] = {"value": int(value), **provenance}
+    path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(blob, fh, indent=1, sort_keys=True)

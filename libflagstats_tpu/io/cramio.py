@@ -454,7 +454,7 @@ def _write_map(entries: list[tuple[bytes, bytes]]) -> bytes:
 
 
 def _read_map(buf, off: int):
-    """-> (map_body, n_entries, body_off, new_off)."""
+    """-> (n_entries, entries_offset, end_offset)."""
     size, off = itf8_decode(buf, off)
     if size < 0 or off + size > len(buf):
         raise ValueError("map: size out of bounds")
@@ -648,18 +648,6 @@ def _parse_slice_header(data: bytes):
     for _ in range(n_ids):
         _, off = itf8_decode(data, off)
     return {"n_records": n_records, "n_blocks": n_blocks}
-
-
-def _decode_data_container(body, n_records: int, n_blocks: int) -> np.ndarray:
-    """One data container's body -> its FLAG values (order preserved).
-    Pure function of the body bytes (the in-memory twin of the
-    seek-walk path; both funnel into _decode_parsed_blocks)."""
-    boff = 0
-    blocks = []
-    for _ in range(n_blocks):
-        blk, boff = _read_block(body, boff)
-        blocks.append(blk)
-    return _decode_parsed_blocks(blocks, n_records)
 
 
 def _decode_parsed_blocks(blocks: list[dict], n_records: int) -> np.ndarray:
@@ -932,6 +920,12 @@ def _collect_needed_blocks(fh, n_blocks: int, end: int) -> list[dict]:
         raise ValueError("container with records but no blocks")
     blocks = []
     first = _read_block_fh(fh, want_data=True)
+    if fh.tell() > end:
+        # every block must stay inside the container's declared length —
+        # the same "compressed size past container end" gate the
+        # in-memory _read_block applies; without it a crafted block
+        # could bleed into the next container's bytes
+        raise ValueError("block: compressed size past container end")
     if first["ctype"] != CT_COMPRESSION_HEADER:
         raise ValueError(
             "container: first block is not a compression header")
@@ -945,6 +939,8 @@ def _collect_needed_blocks(fh, n_blocks: int, end: int) -> list[dict]:
             raise ValueError("container: blocks run past declared length")
         pos = fh.tell()
         blk = _read_block_fh(fh, want_data=False)
+        if fh.tell() > end:
+            raise ValueError("block: compressed size past container end")
         want = (blk["ctype"] == CT_SLICE_HEADER
                 or (blk["ctype"] == CT_EXTERNAL
                     and blk["id"] in needed_ids))
@@ -978,8 +974,7 @@ def _decompress_payload(method: int, comp: bytes, raw_size: int) -> bytes:
 
 def _decode_container_job(blocks: list[dict], n_records: int) -> np.ndarray:
     """Deferred (pool-side) half of the walk: decompress the collected
-    blocks and run the series reconstruction — the same logic
-    _decode_data_container applies to an in-memory body."""
+    blocks, then _decode_parsed_blocks reconstructs the FLAGs."""
     parsed = []
     for b in blocks:
         data = (_decompress_payload(b["method"], b["comp"], b["raw_size"])

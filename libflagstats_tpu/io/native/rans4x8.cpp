@@ -13,7 +13,7 @@
 //
 // Entry points (C ABI, ctypes-bound):
 //   lfs_rans4x8_compress(src, n, dst, cap)   -> bytes written or -1
-//   lfs_rans4x8_size(dst_header)             -> raw size or -1
+//   lfs_rans4x8_size(src, n)                 -> declared raw size or -1
 //   lfs_rans4x8_decompress(src, n, dst, cap) -> bytes written or <0
 // Decoder hardening: every table/stream read is bounds-checked, the
 // frequency table must sum to 4096, and output is capped — hostile

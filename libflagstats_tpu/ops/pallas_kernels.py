@@ -658,6 +658,15 @@ def stream_sums_pallas_raw(planes: jax.Array, nblk: int = 8,
     if planes.shape[0] == 0:
         return jnp.zeros(32, jnp.int32)
     groups = planes.shape[0]
+    # int32 accumulator bound: a stream's total is <= words x repeat;
+    # past 2^31-1 the counts silently wrap and the "exactly repeat x
+    # the rep-1 counts" contract would be false — refuse, don't wrap
+    max_repeat = max((2 ** 31 - 1) // (groups * GROUP_WORDS), 1)
+    if repeat > max_repeat:
+        raise ValueError(
+            f"repeat={repeat} would overflow the int32 stream "
+            f"accumulators at this size (max {max_repeat} for "
+            f"{groups} groups)")
     if groups % nblk:
         pad = nblk - groups % nblk
         planes = jnp.concatenate(

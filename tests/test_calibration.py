@@ -146,3 +146,19 @@ def test_sweep_rtt_median():
     rows = [(1, 0, 0, 0.050, 0.001), (2, 0, 0, 0.060, 0.002),
             (3, 0, 0, float("nan"), 0.001)]
     assert sweep._rtt_ms(rows, 3, 4) == pytest.approx(58.0)
+
+
+def test_malformed_shapes_never_crash_import(cal_file, capsys):
+    """Round-5 review finding: a thresholds value of the wrong SHAPE
+    (list, string, non-dict blob) must fall back with a warning — it
+    is loaded at `import libflagstats_tpu.ops.dispatch` time, so an
+    uncaught error bricks the whole library."""
+    import json as _json
+
+    for blob in ('{"version": 1, "thresholds": [1, 2]}',
+                 '{"version": 1, "thresholds": "DEVICE_MIN_TPU"}',
+                 '[1, 2, 3]', '"just a string"', "3"):
+        cal_file.write_text(blob)
+        assert calibration.load_thresholds() == {}, blob
+        assert dispatch._apply_calibration() == []
+    assert "unusable" in capsys.readouterr().err

@@ -160,17 +160,19 @@ def pospopcnt_sweep(sizes, write: bool = False) -> int:
           "device_min for both entry points")
     if write:
         native_measured = any(r[2] == r[2] for r in rows)
+        # None = no crossover in the swept range -> host wins everywhere
+        # tested: write the disabled sentinel so stale entries from a
+        # faster previous deployment cannot linger (same rule for every
+        # threshold this sweep owns)
         if backend == "tpu":
-            th = {"POSPOPCNT_DEVICE_MIN_TPU": dev_min}
+            th = {"POSPOPCNT_DEVICE_MIN_TPU":
+                  dev_min if dev_min is not None else 1 << 62}
             if native_measured:
-                # no crossover in range + native measured -> the host tier
-                # wins everywhere tested: record the disabled sentinel the
-                # source default uses, so a previous calibration cannot
-                # linger after the machine got slower
                 th["POSPOPCNT_NATIVE_DEVICE_MIN_TPU"] = (
                     nat_dev_min if nat_dev_min is not None else 1 << 62)
         else:
-            th = {"POSPOPCNT_XLA_MIN_CPU": dev_min}
+            th = {"POSPOPCNT_XLA_MIN_CPU":
+                  dev_min if dev_min is not None else 1 << 62}
         _write_calibration(th, backend, _rtt_ms(rows, 3, 4))
     return 0
 
@@ -275,15 +277,19 @@ def main() -> int:
                                 and min(r[3], r[5]) < r[1])
         native_measured = any(r[2] == r[2] for r in rows)
         if backend == "tpu":
-            th = {"DEVICE_MIN_TPU": device_min}
+            # None = no crossover in the swept range -> the host tier won
+            # everywhere tested: record the disabled sentinel so a STALE
+            # entry from a faster previous deployment cannot linger (the
+            # same refresh rule as the NATIVE_* thresholds; a sentinel is
+            # conservative — it routes to the measured-fastest tier)
+            th = {"DEVICE_MIN_TPU": (device_min if device_min is not None
+                                     else 1 << 62)}
             if native_measured:
-                # see pospopcnt_sweep: None with native measured means the
-                # host tier won everywhere tested -> record the disabled
-                # sentinel rather than leaving a stale lower threshold
                 th["NATIVE_DEVICE_MIN_TPU"] = (
                     native_dev_min if native_dev_min is not None else 1 << 62)
         else:
-            th = {"XLA_MIN_CPU": xla_min_wall}
+            th = {"XLA_MIN_CPU": (xla_min_wall if xla_min_wall is not None
+                                  else 1 << 62)}
         _write_calibration(th, backend, _rtt_ms(rows, 3, 4))
     return 0
 

@@ -51,6 +51,11 @@ MODEL_OPS = {"transpose": 5.25, "transform": 0.94, "count": 5.45}
 #: assumed; first run found transform@16 still fully shadowed)
 R_START = {"transpose": 8, "count": 4, "transform": 16}
 R_CAP = 64            # trace-size bound (compile time) for the doubling
+R_CAP_COUNT = 8       # the count probe's int32 stream accumulators hold
+#                       <= 2^31-1: at 64Mi words that caps repeat at 31
+#                       (stream_sums_pallas_raw enforces it), so r2 =
+#                       2*r1 must stay <= 16 — the stage emerges from
+#                       the DMA shadow by r=4 anyway
 EMERGE = 1.5          # T(r) must exceed this x read wall to count as
 #                       compute-bound before differencing
 
@@ -160,17 +165,18 @@ def main() -> int:
     compute = {}
     for stage in ("transpose", "count", "transform"):
         r1 = R_START[stage]
+        r_cap = R_CAP_COUNT if stage == "count" else R_CAP
         f1 = None
         while True:
             b1, inp = probe_body(stage, r1)
             f1 = _fit(b1, inp, ks_slow)
-            if f1.slope_s > EMERGE * t_read_s or r1 >= R_CAP:
+            if f1.slope_s > EMERGE * t_read_s or r1 >= r_cap:
                 break
             print(f"# {stage}@{r1} still DMA-shadowed "
                   f"({f1.slope_s*1e3:.4f} ms vs wall "
                   f"{t_read_s*1e3:.4f}); doubling r", file=sys.stderr)
             r1 *= 2
-        r2 = min(2 * r1, 2 * R_CAP)
+        r2 = min(2 * r1, 2 * r_cap)
         b2, inp = probe_body(stage, r2)
         alu_s = None
         for attempt in range(3):
