@@ -37,13 +37,22 @@ def _bodies(n_words: int):
             bodies["pallas_report"] = lambda a: jnp.concatenate(
                 PK.stream_sums_pallas(a, report=True)
             )
-            # the shipped tier (round 4): host-pretransposed plane
-            # tiles, transpose-free kernel — fed from the planes input
+            # the unpacked pre tiles (round 4) + the SHIPPED packed
+            # tiles (round 5: 24/20 rows = 1.5/1.25 B/word of HBM);
+            # each row is fed from its own plane layout and its
+            # vs_roofline prices the bytes the kernel actually reads
+            # (the roster's _row_bytes map)
             bodies["pallas_pre"] = lambda p: jnp.concatenate(
                 PK.stream_sums_pallas_pre(p)
             )
             bodies["pallas_pre_report"] = lambda p: jnp.concatenate(
                 PK.stream_sums_pallas_pre(p, report=True)
+            )
+            bodies["pallas_pre_packed"] = lambda p: jnp.concatenate(
+                PK.stream_sums_pallas_pre(p, packed=True)
+            )
+            bodies["pallas_pre_packed_report"] = lambda p: jnp.concatenate(
+                PK.stream_sums_pallas_pre(p, report=True, packed=True)
             )
             bodies["pospopcnt_bitsliced"] = lambda a: PK.pospopcnt_u16_pallas(a)
         if n_words % (16 * PK.GROUP_WORDS) == 0:
@@ -87,14 +96,29 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
 
     lines = [HEADER]
     bodies = _bodies(n_words)
-    planes = None
+    args = {}
     if any(name.startswith("pallas_pre") for name in bodies):
-        from ..ops.bitslice import pretranspose_host
+        from ..ops import pallas_kernels as PK
+        from ..ops.bitslice import pretranspose_host, pretranspose_host_packed
 
-        planes = jax.block_until_ready(
+        args["pre"] = jax.block_until_ready(
             jnp.asarray(pretranspose_host(x_host)))
+        args["packed_full"] = jax.block_until_ready(jnp.asarray(
+            pretranspose_host_packed(x_host, PK.PACKED_ROWS_FULL)))
+        args["packed_report"] = jax.block_until_ready(jnp.asarray(
+            pretranspose_host_packed(x_host, PK.PACKED_ROWS_REPORT)))
+
+    def _arg_for(name):
+        if name == "pallas_pre_packed":
+            return args["packed_full"]
+        if name == "pallas_pre_packed_report":
+            return args["packed_report"]
+        if name.startswith("pallas_pre"):
+            return args["pre"]
+        return x
+
     for name, body in bodies.items():
-        arg = planes if name.startswith("pallas_pre") else x
+        arg = _arg_for(name)
         if check:
             out = np.asarray(jax.jit(body)(arg), dtype=np.int64)
             if name.startswith("pospopcnt"):
@@ -119,12 +143,17 @@ def run(n_words: int = 64 * 1024 * 1024, iters: int = 5,
             if not ok:
                 lines.append(f"{name}\t{n_words}\tMISMATCH")
                 continue
+        # the kernel's OWN HBM bytes: packed tiles read 1.5/1.25 B/word
+        # — gating/pricing them at 2 B/word would reject honest samples
+        # as above-roofline and overstate their GB/s
+        row_bytes = (arg.size * arg.dtype.itemsize
+                     if name.startswith("pallas_pre") else 2 * n_words)
         fit = gated_kernel_time_fit(body, arg, roof_bytes_per_s=roof,
-                                    n_bytes=2 * n_words, iters=iters)
+                                    n_bytes=row_bytes, iters=iters)
         t = fit.slope_s
         gated_ok = bool(fit.gate_passed)   # verdict set by the shared gate
-        gbs = 2.0 * n_words / t / 1e9
-        frac = f"{2.0 * n_words / t / roof:.3f}" if roof else "n/a"
+        gbs = row_bytes / t / 1e9
+        frac = f"{row_bytes / t / roof:.3f}" if roof else "n/a"
         lines.append(
             f"{name}\t{n_words}\t{t*1e6:.1f}\t{n_words/t/1e6:.0f}\t"
             f"{gbs:.1f}\t{frac}{'' if gated_ok else '!'}"
