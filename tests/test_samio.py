@@ -530,3 +530,29 @@ def test_bgzf_sam_range_parallel_path(tmp_path):
         fh.write(bamio._bgzf_member(data[:].tobytes(), level=1))
         fh.write(bamio.BGZF_EOF)
     assert _flagstat_bgzf_sam_parallel(small, threads=4) is None
+
+
+def test_streaming_sam_gz_writer_matches_readers(tmp_path):
+    """tools/na12878_run._write_sam_gz_streaming (round 5: O(chunk)
+    disk — the old whole-file intermediate needed ~160 GB at scale-2
+    realistic) must produce a BGZF-SAM both readers parse to the exact
+    column, for both payloads, across chunk boundaries."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "na12878_run",
+        Path(__file__).resolve().parent.parent / "tools" / "na12878_run.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from libflagstats_tpu.io import read_flags_auto
+    from libflagstats_tpu.oracle import generate_flags
+
+    x = generate_flags(130_000, seed=41, full_range=True)
+    for payload in ("minimal", "realistic"):
+        p = tmp_path / f"s_{payload}.sam.gz"
+        mod._write_sam_gz_streaming(p, x, payload, chunk_records=50_000)
+        np.testing.assert_array_equal(read_flags_auto(p, threads=2), x)
+        np.testing.assert_array_equal(
+            samio.read_sam_flags_py(p), x)
