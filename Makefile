@@ -107,12 +107,13 @@ asan:
 	  libflagstats_tpu/io/native/flagstats_host.cpp \
 	  -o build/sam_fuzz_test -lz $(DEFLATE) -pthread
 	./build/sam_fuzz_test
-	# rANS-4x8 + itf8 fuzz: CRAM ingest primitives on hostile input
+	# rANS-4x8 + itf8 + CRAM-walker fuzz: CRAM ingest on hostile input
 	g++ -O1 -g -fsanitize=address,undefined,pointer-overflow -std=c++17 \
 	  -march=native \
 	  libflagstats_tpu/io/native/tests/rans_fuzz_test.cpp \
 	  libflagstats_tpu/io/native/rans4x8.cpp \
+	  libflagstats_tpu/io/native/cram_reader.cpp \
 	  libflagstats_tpu/io/native/flagstats_io.cpp \
 	  libflagstats_tpu/io/native/flagstats_host.cpp \
-	  -o build/rans_fuzz_test -lzstd -pthread
+	  -o build/rans_fuzz_test -lzstd -lz $(DEFLATE) -pthread
 	./build/rans_fuzz_test

@@ -984,7 +984,38 @@ def _decode_container_job(blocks: list[dict], n_records: int) -> np.ndarray:
 
 
 def flagstat_cram(path, threads: int = 0, impl: str | None = None):
-    """`samtools flagstat <file.cram>` with no samtools in the loop."""
+    """`samtools flagstat <file.cram>` with no samtools in the loop.
+
+    Default path: the fused native walker (io/native/cram_reader.cpp —
+    container parse + needed-block decode + FLAG reconstruction + the
+    accumulating counting kernel, threaded over containers; the column
+    never materializes whole). Falls back to the Python seek-walk
+    reader when the native lib is absent, a non-default ``impl`` is
+    forced, or the walker refuses the file (it returns the same
+    subset-refusal errors as the Python reader — both raise, neither
+    guesses)."""
+    import ctypes
+
+    from . import native_lib
     from ..ops.dispatch import flagstats_u16
 
+    if impl is None:
+        lib = native_lib.load()
+        if lib is not None and hasattr(lib, "lfs_cram_flagstat"):
+            import os as _os
+
+            size = _os.path.getsize(path)
+            if size:
+                mm = native_lib.map_sequential(path)
+                counters = np.zeros(32, dtype=np.uint64)
+                n_out = ctypes.c_int64(0)
+                rc = lib.lfs_cram_flagstat(
+                    mm.ctypes.data, size,
+                    counters.ctypes.data_as(ctypes.c_void_p),
+                    threads, ctypes.byref(n_out))
+                if rc == 0:
+                    return counters
+                raise ValueError(
+                    f"lfs_cram_flagstat failed (rc={rc}) — corrupt, "
+                    "truncated, or outside the documented CRAM subset")
     return flagstats_u16(read_cram_flags(path, threads=threads), impl=impl)

@@ -21,6 +21,7 @@ _SRCS = [
     Path(__file__).parent / "native" / "bam_reader.cpp",
     Path(__file__).parent / "native" / "sam_reader.cpp",
     Path(__file__).parent / "native" / "rans4x8.cpp",
+    Path(__file__).parent / "native" / "cram_reader.cpp",
 ]
 _BUILD_DIR = Path(__file__).resolve().parent.parent.parent / "build"
 # -march=native binaries are host-specific: on a shared checkout
@@ -220,6 +221,10 @@ def _bind(lib):
     lib.lfs_rans4x8_decompress.restype = i64
     lib.lfs_rans4x8_decompress.argtypes = [ctypes.c_void_p, i64,
                                            ctypes.c_void_p, i64]
+    lib.lfs_cram_flagstat.restype = i64
+    lib.lfs_cram_flagstat.argtypes = [ctypes.c_void_p, i64,
+                                      ctypes.c_void_p, i32,
+                                      ctypes.POINTER(ctypes.c_int64)]
     lib.lfs_flagstat_u16.restype = i64
     lib.lfs_flagstat_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
     lib.lfs_flagstat_framed.restype = i64

@@ -362,3 +362,112 @@ def test_container_range_counting(tmp_path):
     np.testing.assert_array_equal(a + b, whole)
     # empty range contributes zeros
     assert (cramio.flagstat_cram_range(p, 5, 5) == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Native fused walker (io/native/cram_reader.cpp) — the Python reader
+# is its differential oracle; both must error-or-agree on everything
+# ---------------------------------------------------------------------------
+
+
+def _native_cram_available():
+    from libflagstats_tpu.io import native_lib
+
+    lib = native_lib.load()
+    return lib is not None and hasattr(lib, "lfs_cram_flagstat")
+
+
+@pytest.mark.skipif(not _native_cram_available(),
+                    reason="native lib unavailable")
+def test_native_fused_matches_python_all_methods(tmp_path):
+    x = generate_flags(200_000, seed=33, full_range=True)
+    ref = flagstat_numpy(x).astype(np.uint64)
+    for method in (cramio.GZIP, cramio.RANS, cramio.RAW):
+        p = tmp_path / "t.cram"
+        cramio.write_cram(p, x, records_per_container=70_000, method=method)
+        for threads in (1, 4):
+            got = np.asarray(cramio.flagstat_cram(p, threads=threads))
+            np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.skipif(not _native_cram_available(),
+                    reason="native lib unavailable")
+def test_native_fused_refusals(tmp_path):
+    """Unsupported-subset files must raise through the native path too
+    (rc=-3 -> ValueError), exactly like the Python reader."""
+    x = np.array([0x43, 0x83], dtype=np.uint16)
+    p = tmp_path / "t.cram"
+    orig = cramio.CF_DETACHED
+    try:
+        cramio.CF_DETACHED = cramio.CF_MATE_DOWNSTREAM
+        cramio.write_cram(p, x, method=cramio.RAW)
+    finally:
+        cramio.CF_DETACHED = orig
+    with pytest.raises(ValueError, match="lfs_cram_flagstat"):
+        cramio.flagstat_cram(p)
+    # order-1 rANS block: patch a written rans file's order byte is
+    # fiddly (CRCs); instead force the writer to emit order-1 via the
+    # codec itself being absent is not possible — covered by the rANS
+    # unit refusal tests; here: truncation
+    cramio.write_cram(p, generate_flags(5000, seed=1))
+    blob = p.read_bytes()
+    p.write_bytes(blob[:len(blob) // 2])
+    with pytest.raises(ValueError):
+        cramio.flagstat_cram(p)
+
+
+@pytest.mark.skipif(not _native_cram_available(),
+                    reason="native lib unavailable")
+def test_native_mutation_never_miscounts(tmp_path):
+    """Single-byte corruptions through the NATIVE fused walker: error
+    or the exact original counters, never garbage (the Python twin of
+    this test runs above; the ASan harness covers wild inputs)."""
+    x = generate_flags(2_000, seed=5, full_range=True)
+    ref = flagstat_numpy(x).astype(np.uint64)
+    p = tmp_path / "t.cram"
+    cramio.write_cram(p, x)
+    blob = bytearray(p.read_bytes())
+    q = tmp_path / "mut.cram"
+    rng = np.random.default_rng(3)
+    for pos in rng.integers(0, len(blob), 250).tolist():
+        mut = bytearray(blob)
+        mut[pos] ^= 1 << int(rng.integers(0, 8))
+        q.write_bytes(bytes(mut))
+        try:
+            got = np.asarray(cramio.flagstat_cram(q, threads=2))
+        except (ValueError, OverflowError):
+            continue
+        np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.skipif(not _native_cram_available(),
+                    reason="native lib unavailable")
+def test_native_columnar_skips_unneeded_blocks(tmp_path):
+    """The native walker's skip contract matches the Python seek-walk:
+    a large extra external block with a payload invalid for its
+    declared codec is never touched."""
+    x = generate_flags(5_000, seed=17, full_range=True)
+    p = tmp_path / "heavy.cram"
+    orig = cramio._slice_blocks
+
+    def heavy_slice(flags, counter, method):
+        blocks = orig(flags, counter, method)
+        bogus = b"\x00" * 200_000
+        body = (bytes([cramio.GZIP, cramio.CT_EXTERNAL])
+                + cramio.itf8_encode(99)
+                + cramio.itf8_encode(len(bogus))
+                + cramio.itf8_encode(1 << 20)
+                + bogus)
+        import struct as _struct
+        import zlib as _zlib
+
+        blocks.append(body + _struct.pack("<I", _zlib.crc32(body)))
+        return blocks
+
+    cramio._slice_blocks = heavy_slice
+    try:
+        cramio.write_cram(p, x)
+    finally:
+        cramio._slice_blocks = orig
+    got = np.asarray(cramio.flagstat_cram(p, threads=2))
+    np.testing.assert_array_equal(got, flagstat_numpy(x).astype(np.uint64))
