@@ -795,8 +795,32 @@ def flagstat_cram_range(path, start: int, stop: int,
     multihost shard leg (parallel/multihost.flagstat_multihost_cram):
     containers are independent, so P processes each counting a
     contiguous container range sum exactly (the block-accumulative
-    contract; counter 9 derives per chunk inside flagstats_u16)."""
+    contract; counter 9 derives per chunk inside flagstats_u16).
+    Native fused walker when available (lfs_cram_flagstat_range),
+    Python decode otherwise."""
+    import ctypes
+
+    from . import native_lib
     from ..ops.dispatch import flagstats_u16
+
+    lib = native_lib.load()
+    if lib is not None and hasattr(lib, "lfs_cram_flagstat_range"):
+        import os as _os
+
+        size = _os.path.getsize(path)
+        if size:
+            mm = native_lib.map_sequential(path)
+            counters = np.zeros(32, dtype=np.uint64)
+            n_out = ctypes.c_int64(0)
+            rc = lib.lfs_cram_flagstat_range(
+                mm.ctypes.data, size, start, stop,
+                counters.ctypes.data_as(ctypes.c_void_p),
+                threads, ctypes.byref(n_out))
+            if rc == 0:
+                return counters
+            raise ValueError(
+                f"lfs_cram_flagstat_range failed (rc={rc}) — corrupt, "
+                "truncated, or outside the documented CRAM subset")
 
     with open(path, "rb") as fh:
         jobs = []

@@ -20,6 +20,7 @@
 //        subset feature, -4 decompression failure)
 
 #include <atomic>
+#include <cstddef>
 #include <cstdint>
 #include <cstring>
 #include <new>
@@ -319,9 +320,13 @@ int count_container(const ContainerRef& cref, uint64_t* flags) {
 
 extern "C" {
 
-int64_t lfs_cram_flagstat(const uint8_t* data, int64_t n_bytes,
-                          uint64_t* flags, int32_t threads,
-                          int64_t* n_records_out) {
+// Count data containers [lo, hi) — hi < 0 means "to the end". The
+// multihost shard primitive (parallel/multihost.flagstat_multihost_cram):
+// containers are independent, so per-range counters sum exactly.
+int64_t lfs_cram_flagstat_range(const uint8_t* data, int64_t n_bytes,
+                                int64_t lo, int64_t hi,
+                                uint64_t* flags, int32_t threads,
+                                int64_t* n_records_out) {
     if (n_bytes < 26 || std::memcmp(data, "CRAM", 4) != 0) return -2;
     if (data[4] != 3 || data[5] != 0) return -3;   // 3.0 only
     Cur c{data + 26, data + n_bytes};
@@ -362,8 +367,13 @@ int64_t lfs_cram_flagstat(const uint8_t* data, int64_t n_bytes,
         }
         if (n_records == 0) continue;    // EOF container or empty
         refs.push_back({body, length, n_records, n_blocks});
-        total_records += n_records;
     }
+    if (lo < 0 || (hi >= 0 && hi < lo)) return -2;
+    if (hi < 0 || hi > (int64_t)refs.size()) hi = (int64_t)refs.size();
+    if (lo > (int64_t)refs.size()) lo = (int64_t)refs.size();
+    refs.erase(refs.begin() + (std::ptrdiff_t)hi, refs.end());
+    refs.erase(refs.begin(), refs.begin() + (std::ptrdiff_t)lo);
+    for (const ContainerRef& r : refs) total_records += r.n_records;
 
     // pass 2: count containers on a thread pool (independent units)
     int nt = threads > 0 ? threads
@@ -398,6 +408,13 @@ int64_t lfs_cram_flagstat(const uint8_t* data, int64_t n_bytes,
         for (int k = 0; k < 32; ++k) flags[k] += locals[(size_t)t][k];
     if (n_records_out) *n_records_out = total_records;
     return 0;
+}
+
+int64_t lfs_cram_flagstat(const uint8_t* data, int64_t n_bytes,
+                          uint64_t* flags, int32_t threads,
+                          int64_t* n_records_out) {
+    return lfs_cram_flagstat_range(data, n_bytes, 0, -1, flags, threads,
+                                   n_records_out);
 }
 
 }  // extern "C"

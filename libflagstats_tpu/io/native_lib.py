@@ -225,6 +225,10 @@ def _bind(lib):
     lib.lfs_cram_flagstat.argtypes = [ctypes.c_void_p, i64,
                                       ctypes.c_void_p, i32,
                                       ctypes.POINTER(ctypes.c_int64)]
+    lib.lfs_cram_flagstat_range.restype = i64
+    lib.lfs_cram_flagstat_range.argtypes = [
+        ctypes.c_void_p, i64, i64, i64, ctypes.c_void_p, i32,
+        ctypes.POINTER(ctypes.c_int64)]
     lib.lfs_flagstat_u16.restype = i64
     lib.lfs_flagstat_u16.argtypes = [ctypes.c_void_p, i64, ctypes.c_void_p, i32]
     lib.lfs_flagstat_framed.restype = i64

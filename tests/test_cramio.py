@@ -471,3 +471,26 @@ def test_native_columnar_skips_unneeded_blocks(tmp_path):
         cramio._slice_blocks = orig
     got = np.asarray(cramio.flagstat_cram(p, threads=2))
     np.testing.assert_array_equal(got, flagstat_numpy(x).astype(np.uint64))
+
+
+def test_container_range_native_matches_python_fallback(tmp_path):
+    """flagstat_cram_range: the native range walker and the Python
+    decode fallback must agree (and both sum to the whole)."""
+    from libflagstats_tpu.io import native_lib
+
+    x = generate_flags(200_000, seed=24, full_range=True)
+    p = tmp_path / "t.cram"
+    cramio.write_cram(p, x, records_per_container=60_000)
+    whole = flagstat_numpy(x).astype(np.uint64)
+    a_n = cramio.flagstat_cram_range(p, 0, 2)
+    b_n = cramio.flagstat_cram_range(p, 2, 10)
+    np.testing.assert_array_equal(a_n + b_n, whole)
+    orig = native_lib.load
+    try:
+        native_lib.load = lambda: None
+        a_p = cramio.flagstat_cram_range(p, 0, 2)
+        b_p = cramio.flagstat_cram_range(p, 2, 10)
+    finally:
+        native_lib.load = orig
+    np.testing.assert_array_equal(a_n, a_p)
+    np.testing.assert_array_equal(b_n, b_p)
