@@ -39,7 +39,11 @@ remote-execution-caching artifact claiming 7.5x the HBM roofline):
      rate when it exceeds them (a conformant kernel reading bytes at X
      proves the read floor >= X) — the ratio is honest and capped at 1.0;
   5. the whole measurement runs in TWO fresh worker processes and the
-     result only prints if they agree within 5%.
+     result only prints if they agree within 5%;
+  6. (round 5) each worker keeps the FASTER of two gate-passing fits —
+     the reference's min-over-iterations discipline
+     (instrumented_benchmark.cpp:107-142); first-accept made a single
+     congested-minute draw the whole artifact.
 
 Prints ONE JSON line:
   {"metric": "flagstat_words_per_sec", "value": ..., "unit": "words/s",
@@ -326,6 +330,7 @@ def _measure_worker() -> dict:
 
     rejected = 0
     last = None
+    accepted = []   # (fit, t_kernel, bps, roof_window) that passed gates
     for attempt in range(MAX_ATTEMPTS):
         pre = roof_bracket()
         fit = kernel_time_fit(body, x, ks=ks,
@@ -392,8 +397,17 @@ def _measure_worker() -> dict:
         # roofline is a LOWER bound of the physical read ceiling). The
         # ratio below uses the kernel itself as part of the denominator
         # evidence, so this can never inflate vs_baseline past 1.0.
-        break
-    else:
+        accepted.append((fit, t_kernel, bps, roof_window))
+        # min-over-iterations discipline (round 5; the reference reports
+        # the MIN over 20 iterations, linux/instrumented_benchmark.cpp:
+        # 107-142): collect a SECOND gate-passing fit and keep the
+        # faster — a single first-accepted fit makes one congested-
+        # minute draw the whole artifact (observed: 0.79 on a chip whose
+        # same-day series sat at 0.95+). Two samples bound the wall
+        # budget; cross-process agreement still gates the final value.
+        if len(accepted) >= 2:
+            break
+    if not accepted:
         fit, t_kernel, bps, roof_window = last
         return {
             "error": "no physically-plausible sample after "
@@ -401,6 +415,7 @@ def _measure_worker() -> dict:
             "kernel_ms": t_kernel * 1e3,
             "roofline_gbs": roof / 1e9,
         }
+    fit, t_kernel, bps, roof_window = min(accepted, key=lambda s: s[1])
 
     # Denominator: the best-evidenced read floor for these bytes — the
     # bracketed in-window roofline, raised by the kernel's own observed
