@@ -809,7 +809,7 @@ def flagstat_cram_range(path, start: int, stop: int,
 
         size = _os.path.getsize(path)
         if size:
-            mm = native_lib.map_sequential(path)
+            mm = native_lib.map_sequential(path, willneed=False)
             counters = np.zeros(32, dtype=np.uint64)
             n_out = ctypes.c_int64(0)
             rc = lib.lfs_cram_flagstat_range(
@@ -1030,7 +1030,10 @@ def flagstat_cram(path, threads: int = 0, impl: str | None = None):
 
             size = _os.path.getsize(path)
             if size:
-                mm = native_lib.map_sequential(path)
+                # willneed=False: the walk touches only the
+                # flag-bearing pages; prefetching a full-payload
+                # file would pay cold IO for bytes never read
+                mm = native_lib.map_sequential(path, willneed=False)
                 counters = np.zeros(32, dtype=np.uint64)
                 n_out = ctypes.c_int64(0)
                 rc = lib.lfs_cram_flagstat(

@@ -94,16 +94,20 @@ def _build() -> Path:
     return _LIB_PATH
 
 
-def map_sequential(path):
-    """Read-only mapping of a file with MADV_SEQUENTIAL +
-    MADV_WILLNEED. The fused container walks stream the file
-    front-to-back, and on this host a cold mapping without the
+def map_sequential(path, willneed: bool = True):
+    """Read-only mapping of a file with MADV_SEQUENTIAL (+
+    MADV_WILLNEED by default). The fused container walks stream the
+    file front-to-back, and on this host a cold mapping without the
     prefetch costs ~60 µs per synchronous major fault (measured: the
     1.44 GB BAM walk went 9 s warm -> 30 s cold, while WILLNEED
     prefetches the same bytes in 0.7 s — the disk itself reads
     1.8 GB/s). WILLNEED is advisory readahead into the page cache, so
-    files larger than RAM degrade gracefully. Returns a uint8 ndarray
-    view (the mapping stays alive via the array's .base chain)."""
+    files larger than RAM degrade gracefully. ``willneed=False`` for
+    walks that deliberately touch only a SUBSET of the pages (the
+    columnar CRAM walker skips seq/qual-class blocks — prefetching the
+    whole file would pay cold IO for bytes the walk never reads).
+    Returns a uint8 ndarray view (the mapping stays alive via the
+    array's .base chain)."""
     import mmap as _mmap
 
     import numpy as np
@@ -115,7 +119,8 @@ def map_sequential(path):
         fh.close()                       # the mapping outlives the fd
     if hasattr(mm, "madvise"):
         mm.madvise(_mmap.MADV_SEQUENTIAL)
-        mm.madvise(_mmap.MADV_WILLNEED)
+        if willneed:
+            mm.madvise(_mmap.MADV_WILLNEED)
     return np.frombuffer(mm, dtype=np.uint8)
 
 
